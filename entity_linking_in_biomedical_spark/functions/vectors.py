@@ -1,0 +1,40 @@
+"""Dense-vector column helpers over ``array<float>`` columns.
+
+JVM-side implementations using higher-order functions (zip_with /
+aggregate) — these keep ANN scoring inside codegen for the brute-force
+path. Replaces the reference's sklearn ``linear_kernel`` calls
+(candidate_generator.py:105,118) and torch mean-pool/dot
+(affinity_models.py:31-42).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def l2_normalize(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    nrm = l2_norm(a)
+    return F.transform(a, lambda x: x / nrm)
+
+
+def cosine_sim(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot_product(a, b) / denom).otherwise(F.lit(0.0))

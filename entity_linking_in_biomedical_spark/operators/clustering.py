@@ -1,0 +1,112 @@
+"""Stage 3 — transitive clustering: connected components via the
+alternating large-star / small-star algorithm (Kiveris et al., "CC in
+MapReduce and Beyond"), expressed entirely as DataFrame groupBy/join
+rounds.
+
+The reference never materializes transitive clusters — its
+mention-mention stage stops at pairwise affinity scores
+(dataset.py:335-388); the north rule mandates the closure.
+
+Node ids are strings; min() is lexicographic. The pipeline exploits
+this: entity nodes are prefixed "e|" and mention nodes "m|", so any
+component containing an entity roots at the (min) entity — cluster ids
+pin to CUIs for free, and components with no entity root at a mention
+id which the caller maps to NIL_<id>.
+
+Scale notes:
+- converges in O(log^2 n) rounds; ER match graphs are block-local so
+  3-5 rounds in practice (the iteration count is returned for metrics).
+- each round is one shuffle per star step on the node key; AQE handles
+  residual skew; ``localCheckpoint`` after each round truncates lineage
+  so plans don't grow with iteration count (standard Spark idiom for
+  iterative algorithms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canon(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge orientation (src < dst), dedup, no
+    self-loops."""
+    return (
+        e.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    nbrs = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    return (
+        nbrs.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges larger->smaller; connect all smaller neighbors and
+    u itself to the minimum."""
+    o = e.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    m = o.groupBy("u").agg(F.min("v").alias("m"))
+    j = o.join(m, "u")
+    return (
+        j.select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .unionByName(m.select(F.col("u").alias("src"), F.col("m").alias("dst")))
+    )
+
+
+def _digest(e: DataFrame) -> tuple[int, int]:
+    # decimal sum: ANSI mode (Spark 4 default) would overflow a long sum
+    row = e.agg(
+        F.count("*").alias("c"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["c"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> tuple[DataFrame, int]:
+    """edges(src string, dst string) -> (assignments(node, cluster_id),
+    iterations).
+
+    ``nodes`` (single column ``node``) optionally adds isolated nodes,
+    which become singleton clusters (cluster_id = node).
+    """
+    e = _canon(edges).localCheckpoint(eager=True)
+    prev = None
+    iters = 0
+    for iters in range(1, max_iter + 1):
+        e = _canon(_small_star(_large_star(e))).localCheckpoint(eager=True)
+        d = _digest(e)
+        if d == prev:
+            break
+        prev = d
+    # post-convergence the canonical edge set is a star forest with the
+    # root (component minimum) on the src side: (root, member)
+    assign = (
+        e.select(F.col("dst").alias("node"), F.col("src").alias("cluster_id"))
+        .unionByName(e.select(F.col("src").alias("node"), F.col("src").alias("cluster_id")))
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    if nodes is not None:
+        singles = nodes.select("node").join(assign.select("node"), "node", "left_anti")
+        assign = assign.unionByName(
+            singles.select("node", F.col("node").alias("cluster_id"))
+        )
+    return assign, iters

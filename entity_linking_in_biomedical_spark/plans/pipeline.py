@@ -1,0 +1,246 @@
+"""End-to-end entity-resolution pipeline (the north star's three-stage
+DataFrame job): blocking -> pairwise scoring -> transitive clustering.
+
+Graph design (the core scale decision): clustering runs over **distinct
+normalized surfaces**, not mention occurrences. Nodes are
+``e|<cui>`` (entities) and ``s|<norm>`` (surface forms); every mention
+deterministically attaches to its surface node by an equi-join at the
+end. At web scale |distinct surfaces| is orders of magnitude below
+|mentions| (Zipf), so the pair-scoring and CC stages never touch the
+full corpus — only the final attach join does, and that is a plain
+hash/sort-merge equi-join Catalyst handles with AQE.
+
+Because "e|" < "s|" lexicographically and cluster ids are component
+minima, any component containing an entity automatically roots at the
+smallest CUI — mention-entity matches pin clusters to CUIs with no
+extra pass; entity-free components become NIL clusters.
+
+Span-sequence invariant: ``documents.spans`` is never rewritten; the
+output attaches a *separate* ``span_clusters`` column, so the invariant
+holds structurally (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.blocking import block_candidates, entity_names
+from ..operators.clustering import connected_components
+from ..operators.mentions import extract_mentions
+from ..operators.scoring import ScoringConfig, fit_idf, score_pairs
+from .resume import StageStore, stage_signature
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    scoring: ScoringConfig = ScoringConfig()
+    ngram: int = 3
+    num_hashes: int = 8
+    bands: int = 8
+    max_key_freq: int = 200
+    top_k: int = 128
+    mm_pair_cap: int = 20  # max scored mention-mention partners per surface
+
+    def params(self) -> dict:
+        d = dict(self.__dict__)
+        d["scoring"] = dict(self.scoring.__dict__)
+        return d
+
+
+def run_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    entities: DataFrame,
+    embeddings: DataFrame | None = None,
+    abbr_map: DataFrame | None = None,
+    cfg: PipelineConfig = PipelineConfig(),
+    out_dir: str | None = None,
+) -> dict:
+    """Returns dict with DataFrames: mentions, candidates, me_scores,
+    mm_scores, assignments, mention_clusters, linked_documents — plus
+    'metrics' (list) and 'cc_iterations' (int).
+
+    ``embeddings``: optional (norm string, embedding array<float>)
+    lookup used for the dense dot-product feature.
+    ``out_dir``: when set, each stage commits a Parquet snapshot +
+    manifest and re-runs resume from the last committed stage.
+    """
+    store = StageStore(spark, out_dir)
+    p = cfg.params()
+    tau = cfg.scoring.threshold
+
+    # ---- stage 1: mentions -------------------------------------------
+    sig_mentions = stage_signature("mentions", p, [])
+    mentions = store.get_or_compute(
+        "mentions", sig_mentions, lambda: extract_mentions(documents, abbr_map)
+    )
+
+    names = entity_names(entities)
+
+    # ---- stage 2: blocking -------------------------------------------
+    sig_cands = stage_signature("candidates", p, [sig_mentions])
+    cands = store.get_or_compute(
+        "candidates",
+        sig_cands,
+        lambda: block_candidates(
+            mentions,
+            names,
+            n=cfg.ngram,
+            num_hashes=cfg.num_hashes,
+            bands=cfg.bands,
+            max_key_freq=cfg.max_key_freq,
+            top_k=cfg.top_k,
+        ),
+    )
+
+    # ---- stage 3: pairwise scoring -----------------------------------
+    idf = fit_idf(names, ngram=cfg.ngram, vocab_cap=cfg.scoring.vocab_cap)
+
+    def with_emb(df: DataFrame, key: str, out: str) -> DataFrame:
+        if embeddings is None:
+            return df
+        e = embeddings.select(F.col("norm").alias(key), F.col("embedding").alias(out))
+        return df.join(e, key, "left")
+
+    def compute_me() -> DataFrame:
+        # mention-surface × entity-synonym pairs within candidate blocks;
+        # per (surface, cui) keep the best-scoring synonym (the reference
+        # scores mention vs dictionary description, dataset.py:128,461)
+        pairs = (
+            cands.select("norm", "cui", "block_key")
+            .join(names.select("cui", F.col("norm").alias("e_norm")), "cui")
+            .select(
+                F.col("norm").alias("a_norm"),
+                F.col("e_norm").alias("b_norm"),
+                "cui",
+                "block_key",
+            )
+        )
+        pairs = with_emb(pairs, "a_norm", "a_emb")
+        pairs = with_emb(pairs, "b_norm", "b_emb")
+        scored = score_pairs(
+            spark,
+            pairs,
+            idf,
+            cfg.scoring,
+            a_emb="a_emb" if embeddings is not None else None,
+            b_emb="b_emb" if embeddings is not None else None,
+        )
+        return scored.groupBy("a_norm", "cui").agg(
+            F.max("score").alias("score"), F.min("block_key").alias("block_key")
+        )
+
+    sig_me = stage_signature("me_scores", p, [sig_cands])
+    me_scores = store.get_or_compute("me_scores", sig_me, compute_me)
+
+    def compute_mm() -> DataFrame:
+        # mention-mention channel: distinct surface pairs sharing an LSH
+        # band (J6/J7 semantics at inference: same block ≙ same doc/cui
+        # grouping in the reference). Needed so NIL surface variants
+        # cluster together without an entity bridge.
+        from ..functions.ngrams import ngram_minhash_bands
+
+        surf = mentions.select("norm").distinct()
+        b = surf.withColumn(
+            "bk", F.explode(ngram_minhash_bands(F.col("norm"), cfg.ngram, cfg.num_hashes, cfg.bands))
+        )
+        # hot-band cap on the surface side (same skew control as blocking)
+        hot = (
+            b.groupBy("bk").agg(F.count("*").alias("kf"))
+            .filter(F.col("kf") > cfg.max_key_freq)
+            .select("bk")
+        )
+        b = b.join(F.broadcast(hot), "bk", "left_anti")
+        pairs = (
+            b.alias("x")
+            .join(b.alias("y"), "bk")
+            .filter(F.col("x.norm") < F.col("y.norm"))
+            .select(
+                F.col("x.norm").alias("a_norm"),
+                F.col("y.norm").alias("b_norm"),
+                F.col("bk").alias("block_key"),
+            )
+            .dropDuplicates(["a_norm", "b_norm"])
+        )
+        # cap partners per surface (deterministic by hash order) to bound
+        # the scoring fan-out on hot surfaces
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("a_norm").orderBy(F.xxhash64("b_norm"))
+        pairs = pairs.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= cfg.mm_pair_cap
+        ).drop("rk")
+        pairs = with_emb(pairs, "a_norm", "a_emb")
+        pairs = with_emb(pairs, "b_norm", "b_emb")
+        scored = score_pairs(
+            spark,
+            pairs,
+            idf,
+            cfg.scoring,
+            a_emb="a_emb" if embeddings is not None else None,
+            b_emb="b_emb" if embeddings is not None else None,
+        )
+        return scored.select("a_norm", "b_norm", "block_key", "score")
+
+    sig_mm = stage_signature("mm_scores", p, [sig_mentions])
+    mm_scores = store.get_or_compute("mm_scores", sig_mm, compute_mm)
+
+    # ---- stage 4: transitive clustering ------------------------------
+    def compute_assign() -> DataFrame:
+        me_edges = me_scores.filter(F.col("score") >= tau).select(
+            F.concat(F.lit("s|"), "a_norm").alias("src"),
+            F.concat(F.lit("e|"), "cui").alias("dst"),
+        )
+        mm_edges = mm_scores.filter(F.col("score") >= tau).select(
+            F.concat(F.lit("s|"), "a_norm").alias("src"),
+            F.concat(F.lit("s|"), "b_norm").alias("dst"),
+        )
+        all_surface_nodes = mentions.select(
+            F.concat(F.lit("s|"), "norm").alias("node")
+        ).distinct()
+        assign, iters = connected_components(
+            me_edges.unionByName(mm_edges), nodes=all_surface_nodes
+        )
+        return assign.withColumn("cc_iterations", F.lit(iters))
+
+    sig_assign = stage_signature("assignments", p, [sig_me, sig_mm])
+    assignments = store.get_or_compute("assignments", sig_assign, compute_assign)
+    cc_iterations = (
+        assignments.select(F.max("cc_iterations")).collect()[0][0]
+        if "cc_iterations" in assignments.columns
+        else -1
+    )
+
+    # ---- attach clusters back to mentions and documents ---------------
+    surf_clusters = assignments.filter(F.col("node").startswith("s|")).select(
+        F.expr("substring(node, 3)").alias("norm"),
+        F.when(
+            F.col("cluster_id").startswith("e|"), F.expr("substring(cluster_id, 3)")
+        )
+        .otherwise(F.concat(F.lit("NIL_"), F.expr("substring(cluster_id, 3)")))
+        .alias("cluster_id"),
+    )
+    mention_clusters = mentions.join(surf_clusters, "norm", "left").select(
+        "doc_id", "span_seq", "surface", "norm", "cluster_id"
+    )
+
+    per_doc = mention_clusters.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("span_seq", "cluster_id"))).alias(
+            "span_clusters"
+        )
+    )
+    linked_documents = documents.join(per_doc, "doc_id", "left")
+
+    return {
+        "mentions": mentions,
+        "candidates": cands,
+        "me_scores": me_scores,
+        "mm_scores": mm_scores,
+        "assignments": assignments,
+        "mention_clusters": mention_clusters,
+        "linked_documents": linked_documents,
+        "metrics": store.metrics,
+        "cc_iterations": cc_iterations,
+    }

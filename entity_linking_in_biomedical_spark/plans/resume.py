@@ -1,0 +1,100 @@
+"""Per-stage checkpointed snapshots with commit manifests.
+
+The north rule requires every stage to resume from its last committed
+snapshot with per-partition lineage + metrics. On a real deployment the
+stage sinks are Iceberg tables and the manifest is the Iceberg snapshot;
+in this sandbox the same semantics are emulated on plain Parquet:
+
+  <out_dir>/<stage>/data/...parquet      the snapshot
+  <out_dir>/<stage>/_MANIFEST.json       commit record: stage signature
+                                         (md5 over params + parent
+                                         signatures), total rows, and
+                                         per-partition row counts
+
+A stage is *committed* iff the manifest exists and its signature matches
+the requested computation; committed stages are read back instead of
+recomputed. The manifest is written after the data (write-then-commit
+ordering), so a crash mid-write leaves an uncommitted, restartable
+stage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def stage_signature(stage: str, params: dict, parents: list[str]) -> str:
+    payload = json.dumps(
+        {"stage": stage, "params": params, "parents": parents}, sort_keys=True, default=str
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+class StageStore:
+    def __init__(self, spark: SparkSession, out_dir: str | None):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.metrics: list[dict] = []
+
+    def _paths(self, stage: str) -> tuple[str, str]:
+        assert self.out_dir is not None
+        base = os.path.join(self.out_dir, stage)
+        return os.path.join(base, "data"), os.path.join(base, "_MANIFEST.json")
+
+    def committed(self, stage: str, signature: str) -> bool:
+        if self.out_dir is None:
+            return False
+        _, mpath = self._paths(stage)
+        if not os.path.exists(mpath):
+            return False
+        with open(mpath) as f:
+            m = json.load(f)
+        return m.get("signature") == signature
+
+    def load(self, stage: str) -> DataFrame:
+        dpath, _ = self._paths(stage)
+        return self.spark.read.parquet(dpath)
+
+    def commit(self, stage: str, signature: str, df: DataFrame) -> DataFrame:
+        """Write snapshot, record per-partition metrics, commit manifest,
+        return the re-read (physically materialized) DataFrame."""
+        if self.out_dir is None:
+            # no persistence requested: localCheckpoint for lineage cut
+            out = df.localCheckpoint(eager=True)
+            n = out.count()
+            self.metrics.append({"stage": stage, "rows": n, "partitions": None})
+            return out
+        dpath, mpath = self._paths(stage)
+        df.write.mode("overwrite").parquet(dpath)
+        out = self.spark.read.parquet(dpath)
+        per_part = (
+            out.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        )
+        part_rows = {int(r["pid"]): int(r["rows"]) for r in per_part}
+        manifest = {
+            "stage": stage,
+            "signature": signature,
+            "rows": int(sum(part_rows.values())),
+            "partition_rows": part_rows,
+        }
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        os.replace(tmp, mpath)  # atomic commit
+        self.metrics.append(
+            {"stage": stage, "rows": manifest["rows"], "partitions": len(part_rows)}
+        )
+        return out
+
+    def get_or_compute(self, stage: str, signature: str, compute) -> DataFrame:
+        if self.committed(stage, signature):
+            out = self.load(stage)
+            self.metrics.append({"stage": stage, "rows": None, "resumed": True})
+            return out
+        return self.commit(stage, signature, compute())

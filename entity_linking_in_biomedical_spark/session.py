@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on local[N]; the conf choices below are the ones that
+matter identically on a 1000-executor cluster: AQE (runtime re-plan,
+skew-join splitting, dynamic coalesce), Arrow for every pandas UDF
+boundary, and a shuffle-partition count sized to the parallelism level.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "el-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    # parallelism implied by the master string, e.g. local[8] -> 8
+    n = cpus
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        n = cpus if inner == "*" else int(inner)
+    shuffle_partitions = shuffle_partitions or max(2 * n, 8)
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(n))
+        # AQE: runtime coalesce of tiny shuffle partitions, broadcast-join
+        # conversion, and automatic skew-join splitting for the pair joins.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow on for every pandas UDF / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Deterministic timestamps in tests / oracle comparisons.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("EL_SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

@@ -1,0 +1,149 @@
+"""PubTator corpus scan (S1) and reference text-format scans (S2-S5).
+
+The reference parses PubTator with a hand-rolled block loop
+(preprocess/medmention_preprocess.py:7-41: title line ``PMID|t|...``,
+abstract ``PMID|a|...``, annotation rows ``PMID\\tstart\\tend\\tsurface\\t
+semtype\\tT:CUI``, blocks separated by blank lines). Here the same parse
+is declarative: read lines, classify with regexp, group by PMID, and
+assemble the spans array — distributes over any corpus size because the
+groupBy key is the document id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_pubtator(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a PubTator file into the documents span shape.
+
+    Output: doc_id string, spans array<struct<kind,text,media_ref,offset>>
+    where span 0 is the title text, span 1 the abstract text, and each
+    annotation becomes a kind='mention' span at its start offset (cui
+    carried in ``mention_cuis`` alongside, since the authoritative span
+    struct has no cui field).
+    """
+    lines = spark.read.text(path).filter(F.length("value") > 0)
+    title = lines.filter(F.col("value").rlike(r"^\d+\|t\|")).select(
+        F.regexp_extract("value", r"^(\d+)\|t\|(.*)$", 1).alias("doc_id"),
+        F.regexp_extract("value", r"^(\d+)\|t\|(.*)$", 2).alias("title"),
+    )
+    abstract = lines.filter(F.col("value").rlike(r"^\d+\|a\|")).select(
+        F.regexp_extract("value", r"^(\d+)\|a\|(.*)$", 1).alias("doc_id"),
+        F.regexp_extract("value", r"^(\d+)\|a\|(.*)$", 2).alias("abstract"),
+    )
+    # annotation projection (P5): cols 1:4 + split(col5, ':')[-1] -> CUI
+    # (medmention_preprocess.py:30-32)
+    ann = (
+        lines.filter(F.col("value").rlike(r"^\d+\t"))
+        .select(F.split("value", "\t").alias("c"))
+        .select(
+            F.col("c")[0].alias("doc_id"),
+            F.col("c")[1].cast("int").alias("begin"),
+            F.col("c")[2].cast("int").alias("end"),
+            F.col("c")[3].alias("surface"),
+            F.col("c")[4].alias("sem_type"),
+            F.element_at(F.split(F.col("c")[5], ":"), -1).alias("cui"),
+        )
+    )
+    ann_agg = ann.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("begin", "end", "surface", "cui"))
+        ).alias("anns")
+    )
+    docs = (
+        title.join(abstract, "doc_id", "left")
+        .join(ann_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat(
+                F.array(
+                    F.struct(
+                        F.lit("text").alias("kind"),
+                        F.col("title").alias("text"),
+                        F.lit(None).cast("string").alias("media_ref"),
+                        F.lit(0).alias("offset"),
+                    ),
+                    F.struct(
+                        F.lit("text").alias("kind"),
+                        F.coalesce(F.col("abstract"), F.lit("")).alias("text"),
+                        F.lit(None).cast("string").alias("media_ref"),
+                        (F.length("title") + F.lit(1)).alias("offset"),
+                    ),
+                ),
+                F.transform(
+                    F.coalesce(F.col("anns"), F.array()),
+                    lambda a: F.struct(
+                        F.lit("mention").alias("kind"),
+                        a["surface"].alias("text"),
+                        F.lit(None).cast("string").alias("media_ref"),
+                        a["begin"].alias("offset"),
+                    ),
+                ),
+            ).alias("spans"),
+            F.transform(F.coalesce(F.col("anns"), F.array()), lambda a: a["cui"]).alias(
+                "mention_cuis"
+            ),
+        )
+    )
+    return docs
+
+
+def read_mrconso(spark: SparkSession, path: str) -> DataFrame:
+    """UMLS MRCONSO scan (S2): pipe-delimited, ENG filter, project
+    (cui, name). Mirrors src/utils.py:6-24."""
+    raw = spark.read.csv(path, sep="|", header=False)
+    return (
+        raw.filter(F.col("_c1") == "ENG")
+        .select(F.col("_c0").alias("cui"), F.col("_c14").alias("name"))
+        .dropDuplicates(["cui", "name"])
+    )
+
+
+def read_mrsty(spark: SparkSession, path: str) -> DataFrame:
+    """UMLS MRSTY scan (S3): project (cui, sem_type), one row per cui
+    (last-write-wins in the reference, src/utils.py:35-38 — here
+    deterministic max)."""
+    raw = spark.read.csv(path, sep="|", header=False)
+    return (
+        raw.select(F.col("_c0").alias("cui"), F.col("_c3").alias("sem_type"))
+        .groupBy("cui")
+        .agg(F.max("sem_type").alias("sem_type"))
+    )
+
+
+def build_entities(mrconso: DataFrame, mrsty: DataFrame) -> DataFrame:
+    """Group-by CUI -> collect_set(synonyms) + semtype join (A1/A2 +
+    umls_preprocess.py:56-62 dictionary sink shape)."""
+    syn = mrconso.groupBy("cui").agg(
+        F.array_sort(F.collect_set("name")).alias("synonyms")
+    )
+    return syn.join(mrsty, "cui", "left").select("cui", "sem_type", "synonyms")
+
+
+def read_ab3p(spark: SparkSession, path: str) -> DataFrame:
+    """Ab3P output scan (S4): ``doc`` header lines then
+    ``  abbr|long|score`` rows (medmention_preprocess.py:109-122).
+    Uses a window to carry the doc id forward — no Python loop."""
+    from pyspark.sql import Window
+
+    lines = (
+        spark.read.text(path)
+        .select(F.monotonically_increasing_id().alias("ln"), "value")
+        .filter(F.length(F.trim("value")) > 0)
+    )
+    tagged = lines.select(
+        "ln",
+        "value",
+        F.when(~F.col("value").startswith(" "), F.col("value")).alias("doc_hdr"),
+    )
+    w = Window.orderBy("ln").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tagged.withColumn("doc_id", F.last("doc_hdr", ignorenulls=True).over(w))
+        .filter(F.col("doc_hdr").isNull())
+        .select(
+            "doc_id",
+            F.trim(F.split("value", r"\|")[0]).alias("abbr"),
+            F.split("value", r"\|")[1].alias("long_form"),
+        )
+    )

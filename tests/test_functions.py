@@ -1,0 +1,91 @@
+"""Unit tests for the JVM-side column helpers and Python string kernels."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_linking_in_biomedical_spark.functions.ngrams import (
+    char_ngrams,
+    lsh_band_keys,
+    minhash_signature,
+)
+from entity_linking_in_biomedical_spark.functions.normalize import norm_key
+from entity_linking_in_biomedical_spark.functions.strings import (
+    jaro_winkler,
+    tfidf_cosine,
+)
+from entity_linking_in_biomedical_spark.functions.vectors import cosine_sim, dot_product
+
+
+def test_norm_key(spark):
+    df = spark.createDataFrame(
+        [("  Hello,  World! ",), ("BRCA-1/2",), ("",), ("...",)], "s string"
+    )
+    got = [r[0] for r in df.select(norm_key("s")).collect()]
+    assert got == ["hello world", "brca 1 2", "", ""]
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([("hello",), ("ab",), ("",)], "s string")
+    got = [r[0] for r in df.select(char_ngrams("s", 3)).collect()]
+    assert got[0] == ["hel", "ell", "llo"]
+    assert got[1] == ["ab"]  # shorter than n -> itself
+    assert got[2] == [""]
+
+
+def test_minhash_matches_hashlib(spark):
+    """Spark md5-hex minhash must equal a pure-Python reimplementation
+    (this is the property the DuckDB oracle and the pandas pipeline
+    oracle both rely on)."""
+    s = "hello world"
+    df = spark.createDataFrame([(s,)], "s string")
+    sig = df.select(minhash_signature(char_ngrams("s", 3), 4).alias("sig")).collect()[0]["sig"]
+    grams = [s[i : i + 3] for i in range(len(s) - 2)]
+    expect = [
+        min(hashlib.md5(f"mh{k}:{g}".encode()).hexdigest() for g in grams)
+        for k in range(4)
+    ]
+    assert sig == expect
+
+
+def test_band_keys_shape(spark):
+    df = spark.createDataFrame([("melanoma",), ("melanona",)], "s string")
+    out = df.select(
+        lsh_band_keys(minhash_signature(char_ngrams("s", 3), 8), 8, 1).alias("bands")
+    ).collect()
+    a, b = out[0]["bands"], out[1]["bands"]
+    assert len(a) == len(b) == 8
+    # one-char typo on an 8-char string should still share >=1 band
+    # (8 bands x 1 row: miss probability (1-J)^8 < 1% at J~0.45)
+    assert set(a) & set(b)
+
+
+def test_jaro_winkler_known_values():
+    assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-4)
+    assert jaro_winkler("DWAYNE", "DUANE") == pytest.approx(0.84, abs=1e-2)
+    assert jaro_winkler("abc", "abc") == 1.0
+    assert jaro_winkler("abc", "xyz") == 0.0
+    assert jaro_winkler("", "abc") == 0.0
+
+
+def test_tfidf_cosine_basic():
+    idf: dict[str, float] = {}
+    assert tfidf_cosine("melanoma", "melanoma", idf) == pytest.approx(1.0)
+    assert tfidf_cosine("melanoma", "zzzzzz", idf) == 0.0
+    near = tfidf_cosine("melanoma", "melanona", idf)
+    assert 0.4 < near < 1.0
+
+
+def test_vector_helpers(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])], "a array<double>, b array<double>"
+    )
+    got = df.select(
+        dot_product("a", "b").alias("d"), cosine_sim("a", "b").alias("c")
+    ).collect()
+    assert got[0]["d"] == pytest.approx(1.0) and got[0]["c"] == pytest.approx(1.0)
+    assert got[1]["d"] == pytest.approx(0.0) and got[1]["c"] == pytest.approx(0.0)
