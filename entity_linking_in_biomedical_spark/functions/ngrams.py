@@ -33,6 +33,18 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def char_ngrams_multi(col: Column | str, ns: tuple[int, ...] = (2, 3)) -> Column:
+    """Union of char n-gram sets for several n — the reference's char
+    2-5-gram range (candidate_generator.py:31-36) rationale: short
+    strings (acronyms) only overlap under small n, long strings get
+    specificity from larger n."""
+    arrs = [char_ngrams(col, n) for n in ns]
+    out = arrs[0]
+    for a in arrs[1:]:
+        out = F.concat(out, a)
+    return F.array_distinct(out)
+
+
 def minhash_signature(grams: Column, num_hashes: int = 12) -> Column:
     """Array of ``num_hashes`` min-hash values (md5 hex strings) over a
     gram array. Empty gram arrays hash the empty string."""
@@ -66,18 +78,25 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
 
 
 def ngram_minhash_bands(
-    col: Column | str, n: int = 3, num_hashes: int = 8, bands: int = 8
+    col: Column | str,
+    ns: tuple[int, ...] = (2, 3),
+    num_hashes: int = 16,
+    bands: int = 16,
 ) -> Column:
     """Convenience: string column -> array of LSH band keys.
 
-    Default 8 bands x 1 row: for surface-form blocking the miss
-    probability for a Levenshtein-1 typo (gram-Jaccard ~0.45) must be
-    tiny — (1-J)^8 < 1% — and the downstream scorer + hot-key cap absorb
-    the extra false candidates. Near-dup *document* dedup uses wider
-    rows (see operators/dedup.py) because there precision is the lever."""
+    Default 16 bands x 1 row over mixed 2+3-grams: for surface-form
+    blocking the miss probability for a Levenshtein-1/2 typo must be
+    tiny even on 3-5 char acronyms (gram-Jaccard as low as ~0.25 there;
+    (1-J)^16 < 1%) — the downstream scorer + hot-key cap absorb the
+    extra false candidates. Near-dup *document* dedup uses multi-row
+    bands (see operators/dedup.py) because there precision is the
+    lever."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
-    return lsh_band_keys(minhash_signature(char_ngrams(col, n), num_hashes), bands, rows)
+    return lsh_band_keys(
+        minhash_signature(char_ngrams_multi(col, ns), num_hashes), bands, rows
+    )
 
 
 def duckdb_minhash_sql(col_sql: str, n: int = 3, num_hashes: int = 12) -> str:

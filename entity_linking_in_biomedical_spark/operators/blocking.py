@@ -49,9 +49,9 @@ def entity_names(entities: DataFrame) -> DataFrame:
 def block_candidates(
     mentions: DataFrame,
     names: DataFrame,
-    n: int = 3,
-    num_hashes: int = 8,
-    bands: int = 8,
+    ns: tuple[int, ...] = (2, 3),
+    num_hashes: int = 16,
+    bands: int = 16,
     max_key_freq: int = 200,
     top_k: int = 128,
 ) -> DataFrame:
@@ -74,7 +74,7 @@ def block_candidates(
     # --- LSH channel ----------------------------------------------------
     def with_bands(df: DataFrame) -> DataFrame:
         return df.withColumn(
-            "bk", F.explode(ngram_minhash_bands(F.col("norm"), n, num_hashes, bands))
+            "bk", F.explode(ngram_minhash_bands(F.col("norm"), ns, num_hashes, bands))
         )
 
     m_bands = with_bands(surfaces)

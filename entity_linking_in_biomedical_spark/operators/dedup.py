@@ -1,0 +1,241 @@
+"""Document deduplication operators for large-scale training-data
+pipelines, layered on the same minhash machinery as ER blocking.
+
+All candidate generation is sub-quadratic (hash-groupBy or LSH
+band-join); verification (exact Jaccard / Hamming) runs only on
+candidate pairs. Everything through candidate generation is JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.ngrams import lsh_band_keys, minhash_signature
+from ..functions.text_metrics import fingerprint, simhash64, tokens
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: (text_hash, dup_count, doc_ids).
+    One shuffle on the hash; at 100 TB this is the cheapest first pass
+    and typically removes the bulk of duplicates."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def fingerprint_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token-set fingerprint dedup — catches reorderings/whitespace
+    variants exact hashing misses."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def _word_shingles(text_col: str, k: int = 3) -> F.Column:
+    """k-word shingles (the document analogue of char n-grams)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle -> minhash -> band ->
+    bucket-join -> exact shingle-set Jaccard verify.
+
+    Multi-row bands (16 hashes / 4 bands = 4 rows): document near-dup
+    wants precision, so candidate pairs need 4 agreeing minhashes.
+    ``max_bucket`` drops degenerate buckets (boilerplate/empty docs) —
+    the skew control; at 100 TB a single boilerplate bucket would
+    otherwise produce O(n^2) pairs.
+    Returns (a_id, b_id, jaccard) with a_id < b_id, deduped across bands.
+    """
+    sh = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.array_distinct(_word_shingles(text_col, shingle_k)).alias("shingles"),
+    )
+    banded = sh.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            lsh_band_keys(minhash_signature(F.col("shingles"), num_hashes), bands, num_hashes // bands)
+        ).alias("bk"),
+    )
+    big = banded.groupBy("bk").agg(F.count("*").alias("c")).filter(F.col("c") > max_bucket)
+    banded = banded.join(F.broadcast(big.select("bk")), "bk", "left_anti")
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), "bk")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("x.shingles").alias("a_sh"),
+            F.col("y.shingles").alias("b_sh"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    return (
+        pairs.withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    rare_df_cap: int = 20,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup via rare-shingle inverted index:
+    candidate pairs share at least one *rare* shingle (df <= cap), then
+    exact Jaccard verify. Deterministic (no hashing), so it doubles as
+    the SQL-oracle-friendly dedup variant."""
+    sh = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.array_distinct(_word_shingles(text_col, shingle_k)).alias("shingles"),
+    )
+    inv = sh.select("doc_id", "shingles", F.explode("shingles").alias("g"))
+    rare = (
+        inv.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") <= rare_df_cap)
+    )
+    inv = inv.join(rare.select("g"), "g")
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), "g")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("x.shingles").alias("a_sh"),
+            F.col("y.shingles").alias("b_sh"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    union = F.size(F.array_union("a_sh", "b_sh"))
+    return (
+        pairs.withColumn("jaccard", inter / F.greatest(union, F.lit(1)))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    block_bits: int = 15,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: 60-bit token simhash, candidates share one of
+    ``n_blocks`` bit-blocks (pigeonhole: any pair within Hamming
+    distance n_blocks-1 per block budget shares an exact block), then
+    Hamming verify via bit_count(xor)."""
+    h = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), simhash64(text_col).alias("sh")
+    )
+    blocked = h.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.conv(
+                            F.shiftright(F.col("sh"), b * block_bits)
+                            .bitwiseAND(F.lit((1 << block_bits) - 1))
+                            .cast("string"),
+                            10,
+                            16,
+                        ),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("blk"),
+    )
+    pairs = (
+        blocked.alias("x")
+        .join(blocked.alias("y"), "blk")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a_id"),
+            F.col("y.doc_id").alias("b_id"),
+            F.col("x.sh").alias("a_sh"),
+            F.col("y.sh").alias("b_sh"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup via sign-random-projection LSH:
+    bucket = sign bits under ``n_planes`` deterministic hyperplanes
+    (seeded per dimension from md5 — no RNG), verify cosine in-bucket."""
+    from ..functions.vectors import cosine_sim
+    from .similarity import srp_bucket
+
+    b = embeddings.select(
+        F.col(id_col).cast("string").alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        srp_bucket(F.col(vec_col), n_planes).alias("bkt"),
+    )
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), "bkt")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("a_id"),
+            F.col("y.vec_id").alias("b_id"),
+            F.col("x.v").alias("a_v"),
+            F.col("y.v").alias("b_v"),
+        )
+    )
+    return (
+        pairs.withColumn("cosine", cosine_sim("a_v", "b_v"))
+        .filter(F.col("cosine") >= cosine_threshold)
+        .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+    )

@@ -34,10 +34,10 @@ class ScoringConfig:
     """Calibrated logistic weights over (jw, lev_sim, cos, dot)."""
 
     w_jw: float = 3.0
-    w_lev: float = 3.0
-    w_cos: float = 4.0
-    w_dot: float = 2.0
-    bias: float = -6.0
+    w_lev: float = 2.0
+    w_cos: float = 3.0
+    w_dot: float = 5.0
+    bias: float = -6.5
     threshold: float = 0.5
     ngram: int = 3
     vocab_cap: int = 400_000  # reference's max_features (candidate_generator.py:24)

@@ -36,9 +36,12 @@ from .resume import StageStore, stage_signature
 @dataclass(frozen=True)
 class PipelineConfig:
     scoring: ScoringConfig = ScoringConfig()
-    ngram: int = 3
-    num_hashes: int = 8
-    bands: int = 8
+    ngram: int = 3  # scoring tf-idf gram size
+    block_ngrams: tuple[int, ...] = (1, 2, 3)  # reference char 2-5-gram analogue;
+    # 1-grams are what give short acronym typos ("rb6"~"rb96") band overlap
+    num_hashes: int = 16
+    bands: int = 16
+    mm_threshold: float = 0.7  # mention-mention edges need more evidence
     max_key_freq: int = 200
     top_k: int = 128
     mm_pair_cap: int = 20  # max scored mention-mention partners per surface
@@ -87,7 +90,7 @@ def run_pipeline(
         lambda: block_candidates(
             mentions,
             names,
-            n=cfg.ngram,
+            ns=cfg.block_ngrams,
             num_hashes=cfg.num_hashes,
             bands=cfg.bands,
             max_key_freq=cfg.max_key_freq,
@@ -144,7 +147,10 @@ def run_pipeline(
 
         surf = mentions.select("norm").distinct()
         b = surf.withColumn(
-            "bk", F.explode(ngram_minhash_bands(F.col("norm"), cfg.ngram, cfg.num_hashes, cfg.bands))
+            "bk",
+            F.explode(
+                ngram_minhash_bands(F.col("norm"), cfg.block_ngrams, cfg.num_hashes, cfg.bands)
+            ),
         )
         # hot-band cap on the surface side (same skew control as blocking)
         hot = (
@@ -165,10 +171,11 @@ def run_pipeline(
             .dropDuplicates(["a_norm", "b_norm"])
         )
         # cap partners per surface (deterministic by hash order) to bound
-        # the scoring fan-out on hot surfaces
+        # the scoring fan-out on hot surfaces; md5 order so the pandas
+        # oracle reproduces the identical partner choice
         from pyspark.sql import Window
 
-        w = Window.partitionBy("a_norm").orderBy(F.xxhash64("b_norm"))
+        w = Window.partitionBy("a_norm").orderBy(F.md5("b_norm"), F.col("b_norm"))
         pairs = pairs.withColumn("rk", F.row_number().over(w)).filter(
             F.col("rk") <= cfg.mm_pair_cap
         ).drop("rk")
@@ -189,13 +196,48 @@ def run_pipeline(
 
     # ---- stage 4: transitive clustering ------------------------------
     def compute_assign() -> DataFrame:
-        me_edges = me_scores.filter(F.col("score") >= tau).select(
+        from pyspark.sql import Window
+
+        # Entity linking is argmax over candidates (the reference scores
+        # candidates and takes the top, dataset.py:448-450 + batch top-k):
+        # each surface links to at most ONE entity — linking to every
+        # entity above threshold would transitively merge entities that
+        # merely share a similar surface.
+        w_me = Window.partitionBy("a_norm").orderBy(F.desc("score"), F.asc("cui"))
+        me_top1 = (
+            me_scores.filter(F.col("score") >= tau)
+            .withColumn("rk", F.row_number().over(w_me))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        me_edges = me_top1.select(
             F.concat(F.lit("s|"), "a_norm").alias("src"),
             F.concat(F.lit("e|"), "cui").alias("dst"),
         )
-        mm_edges = mm_scores.filter(F.col("score") >= tau).select(
-            F.concat(F.lit("s|"), "a_norm").alias("src"),
-            F.concat(F.lit("s|"), "b_norm").alias("dst"),
+        linked = me_top1.select("a_norm").withColumnRenamed("a_norm", "norm")
+
+        # mention-mention attachment: only surfaces with NO entity link
+        # attach, and each to its single best partner — an unlinked
+        # surface must never become a bridge that merges two entities.
+        mm_tau = cfg.mm_threshold
+        both_dirs = mm_scores.filter(F.col("score") >= mm_tau).select(
+            F.col("a_norm").alias("s_norm"), F.col("b_norm").alias("p_norm"), "score"
+        ).unionByName(
+            mm_scores.filter(F.col("score") >= mm_tau).select(
+                F.col("b_norm").alias("s_norm"), F.col("a_norm").alias("p_norm"), "score"
+            )
+        )
+        unlinked_pairs = both_dirs.join(
+            linked.withColumnRenamed("norm", "s_norm"), "s_norm", "left_anti"
+        )
+        w_mm = Window.partitionBy("s_norm").orderBy(F.desc("score"), F.asc("p_norm"))
+        mm_edges = (
+            unlinked_pairs.withColumn("rk", F.row_number().over(w_mm))
+            .filter(F.col("rk") == 1)
+            .select(
+                F.concat(F.lit("s|"), "s_norm").alias("src"),
+                F.concat(F.lit("s|"), "p_norm").alias("dst"),
+            )
         )
         all_surface_nodes = mentions.select(
             F.concat(F.lit("s|"), "norm").alias("node")

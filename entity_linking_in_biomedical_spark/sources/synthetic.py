@@ -80,6 +80,14 @@ class SynthCorpus:
         split = spark.createDataFrame([(s["doc_id"],) for s in self.split_ids], self.SPLIT_SCHEMA)
         return docs, ents, labels, abbr, split
 
+    def embeddings_df(self, spark):
+        """(norm string, embedding array<double>) lookup for the dense
+        dot-product scoring feature."""
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(self.embeddings.items())],
+            "norm string, embedding array<double>",
+        )
+
 
 def _unit_vec(rng: random.Random, dim: int) -> list[float]:
     v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
@@ -125,20 +133,34 @@ def synth_corpus(
     c = SynthCorpus()
 
     # --- entity dictionary -------------------------------------------------
+    # synonym norms are globally unique across entities: two concepts
+    # sharing an identical normalized surface would make the gold labels
+    # themselves ambiguous (any linker must pick one)
     ent_vecs: dict[str, list[float]] = {}
+    used_norms: set[str] = set()
     for i in range(n_entities):
         cui = f"C{i + 1:07d}"
-        base = rng.sample(_WORDS, rng.randint(1, 3))
-        canonical = " ".join(base)
+        canonical = None
+        for _ in range(50):
+            base = rng.sample(_WORDS, rng.randint(2, 3))
+            cand = " ".join(base)
+            if _nk(cand) not in used_norms:
+                canonical = cand
+                break
+        assert canonical is not None, "word pool exhausted; raise pool size"
         syns = {canonical}
+        used_norms.add(_nk(canonical))
         for _ in range(rng.randint(0, 5)):
             kind = rng.random()
             if kind < 0.4 and len(base) > 1:
-                syns.add(" ".join(reversed(base)))
+                s = " ".join(reversed(base))
             elif kind < 0.7:
-                syns.add((rng.choice(_WORDS) + " " + canonical).strip())
+                s = (rng.choice(_WORDS) + " " + canonical).strip()
             else:
-                syns.add("".join(w[0] for w in base).upper() + str(i % 10))
+                s = "".join(w[0] for w in base).upper() + str(i % 10) + str(rng.randint(0, 9))
+            if _nk(s) not in used_norms:
+                used_norms.add(_nk(s))
+                syns.add(s)
         c.entities.append(
             {"cui": cui, "sem_type": rng.choice(_SEMTYPES), "synonyms": sorted(syns)}
         )
