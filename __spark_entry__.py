@@ -1,38 +1,708 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes every SQL-expressible operator from SURVEY.md §2 over
+the driver's parquet tables; oracle_sql() gives the DuckDB twin. The
+md5-based MinHash/LSH machinery is hash-identical between Spark and
+DuckDB, so even the LSH dedup and connected-components entries are
+value-checked, not just row-counted.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from entity_linking_in_biomedical_spark.functions.normalize import NORM_KEY_SQL
+from entity_linking_in_biomedical_spark.functions.text_metrics import (
+    TOKENS_SQL,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from entity_linking_in_biomedical_spark.operators.clustering import connected_components
+from entity_linking_in_biomedical_spark.operators.dedup import (
+    exact_duplicates,
+    fingerprint_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from entity_linking_in_biomedical_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB twins of the Spark column helpers)
+# ---------------------------------------------------------------------------
+
+_TOKS = TOKENS_SQL.format(col="text")
+
+# 3-word shingles over tokens, order-preserving distinct (DuckDB
+# list_distinct does not preserve order, but every consumer below is
+# order-insensitive: min-hash, set sizes)
+_SHINGLES = (
+    f"(with toks as (select {_TOKS} t) "
+    f"select case when len(t) >= 3 then "
+    f"[array_to_string(list_slice(t, i, i+2), ' ') for i in range(1, len(t)-1)] "
+    f"else [array_to_string(t, ' ')] end from toks)"
+)
+
+
+def _duck_shingles(text_expr: str) -> str:
+    toks = TOKENS_SQL.format(col=text_expr)
+    return (
+        f"(case when len({toks}) >= 3 then "
+        f"list_distinct([array_to_string(list_slice({toks}, i, i+2), ' ') "
+        f"for i in range(1, len({toks})-1)]) "
+        f"else [array_to_string({toks}, ' ')] end)"
+    )
+
+
+def _duck_minhash_bands(shingles_expr: str, num_hashes: int, bands: int) -> str:
+    """DuckDB twin of minhash_signature + lsh_band_keys over an
+    arbitrary gram/shingle list expression."""
+    rows = num_hashes // bands
+    safe = f"(case when len({shingles_expr}) > 0 then {shingles_expr} else [''] end)"
+    sig_parts = ", ".join(
+        f"list_min([md5('mh{k}:' || g) for g in {safe}])" for k in range(num_hashes)
+    )
+    sig = f"[{sig_parts}]"
+    band_parts = ", ".join(
+        f"md5('b{j}:' || array_to_string(list_slice({sig}, {j * rows + 1}, {j * rows + rows}), '|'))"
+        for j in range(bands)
+    )
+    return f"[{band_parts}]"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: the engine's blocking->verify->transitive-
+    clustering shape over the driver documents table — MinHash/LSH
+    near-dup candidate pairs, exact-Jaccard verify, large-star/small-star
+    connected components, cluster ids joined back to every doc."""
+    sf = "/root/testdata/sf0.001"
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.5)
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    nodes = docs.select(F.col("doc_id").cast("string").alias("node"))
+    assign, _ = connected_components(edges, nodes=nodes)
+    return (
+        assign.groupBy("cluster_id")
+        .agg(F.count("*").cast("bigint").alias("cluster_size"))
+        .orderBy(F.desc("cluster_size"), F.asc("cluster_id"))
+    )
+
+
+# ---- relational operators over the TPC-H-ish tables ----------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """A-family aggregates (TPC-H Q1 shape): decimal sums for exact
+    cross-engine equality."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice").cast("decimal(18,2)")
+                        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                    ).cast("decimal(28,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+select l_returnflag, l_linestatus,
+  cast(round(sum(cast(l_quantity as decimal(18,2))), 2) as double) as sum_qty,
+  cast(round(sum(cast(l_extendedprice as decimal(18,2))), 2) as double) as sum_base_price,
+  cast(round(sum(cast(cast(l_extendedprice as decimal(18,2)) *
+        (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,6))), 2) as double) as sum_disc_price,
+  cast(count(*) as bigint) as count_order
+from lineitem
+where l_shipdate <= timestamp '2002-09-01'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+"""
+
+
+def q_semi_join_split(spark, sf_dir):
+    """P1: semi-join — orders of BUILDING-segment customers (the
+    reference's PMID split-list filter, medmention_preprocess.py:34-35)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        orders.join(cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SEMI = """
+select o_orderpriority, cast(count(*) as bigint) as n_orders
+from orders
+where o_custkey in (select c_custkey from customer where c_mktsegment = 'BUILDING')
+group by o_orderpriority order by o_orderpriority
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """P7: anti-join — customers with no orders (gold-exclusion shape,
+    dataset.py:102)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").cast("bigint").alias("n_custs"))
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_ANTI = """
+select c_nationkey, cast(count(*) as bigint) as n_custs
+from customer where c_custkey not in (select o_custkey from orders)
+group by c_nationkey order by c_nationkey
+"""
+
+
+def q_collect_set(spark, sf_dir):
+    """A1: group-by + collect_set (UMLS synonym grouping,
+    src/utils.py:14-23) — emitted as a sorted joined string so the value
+    hash is representation-independent."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"),
+            F.count_distinct("c_mktsegment").cast("bigint").alias("n_segments"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_COLLECT_SET = """
+select c_nationkey,
+  array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') as segments,
+  cast(count(distinct c_mktsegment) as bigint) as n_segments
+from customer group by c_nationkey order by c_nationkey
+"""
+
+
+def q_groupby_last(spark, sf_dir):
+    """A2: deterministic last-write-wins per key (MRSTY semtype,
+    src/utils.py:35-38 — modeled as max)."""
+    sup = _t(spark, sf_dir, "supplier")
+    return (
+        sup.groupBy("s_nationkey")
+        .agg(F.max("s_name").alias("last_name"), F.count("*").cast("bigint").alias("n"))
+        .orderBy("s_nationkey")
+    )
+
+
+ORACLE_GROUPBY_LAST = """
+select s_nationkey, max(s_name) as last_name, cast(count(*) as bigint) as n
+from supplier group by s_nationkey order by s_nationkey
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """W1: per-group top-k via row_number (the blocking top-128,
+    candidate_generator.py:107-109)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2).cast("double").alias("price"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("o_custkey", "rk")
+    )
+
+
+ORACLE_TOPK = """
+select o_custkey, o_orderkey,
+       cast(round(cast(o_totalprice as decimal(18,2)), 2) as double) as price,
+       cast(rk as int) as rk
+from (
+  select *, row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey asc) as rk
+  from orders where o_custkey < 200
+) where rk <= 3 order by o_custkey, rk
+"""
+
+
+def q_self_join_pairs(spark, sf_dir):
+    """J6: within-group ordered pairs (same-doc mention pairs,
+    dataset.py:245-250) — suppliers paired within a nation."""
+    sup = _t(spark, sf_dir, "supplier")
+    a, b = sup.alias("a"), sup.alias("b")
+    return (
+        a.join(b, (F.col("a.s_nationkey") == F.col("b.s_nationkey")) & (F.col("a.s_suppkey") < F.col("b.s_suppkey")))
+        .groupBy(F.col("a.s_nationkey").alias("s_nationkey"))
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("s_nationkey")
+    )
+
+
+ORACLE_SELF_JOIN = """
+select a.s_nationkey as s_nationkey, cast(count(*) as bigint) as n_pairs
+from supplier a join supplier b
+  on a.s_nationkey = b.s_nationkey and a.s_suppkey < b.s_suppkey
+group by a.s_nationkey order by s_nationkey
+"""
+
+
+def q_union_dedup(spark, sf_dir):
+    """A6/set-ops: union of two name channels + dedup (char+word
+    candidate union, candidate_generator.py:111,124)."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
+    sup = _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
+    return (
+        cust.unionByName(sup)
+        .dropDuplicates(["name"])
+        .select(F.substring("name", 1, 9).alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("prefix")
+    )
+
+
+ORACLE_UNION_DEDUP = """
+select substr(name, 1, 9) as prefix, cast(count(*) as bigint) as n
+from (select distinct name from (
+  select c_name as name from customer union all select s_name as name from supplier))
+group by prefix order by prefix
+"""
+
+
+def q_levenshtein(spark, sf_dir):
+    """Scalar Levenshtein (scoring feature) over part-name pairs within
+    a brand (bounded self-join)."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    a, b = part.alias("a"), part.alias("b")
+    return (
+        a.join(b, (F.col("a.p_brand") == F.col("b.p_brand")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .select(
+            F.col("a.p_partkey").alias("a_key"),
+            F.col("b.p_partkey").alias("b_key"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("int").alias("lev"),
+        )
+        .orderBy("a_key", "b_key")
+    )
+
+
+ORACLE_LEV = """
+select a.p_partkey as a_key, b.p_partkey as b_key,
+       cast(levenshtein(a.p_name, b.p_name) as int) as lev
+from part a join part b on a.p_brand = b.p_brand and a.p_partkey < b.p_partkey
+where a.p_partkey < 300 and b.p_partkey < 300
+order by a_key, b_key
+"""
+
+
+def q_norm_key(spark, sf_dir):
+    """P6: the blocking normalizer as a column function."""
+    from entity_linking_in_biomedical_spark.functions.normalize import norm_key
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", norm_key(F.substring("text", 1, 40)).alias("norm")
+    ).orderBy("doc_id")
+
+
+ORACLE_NORM_KEY = f"""
+select doc_id, {NORM_KEY_SQL.format(col="substr(text, 1, 40)")} as norm
+from documents order by doc_id
+"""
+
+
+def q_cap_deterministic(spark, sf_dir):
+    """W5: deterministic pseudo-random cap per group via md5 ordering
+    (the reference's random 50-positive cap, dataset.py:238-241, made
+    reproducible)."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(F.md5(F.col("o_orderkey").cast("string")))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ORACLE_CAP = """
+select o_custkey, o_orderkey from (
+  select o_custkey, o_orderkey,
+         row_number() over (partition by o_custkey order by md5(cast(o_orderkey as varchar))) as rk
+  from orders where o_custkey < 100
+) where rk <= 2 order by o_custkey, o_orderkey
+"""
+
+
+# ---- dedup / text analytics over documents --------------------------------
+
+
+def q_exact_dedup(spark, sf_dir):
+    return exact_duplicates(_t(spark, sf_dir, "documents")).select(
+        "text_hash",
+        F.col("dup_count").cast("bigint").alias("dup_count"),
+        F.concat_ws(",", "doc_ids").alias("doc_ids"),
+    ).orderBy("text_hash")
+
+
+ORACLE_EXACT_DEDUP = """
+select md5(text) as text_hash, cast(count(*) as bigint) as dup_count,
+       array_to_string(list_sort(list(cast(doc_id as varchar))), ',') as doc_ids
+from documents group by md5(text) having count(*) > 1 order by text_hash
+"""
+
+
+def q_fingerprint_dedup(spark, sf_dir):
+    return fingerprint_duplicates(_t(spark, sf_dir, "documents")).select(
+        "fp",
+        F.col("dup_count").cast("bigint").alias("dup_count"),
+        F.concat_ws(",", "doc_ids").alias("doc_ids"),
+    ).orderBy("fp")
+
+
+ORACLE_FP_DEDUP = f"""
+select md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) as fp,
+       cast(count(*) as bigint) as dup_count,
+       array_to_string(list_sort(list(cast(doc_id as varchar))), ',') as doc_ids
+from documents group by 1 having count(*) > 1 order by fp
+"""
+
+
+def q_minhash_dedup(spark, sf_dir):
+    return minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.5
+    ).select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard")).orderBy("a_id", "b_id")
+
+
+def _oracle_minhash_dedup(num_hashes=16, bands=4, max_bucket=50, thr=0.5) -> str:
+    sh = _duck_shingles("text")
+    bands_expr = _duck_minhash_bands("shingles", num_hashes, bands)
+    return f"""
+with sh as (
+  select cast(doc_id as varchar) as doc_id, {sh} as shingles from documents
+),
+banded as (
+  select doc_id, shingles, unnest({bands_expr}) as bk from sh
+),
+ok as (
+  select bk from banded group by bk having count(*) <= {max_bucket}
+),
+pairs as (
+  select distinct x.doc_id as a_id, y.doc_id as b_id, x.shingles as a_sh, y.shingles as b_sh
+  from (select banded.* from banded join ok using (bk)) x
+  join (select banded.* from banded join ok using (bk)) y using (bk)
+  where x.doc_id < y.doc_id
+)
+select a_id, b_id,
+  round(cast(len(list_filter(a_sh, g -> list_contains(b_sh, g))) as double) /
+        greatest(len(a_sh) + len(b_sh) - len(list_filter(a_sh, g -> list_contains(b_sh, g))), 1), 6) as jaccard
+from pairs
+where cast(len(list_filter(a_sh, g -> list_contains(b_sh, g))) as double) /
+      greatest(len(a_sh) + len(b_sh) - len(list_filter(a_sh, g -> list_contains(b_sh, g))), 1) >= {thr}
+order by a_id, b_id
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), jaccard_threshold=0.5
+    ).select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard")).orderBy("a_id", "b_id")
+
+
+def _oracle_ngram_jaccard(rare_df_cap=20, thr=0.5) -> str:
+    sh = _duck_shingles("text")
+    return f"""
+with sh as (
+  select cast(doc_id as varchar) as doc_id, {sh} as shingles from documents
+),
+inv as (select doc_id, shingles, unnest(shingles) as g from sh),
+rare as (select g from inv group by g having count(*) <= {rare_df_cap}),
+inv2 as (select inv.* from inv join rare using (g)),
+pairs as (
+  select distinct x.doc_id as a_id, y.doc_id as b_id, x.shingles as a_sh, y.shingles as b_sh
+  from inv2 x join inv2 y using (g) where x.doc_id < y.doc_id
+)
+select a_id, b_id,
+  round(cast(len(list_filter(a_sh, g -> list_contains(b_sh, g))) as double) /
+        greatest(len(a_sh) + len(b_sh) - len(list_filter(a_sh, g -> list_contains(b_sh, g))), 1), 6) as jaccard
+from pairs
+where cast(len(list_filter(a_sh, g -> list_contains(b_sh, g))) as double) /
+      greatest(len(a_sh) + len(b_sh) - len(list_filter(a_sh, g -> list_contains(b_sh, g))), 1) >= {thr}
+order by a_id, b_id
+"""
+
+
+def q_doc_clusters_cc(spark, sf_dir):
+    """Transitive clustering (§2.10): connected components over the
+    exact-jaccard near-dup graph. Oracle: recursive-CTE min-label
+    propagation in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, jaccard_threshold=0.5)
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    nodes = docs.select(F.col("doc_id").cast("string").alias("node"))
+    assign, _ = connected_components(edges, nodes=nodes)
+    return (
+        assign.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("cluster_size"),
+            F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("members"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .orderBy("cluster_id")
+    )
+
+
+def _oracle_doc_clusters(thr=0.5, rare_df_cap=20) -> str:
+    inner = _oracle_ngram_jaccard(rare_df_cap, thr)
+    return f"""
+with recursive pairs as ({inner}),
+und as (
+  select a_id as a, b_id as b from pairs
+  union all select b_id as a, a_id as b from pairs
+),
+cc(n, m) as (
+  select a, a from und
+  union
+  select und.b, cc.m from cc join und on und.a = cc.n where cc.m < und.b
+),
+lbl as (select n, min(m) as cluster_id from cc group by n)
+select cluster_id, cast(count(*) as bigint) as cluster_size,
+       array_to_string(list_sort(list(n)), ',') as members
+from lbl group by cluster_id having count(*) > 1 order by cluster_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy("lang_pred")
+    )
+
+
+_EN = "['the','and','of','to','in','is','a','that','for','with']"
+_ES = "['el','la','de','que','y','en','los','del','se','las']"
+
+ORACLE_LANG_ID = f"""
+with t as (
+  select {_TOKS} as toks from documents
+),
+r as (
+  select
+    case when len(toks) > 0 then cast(len(list_filter(toks, x -> list_contains({_EN}, x))) as double) / len(toks) else 0.0 end as en,
+    case when len(toks) > 0 then cast(len(list_filter(toks, x -> list_contains({_ES}, x))) as double) / len(toks) else 0.0 end as es
+  from t
+)
+select case when en >= es and en > 0.02 then 'en'
+            when es > en and es > 0.02 then 'es'
+            else 'und' end as lang_pred,
+       cast(count(*) as bigint) as n
+from r group by 1 order by lang_pred
+"""
+
+
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+ORACLE_TOKEN_COUNT = f"""
+select doc_id, cast(len({_TOKS}) as bigint) as n_tokens from documents order by doc_id
+"""
+
+
+def q_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality")).orderBy("doc_id")
+
+
+ORACLE_QUALITY = f"""
+with t as (
+  select doc_id, text, length(text) as n,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) as alpha,
+         {_TOKS} as toks
+  from documents
+)
+select doc_id,
+  round(
+    0.4 * (case when n >= 200 then 1.0 when n >= 50 then 0.5 else 0.0 end)
+  + 0.4 * (case when n > 0 then cast(alpha as double)/n else 0.0 end)
+  + 0.2 * least((case when len(toks) > 0 then cast(len(list_filter(toks, x -> list_contains({_EN}, x))) as double)/len(toks) else 0.0 end) * 4, 1.0)
+  , 6) as quality
+from t order by doc_id
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+ORACLE_DOC_FP = f"""
+select doc_id, md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) as fp
+from documents order by doc_id
+"""
+
+
+# ---- similarity search over embeddings ------------------------------------
+
+
+def q_ann_brute_force(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return brute_force_topk(queries, emb, k=5).orderBy("q_id", "rank")
+
+
+# cast float[] -> double[] before any arithmetic so DuckDB matches the
+# Spark double path bit-for-bit (list_cosine_similarity on float[] stays
+# in float32 and diverges in the 7th decimal)
+ORACLE_ANN = """
+with q as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+           from embeddings where vec_id < 5),
+     d as (select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+           from embeddings)
+select q_id, vec_id, cosine, rank from (
+  select q.vec_id as q_id, d.vec_id as vec_id,
+         round(case when sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(d.v, d.v)) > 0
+                    then list_dot_product(q.v, d.v) /
+                         (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(d.v, d.v)))
+                    else 0.0 end, 6) as cosine,
+         row_number() over (partition by q.vec_id
+                            order by (list_dot_product(q.v, d.v) /
+                                      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(d.v, d.v)))) desc,
+                            d.vec_id asc) as rank
+  from q cross join d
+) where rank <= 5 order by q_id, rank
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """SRP-LSH bucketed ANN — approximate; rows-only check (the
+    hyperplane arithmetic has no clean SQL twin)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return lsh_topk(queries, emb, k=5, n_planes=4).orderBy("q_id", "rank")
+
+
+def q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup — rows-only (60 conditional bit-sums are
+    expressible but unreasonable as a single SQL twin)."""
+    return simhash_near_duplicates(_t(spark, sf_dir, "documents")).orderBy("a_id", "b_id")
+
+
+def q_er_synthetic(spark, sf_dir):
+    """Full three-stage ER pipeline on the deterministic synthetic
+    corpus (no external data; seeded) — rows-only check; the real
+    correctness gate is tests/test_pipeline.py's oracle equality."""
+    from entity_linking_in_biomedical_spark.plans.pipeline import run_pipeline
+    from entity_linking_in_biomedical_spark.sources.synthetic import synth_corpus
+
+    corpus = synth_corpus(n_docs=60, n_entities=30, seed=42)
+    docs, ents, _, abbr, _ = corpus.to_spark(spark)
+    emb = corpus.embeddings_df(spark)
+    res = run_pipeline(spark, docs, ents, embeddings=emb, abbr_map=abbr)
+    return res["mention_clusters"].orderBy("doc_id", "span_seq")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "semi_join_split": q_semi_join_split,
+        "anti_join": q_anti_join,
+        "collect_set": q_collect_set,
+        "groupby_last": q_groupby_last,
+        "topk_per_group": q_topk_per_group,
+        "self_join_pairs": q_self_join_pairs,
+        "union_dedup": q_union_dedup,
+        "levenshtein_pairs": q_levenshtein,
+        "norm_key": q_norm_key,
+        "cap_deterministic": q_cap_deterministic,
+        "exact_dedup": q_exact_dedup,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "minhash_dedup": q_minhash_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "doc_clusters_cc": q_doc_clusters_cc,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "quality_score": q_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_brute_force": q_ann_brute_force,
+        "ann_lsh": q_ann_lsh,
+        "simhash_dedup": q_simhash_dedup,
+        "er_synthetic": q_er_synthetic,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": ORACLE_PRICING,
+        "semi_join_split": ORACLE_SEMI,
+        "anti_join": ORACLE_ANTI,
+        "collect_set": ORACLE_COLLECT_SET,
+        "groupby_last": ORACLE_GROUPBY_LAST,
+        "topk_per_group": ORACLE_TOPK,
+        "self_join_pairs": ORACLE_SELF_JOIN,
+        "union_dedup": ORACLE_UNION_DEDUP,
+        "levenshtein_pairs": ORACLE_LEV,
+        "norm_key": ORACLE_NORM_KEY,
+        "cap_deterministic": ORACLE_CAP,
+        "exact_dedup": ORACLE_EXACT_DEDUP,
+        "fingerprint_dedup": ORACLE_FP_DEDUP,
+        "minhash_dedup": _oracle_minhash_dedup(),
+        "ngram_jaccard": _oracle_ngram_jaccard(),
+        "doc_clusters_cc": _oracle_doc_clusters(),
+        "lang_id": ORACLE_LANG_ID,
+        "token_count": ORACLE_TOKEN_COUNT,
+        "quality_score": ORACLE_QUALITY,
+        "doc_fingerprint": ORACLE_DOC_FP,
+        "ann_brute_force": ORACLE_ANN,
+        # ann_lsh, simhash_dedup, er_synthetic: rows-only by design
+    }

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline number is the end-to-end three-stage ER pipeline
+(blocking -> scoring -> clustering) over a synthetic corpus scaled to
+the sf level, reported as documents/sec, plus per-query seconds for the
+operator suite over the driver tables. Run with SPARK_GRAFT_CPUS=8 and
+=32 on the same input to measure scaling efficiency (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def force(df) -> int:
+    """Fully execute a DataFrame (noop sink — no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    from entity_linking_in_biomedical_spark.session import get_spark
+
+    spark = get_spark("el-spark-bench", master=f"local[{cpus}]")
+
+    import __spark_entry__ as E
+
+    timings: dict[str, float] = {}
+
+    def run(name: str, thunk) -> None:
+        t0 = time.time()
+        force(thunk())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    # ---- headline: full ER pipeline on a corpus scaled to sf ----------
+    from entity_linking_in_biomedical_spark.plans.pipeline import run_pipeline
+    from entity_linking_in_biomedical_spark.sources.synthetic import synth_corpus
+
+    n_docs = max(200, int(20000 * sf))
+    n_entities = max(100, int(6000 * sf))
+    corpus = synth_corpus(n_docs=n_docs, n_entities=n_entities, seed=42)
+    docs, ents, _, abbr, _ = corpus.to_spark(spark)
+    emb = corpus.embeddings_df(spark)
+    docs = docs.repartition(cpus).localCheckpoint(eager=True)  # exclude gen cost
+    ents = ents.localCheckpoint(eager=True)
+    emb = emb.localCheckpoint(eager=True)
+
+    t0 = time.time()
+    res = run_pipeline(spark, docs, ents, embeddings=emb, abbr_map=abbr)
+    force(res["linked_documents"])
+    er_sec = time.time() - t0
+    timings["er_pipeline"] = round(er_sec, 3)
+    docs_per_sec = round(n_docs / er_sec, 2)
+    print(f"  er_pipeline: {er_sec:.2f}s ({docs_per_sec} docs/s)", file=sys.stderr)
+
+    # ---- operator suite over the driver tables ------------------------
+    qs = E.queries()
+    for name in (
+        "pricing_summary",
+        "semi_join_split",
+        "topk_per_group",
+        "self_join_pairs",
+        "exact_dedup",
+        "fingerprint_dedup",
+        "minhash_dedup",
+        "ngram_jaccard",
+        "doc_clusters_cc",
+        "simhash_dedup",
+        "lang_id",
+        "token_count",
+        "quality_score",
+        "doc_fingerprint",
+        "ann_brute_force",
+        "ann_lsh",
+    ):
+        run(name, lambda n=name: qs[n](spark, sf_dir))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "er_docs_per_sec": docs_per_sec,
+                "er_corpus_docs": n_docs,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

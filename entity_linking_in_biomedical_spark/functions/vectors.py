@@ -12,19 +12,24 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
-def dot_product(a: Column | str, b: Column | str) -> Column:
+def _dbl(a: Column | str) -> Column:
+    """Promote array<float> to array<double> BEFORE any arithmetic —
+    float32 products would otherwise lose precision the DuckDB oracle
+    (and any double-path consumer) keeps."""
     a = F.col(a) if isinstance(a, str) else a
-    b = F.col(b) if isinstance(b, str) else b
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
 
 
 def l2_norm(a: Column | str) -> Column:
-    a = F.col(a) if isinstance(a, str) else a
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.sqrt(F.aggregate(_dbl(a), F.lit(0.0), lambda acc, x: acc + x * x))
 
 
 def l2_normalize(a: Column | str) -> Column:

@@ -19,7 +19,7 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     One shuffle on the hash; at 100 TB this is the cheapest first pass
     and typically removes the bulk of duplicates."""
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        docs.select(F.col(id_col).cast("string").alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
         .groupBy("text_hash")
         .agg(
             F.count("*").alias("dup_count"),
@@ -33,7 +33,7 @@ def fingerprint_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: st
     """Token-set fingerprint dedup — catches reorderings/whitespace
     variants exact hashing misses."""
     return (
-        docs.select(F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp"))
+        docs.select(F.col(id_col).cast("string").alias("doc_id"), fingerprint(text_col).alias("fp"))
         .groupBy("fp")
         .agg(
             F.count("*").alias("dup_count"),
@@ -153,14 +153,18 @@ def simhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
     block_bits: int = 15,
     n_blocks: int = 4,
 ) -> DataFrame:
     """SimHash near-dup: 60-bit token simhash, candidates share one of
-    ``n_blocks`` bit-blocks (pigeonhole: any pair within Hamming
-    distance n_blocks-1 per block budget shares an exact block), then
-    Hamming verify via bit_count(xor)."""
+    ``n_blocks`` bit-blocks, then Hamming verify via bit_count(xor).
+
+    Recall guarantee is pigeonhole: with ``max_hamming < n_blocks``
+    every qualifying pair shares at least one exact block, so the
+    blocking is lossless for the advertised threshold. (SimHash suits
+    long documents with tiny relative edits; short-doc token swaps move
+    many bits — use minhash_near_duplicates there.)"""
     h = docs.select(
         F.col(id_col).cast("string").alias("doc_id"), simhash64(text_col).alias("sh")
     )

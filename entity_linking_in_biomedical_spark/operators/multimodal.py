@@ -1,0 +1,84 @@
+"""Multimodal (media-span) processing plumbing.
+
+Media spans (kind='media') ride through the ER pipeline untouched; this
+module is the training-data path that would decode and featurize them.
+The container has no image/audio libraries, so the decode kernel is a
+deterministic fake gated behind ``decoder=``; everything Spark-side —
+schema, Arrow batch shape, partitioning — is real and tested. A real
+deployment drops in a decoder callable (e.g. PIL/torchvision) without
+touching the dataflow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_FEATURES_SCHEMA = (
+    "doc_id string, span_seq int, media_ref string, "
+    "width int, height int, n_frames int, feature array<float>"
+)
+
+
+def fake_decoder(media_ref: str, payload: bytes | None) -> dict:
+    """Deterministic stand-in for an image/video decode: derives fake
+    dimensions and a 8-d feature from the md5 of the ref. A real decoder
+    returns the same dict shape from actual bytes."""
+    import hashlib
+
+    h = hashlib.md5((media_ref or "").encode()).digest()
+    return {
+        "width": 64 + h[0],
+        "height": 64 + h[1],
+        "n_frames": 1 + h[2] % 8,
+        "feature": [b / 255.0 for b in h[3:11]],
+    }
+
+
+def unsupported_decoder(media_ref: str, payload: bytes | None) -> dict:
+    """Explicit stub for real decoding: the container ships no codec
+    libraries."""
+    raise NotImplementedError(
+        "media decoding requires an image/audio library not present in "
+        "this environment; inject a decoder callable"
+    )
+
+
+def extract_media_features(
+    documents: DataFrame,
+    decoder: Callable[[str, bytes | None], dict] = fake_decoder,
+    payload_col: str | None = None,
+) -> DataFrame:
+    """documents(doc_id, spans) -> one feature row per media span.
+
+    Plumbing shape: posexplode (JVM) -> mapInPandas over (doc_id,
+    span_seq, media_ref[, payload]) — the decode kernel sees Arrow
+    batches, never row-at-a-time Python. Opaque media payloads would be
+    a ``binary`` column carried alongside (``payload_col``)."""
+    media = documents.select(
+        "doc_id", F.posexplode("spans").alias("span_seq", "span")
+    ).filter(F.col("span.kind") == "media").select(
+        "doc_id",
+        "span_seq",
+        F.col("span.media_ref").alias("media_ref"),
+        *([F.col(payload_col).alias("payload")] if payload_col else []),
+    )
+
+    has_payload = payload_col is not None
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decoder(ref, (pdf["payload"].iloc[i] if has_payload else None))
+                for i, ref in enumerate(pdf["media_ref"])
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_ref", pdf["media_ref"].values)
+            out.insert(0, "span_seq", pdf["span_seq"].values)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[["doc_id", "span_seq", "media_ref", "width", "height", "n_frames", "feature"]]
+
+    return media.mapInPandas(decode_batches, MEDIA_FEATURES_SCHEMA)

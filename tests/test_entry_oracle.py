@@ -1,0 +1,75 @@
+"""Self-check of the driver contract: every queries() entry runs, and
+every oracle_sql() twin produces identical values in DuckDB on the same
+parquet (the driver's CORRECTNESS gate, replayed at sf0.01)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in cols:
+            v = r[c]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return out
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_every_query_has_callable():
+    assert len(QUERIES) >= 20
+    # oracle-less entries are the documented non-SQL-expressible ones
+    assert set(ORACLES) - set(QUERIES) == set()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs_and_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF)
+    sdf = df.toPandas()
+    assert sdf is not None
+    if name not in ORACLES:
+        # rows-only contract: non-empty unless genuinely empty input
+        return
+    odf = duck.execute(ORACLES[name]).fetchdf()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns), f"{name}: column names differ"
+    assert len(sdf) == len(odf), f"{name}: row count {len(sdf)} vs {len(odf)}"
+    a = _normalize(sdf.to_dict("records"), cols)
+    b = _normalize(odf.to_dict("records"), cols)
+    mismatch = [(x, y) for x, y in zip(a, b) if x != y][:3]
+    assert a == b, f"{name}: value mismatch, e.g. {mismatch}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.schema is not None

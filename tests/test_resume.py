@@ -1,0 +1,69 @@
+"""Resumability: per-stage manifests skip committed stages; a killed
+stage recomputes; final output identical."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from entity_linking_in_biomedical_spark.plans.pipeline import run_pipeline
+from entity_linking_in_biomedical_spark.plans.resume import StageStore, stage_signature
+
+
+def clusters(res) -> dict:
+    return {
+        (r["doc_id"], r["span_seq"]): r["cluster_id"]
+        for r in res["mention_clusters"].collect()
+    }
+
+
+def test_stage_store_roundtrip(spark, tmp_path):
+    store = StageStore(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    sig = stage_signature("s1", {"p": 1}, [])
+    out = store.commit("s1", sig, df)
+    assert out.count() == 2
+    assert store.committed("s1", sig)
+    assert not store.committed("s1", stage_signature("s1", {"p": 2}, []))
+    m = json.load(open(tmp_path / "s1" / "_MANIFEST.json"))
+    assert m["rows"] == 2 and sum(m["partition_rows"].values()) == 2
+
+
+def test_pipeline_resume_identical_and_skips(spark, corpus, tmp_path):
+    docs, ents, _, abbr, _ = corpus.to_spark(spark)
+    emb = corpus.embeddings_df(spark)
+    out_dir = str(tmp_path / "run")
+
+    r1 = run_pipeline(spark, docs, ents, embeddings=emb, abbr_map=abbr, out_dir=out_dir)
+    c1 = clusters(r1)
+    # simulate a crash after stage-2 commit: wipe downstream stages
+    for stage in ("me_scores", "mm_scores", "assignments"):
+        shutil.rmtree(os.path.join(out_dir, stage), ignore_errors=True)
+
+    r2 = run_pipeline(spark, docs, ents, embeddings=emb, abbr_map=abbr, out_dir=out_dir)
+    c2 = clusters(r2)
+    assert c1 == c2
+    resumed = [m["stage"] for m in r2["metrics"] if m.get("resumed")]
+    assert "mentions" in resumed and "candidates" in resumed
+    recomputed = [m["stage"] for m in r2["metrics"] if not m.get("resumed")]
+    assert "me_scores" in recomputed and "assignments" in recomputed
+
+
+def test_config_change_invalidates(spark, corpus, tmp_path):
+    from entity_linking_in_biomedical_spark.plans.pipeline import PipelineConfig
+    from entity_linking_in_biomedical_spark.operators.scoring import ScoringConfig
+
+    docs, ents, _, abbr, _ = corpus.to_spark(spark)
+    out_dir = str(tmp_path / "run")
+    run_pipeline(spark, docs, ents, abbr_map=abbr, out_dir=out_dir)
+    r = run_pipeline(
+        spark,
+        docs,
+        ents,
+        abbr_map=abbr,
+        out_dir=out_dir,
+        cfg=PipelineConfig(scoring=ScoringConfig(threshold=0.6)),
+    )
+    # different params -> different signatures -> nothing resumed
+    assert not any(m.get("resumed") for m in r["metrics"])

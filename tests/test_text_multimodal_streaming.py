@@ -1,0 +1,108 @@
+"""Text-analytics column functions, media-feature plumbing, and the
+streaming front-end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_linking_in_biomedical_spark.functions.text_metrics import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    simhash64,
+    token_count,
+    tokens,
+)
+from entity_linking_in_biomedical_spark.operators.multimodal import (
+    extract_media_features,
+    fake_decoder,
+    unsupported_decoder,
+)
+
+
+def test_tokens_and_count(spark):
+    df = spark.createDataFrame([("The cat, sat!  twice",), ("",)], "t string")
+    got = df.select(tokens("t").alias("tk"), token_count("t").alias("n")).collect()
+    assert got[0]["tk"] == ["the", "cat", "sat", "twice"] and got[0]["n"] == 4
+    assert got[1]["n"] == 0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the quick fox is in the yard and the dog is with it",),
+            ("el perro y el gato se fueron de la casa en la noche",),
+            ("xq zv plk brrr nnn",),
+        ],
+        "t string",
+    )
+    got = [r[0] for r in df.select(lang_id("t")).collect()]
+    assert got == ["en", "es", "und"]
+
+
+def test_quality_score_monotone(spark):
+    good = "The study results indicate that the treatment is effective for " * 5
+    df = spark.createDataFrame([(good,), ("x!!!",)], "t string")
+    got = [r[0] for r in df.select(quality_score("t")).collect()]
+    assert got[0] > got[1]
+    assert 0.0 <= got[1] <= got[0] <= 1.0
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame([("b a c",), ("C; b, a",), ("a b d",)], "t string")
+    got = [r[0] for r in df.select(fingerprint("t")).collect()]
+    assert got[0] == got[1] != got[2]
+
+
+def test_simhash_similar_docs_close(spark):
+    a = "one two three four five six seven eight"
+    df = spark.createDataFrame([(a,), (a.replace("eight", "nine"),)], "t string")
+    got = [r[0] for r in df.select(simhash64("t")).collect()]
+    assert bin(got[0] ^ got[1]).count("1") <= 20
+
+
+def test_media_features_plumbing(spark, corpus):
+    docs, *_ = corpus.to_spark(spark)
+    feats = extract_media_features(docs)
+    rows = feats.collect()
+    assert rows, "synthetic corpus has media spans"
+    n_media = docs.select(
+        F.explode("spans").alias("s")
+    ).filter("s.kind = 'media'").count()
+    assert len(rows) == n_media
+    r = rows[0]
+    assert r["media_ref"].startswith("img://")
+    assert len(r["feature"]) == 8 and r["width"] >= 64
+    # determinism: decode derives only from the ref
+    again = {(x["doc_id"], x["span_seq"]): x["feature"] for x in feats.collect()}
+    assert again[(r["doc_id"], r["span_seq"])] == r["feature"]
+
+
+def test_unsupported_decoder_raises():
+    with pytest.raises(NotImplementedError):
+        unsupported_decoder("img://x", None)
+
+
+def test_streaming_link(spark, corpus, tmp_path):
+    from entity_linking_in_biomedical_spark.streaming.incremental import link_stream_exact
+
+    docs, ents, *_ = corpus.to_spark(spark)
+    src = str(tmp_path / "stream_src")
+    docs.limit(30).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    linked = link_stream_exact(stream, ents)
+    q = (
+        linked.writeStream.format("memory")
+        .queryName("linked_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from linked_stream")
+    assert out.count() > 0
+    # exact-channel semantics: any non-null cui must be a real dictionary hit
+    names = {r["norm"] for r in ents.select(F.explode("synonyms").alias("n")).selectExpr(
+        "trim(regexp_replace(lower(n), '[^a-z0-9]+', ' ')) as norm").collect()}
+    for r in out.filter("cui is not null").collect():
+        assert r["norm"] in names
