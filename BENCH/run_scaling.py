@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling measurement (the sandbox stand-in for the
+north rule's N vs 4N executor criterion).
+
+Runs the full ER pipeline via bench.py twice — local[8] (N) and
+local[32] (4N) — in separate JVMs on the identical input, and reports
+throughput at both plus scaling efficiency = (T8 / T32) / 4.
+Writes/updates BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cpus: int, sf_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_ONLY_ER="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=REPO,
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n = run(8, sf_dir)
+    n4 = run(32, sf_dir)
+    t_n = n["queries"]["er_pipeline"]
+    t_4n = n4["queries"]["er_pipeline"]
+    eff = (t_n / t_4n) / 4
+    result = {
+        "sf": n["sf"],
+        "corpus_docs": n["er_corpus_docs"],
+        "local8_sec": t_n,
+        "local8_docs_per_sec": n["value"],
+        "local32_sec": t_4n,
+        "local32_docs_per_sec": n4["value"],
+        "scaling_efficiency": round(eff, 4),
+    }
+    print(json.dumps(result))
+    md = f"""# BENCH / BASELINE — measured
+
+ER pipeline (blocking -> scoring -> clustering) on the seeded synthetic
+corpus ({result["corpus_docs"]} docs), identical input at two parallelism
+levels (single-JVM local[N] standing in for N executors per the driver's
+instruction — no real cluster in this sandbox):
+
+| parallelism | wall sec | docs/sec |
+|---|---|---|
+| local[8]  (N)  | {t_n:.2f} | {n["value"]:.1f} |
+| local[32] (4N) | {t_4n:.2f} | {n4["value"]:.1f} |
+
+**Scaling efficiency (T_N / T_4N) / 4 = {eff:.3f}** (target >= 0.8 — note
+a single-JVM 4x thread scale-up underestimates multi-executor scaling:
+it shares one driver, one GC, one shuffle service).
+
+Correctness companions (pytest): pairwise F1 >= 0.99 vs ground truth,
+exact cluster equality vs the single-node pandas oracle, span-sequence
+invariant, resume-from-manifest identity.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

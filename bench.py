@@ -69,6 +69,23 @@ def main() -> None:
     print(f"  er_pipeline: {er_sec:.2f}s ({docs_per_sec} docs/s)", file=sys.stderr)
 
     # ---- operator suite over the driver tables ------------------------
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY_ER"):
+        print(
+            json.dumps(
+                {
+                    "metric": "er_docs_per_sec",
+                    "value": docs_per_sec,
+                    "unit": "docs/sec",
+                    "queries": timings,
+                    "sf": sf,
+                    "cpus": cpus,
+                    "er_corpus_docs": n_docs,
+                }
+            )
+        )
+        spark.stop()
+        return
+
     qs = E.queries()
     for name in (
         "pricing_summary",

@@ -72,13 +72,22 @@ def block_candidates(
     )
 
     # --- LSH channel ----------------------------------------------------
+    # The 16-minhash band expression is the most expensive projection in
+    # the stage; each banded frame is referenced more than once (hot-key
+    # count + join), so materialize it once (localCheckpoint) instead of
+    # letting every consumer re-evaluate 16 x |grams| md5 calls per row.
     def with_bands(df: DataFrame) -> DataFrame:
         return df.withColumn(
             "bk", F.explode(ngram_minhash_bands(F.col("norm"), ns, num_hashes, bands))
         )
 
-    m_bands = with_bands(surfaces)
-    e_bands = with_bands(names).select("cui", "norm", "bk").dropDuplicates(["cui", "bk"])
+    m_bands = with_bands(surfaces).localCheckpoint(eager=False)
+    e_bands = (
+        with_bands(names)
+        .select("cui", "norm", "bk")
+        .dropDuplicates(["cui", "bk"])
+        .localCheckpoint(eager=False)
+    )
 
     # hot-key cap: drop band keys shared by too many entity names
     # (stop-gram analogue of the reference's max_df, explicit skew control)

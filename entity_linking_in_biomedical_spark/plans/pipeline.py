@@ -146,12 +146,14 @@ def run_pipeline(
         from ..functions.ngrams import ngram_minhash_bands
 
         surf = mentions.select("norm").distinct()
+        # materialize the banding once — consumed by the hot-key count
+        # and both sides of the self-join
         b = surf.withColumn(
             "bk",
             F.explode(
                 ngram_minhash_bands(F.col("norm"), cfg.block_ngrams, cfg.num_hashes, cfg.bands)
             ),
-        )
+        ).localCheckpoint(eager=False)
         # hot-band cap on the surface side (same skew control as blocking)
         hot = (
             b.groupBy("bk").agg(F.count("*").alias("kf"))
