@@ -4,34 +4,50 @@ The reference brute-forces dense cosine between every mention TF-IDF
 vector and every entity-name vector in 128-row batches, keeps top-128
 per mention, and unions a char-gram pass with a word pass
 (candidate_generator.py:89-127). That is O(|M|·|E|) — impossible at
-10^12 docs. This module replaces it with two sub-quadratic channels:
+10^12 docs. This module replaces it with three sub-quadratic channels,
+all expressed as ONE explode + equi-join on a unified key array:
 
-  exact : equi-join on the normalized surface key (norm_key) — the
-          high-precision channel; hash/broadcast join, one shuffle max.
-  lsh   : char-n-gram MinHash banded LSH — explode band keys on both
-          sides, equi-join on the band key. Recall channel for typo'd
-          surfaces (the reference's char 2-5-gram TF-IDF analogue).
+  exact "x|<norm>"       the normalized surface itself — the
+                         high-precision channel (norm_key equality).
+  del   "d|<variant>"    SymSpell-style deletion neighborhood: every
+                         delete-one-char variant, for strings up to
+                         ``del_max_len``. Joining both sides' variants
+                         GUARANTEES recall for Levenshtein-1 edits (and
+                         most lev-2) on short strings — the regime where
+                         n-gram similarity collapses (a 1-char typo in a
+                         4-char acronym shares almost no 2/3-grams).
+                         Cost is O(len) keys per string, each a
+                         near-unique long key -> tiny buckets.
+  lsh   md5 band keys    char-2/3-gram MinHash banded LSH for strings
+                         >= ``lsh_min_len`` — the reference's char-gram
+                         TF-IDF recall analogue for longer surfaces.
+                         NOTE: 1-grams deliberately NOT in the gram set:
+                         a min-hash over 1-grams is dominated by
+                         whichever common letter hashes lowest, which
+                         creates corpus-sized mega-buckets (measured:
+                         8x slowdown + hot-cap recall loss).
 
 Scale levers (all measured, SURVEY.md §4):
 - blocking runs over **distinct normalized surfaces**, not mention
-  occurrences: |distinct surfaces| << |mentions| at web scale; the
-  result re-joins to mentions by norm. (The reference dedups too —
+  occurrences: |distinct surfaces| << |mentions| at web scale (Zipf);
+  results re-join to mentions by norm. (The reference dedups too —
   candidate_generator.py:75-77 — but buggily; see mentions.py.)
-- hot-key cap: band keys whose entity-side frequency exceeds
+- hot-key cap: keys whose entity-side frequency exceeds
   ``max_key_freq`` are dropped before the join (the reference's
   max_df=0.1 analogue, candidate_generator.py:35). This bounds the
   worst-case join fan-out per key — the explicit skew control the
   north rule requires; AQE skew-join splitting covers the residual.
 - per-surface candidate cap (``top_k``) via a window — the reference's
-  top-128 (candidate_generator.py:89,107-109), applied on the cheap
-  proxy similarity so the expensive scoring stage sees bounded input.
+  top-128 (candidate_generator.py:89,107-109), applied on a cheap
+  JVM-side proxy similarity so the expensive scoring stage sees bounded
+  input.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..functions.ngrams import ngram_minhash_bands
+from ..functions.ngrams import char_ngrams_multi, lsh_band_keys, minhash_signature
 from ..functions.normalize import norm_key
 
 
@@ -46,83 +62,128 @@ def entity_names(entities: DataFrame) -> DataFrame:
     )
 
 
+def deletion_keys(col: Column, max_len: int = 12, del2_max_len: int = 7) -> Column:
+    """'d|'-prefixed delete-one-char variants, plus delete-two variants
+    for very short strings (SymSpell: both sides generating delete-<=k
+    neighborhoods guarantees a shared key for any pair within edit
+    distance 2k-ish; depth 2 is what rescues lev-2 typos on 4-7 char
+    acronyms where n-grams carry no signal). Empty for long strings."""
+
+    def del1(c: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(1), F.length(c)),
+            lambda i: F.concat(
+                c.substr(F.lit(1), i - F.lit(1)),
+                c.substr(i + F.lit(1), F.length(c)),
+            ),
+        )
+
+    d1 = F.when(F.length(col) <= max_len, del1(col)).otherwise(
+        F.array().cast("array<string>")
+    )
+    # delete-2 = delete-1 of every delete-1 variant (flattened)
+    d2 = F.when(
+        F.length(col).between(2, del2_max_len), F.flatten(F.transform(del1(col), del1))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(F.concat(d1, d2), lambda v: F.concat(F.lit("d|"), v))
+
+
+def blocking_keys(
+    col: Column,
+    ns: tuple[int, ...] = (2, 3),
+    num_hashes: int = 12,
+    bands: int = 12,
+    del_max_len: int = 12,
+    lsh_min_len: int = 5,
+    del2_max_len: int = 7,
+) -> Column:
+    """Unified blocking key array: exact + deletion-neighborhood + LSH
+    bands. Key namespaces cannot collide ('x|'/'d|' prefixes vs 32-char
+    md5 hex)."""
+    exact = F.array(F.concat(F.lit("x|"), col))
+    dels = deletion_keys(col, del_max_len, del2_max_len)
+    lsh = F.when(
+        F.length(col) >= lsh_min_len,
+        lsh_band_keys(
+            minhash_signature(char_ngrams_multi(col, ns), num_hashes),
+            bands,
+            num_hashes // bands,
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.concat(exact, dels, lsh))
+
+
+def channel_of(bk: Column) -> Column:
+    return (
+        F.when(bk.startswith("x|"), F.lit("exact"))
+        .when(bk.startswith("d|"), F.lit("del"))
+        .otherwise(F.lit("lsh"))
+    )
+
+
 def block_candidates(
     mentions: DataFrame,
     names: DataFrame,
     ns: tuple[int, ...] = (2, 3),
-    num_hashes: int = 16,
-    bands: int = 16,
+    num_hashes: int = 12,
+    bands: int = 12,
+    del_max_len: int = 12,
+    lsh_min_len: int = 5,
+    del2_max_len: int = 7,
     max_key_freq: int = 200,
     top_k: int = 128,
 ) -> DataFrame:
     """mentions(.., norm) × names(cui, norm) -> candidates
-    (norm, cui, channel, block_key).
+    (norm, cui, channel, block_key, has_exact).
 
-    ``block_key`` is the key both sides shared (the norm itself for the
-    exact channel, the LSH band key otherwise) — the north rule's F1 is
-    conditioned on pairs at shared blocking keys, so the key is carried
+    ``block_key`` is a key both sides shared — the north rule's F1 is
+    conditioned on pairs at shared blocking keys, so it is carried
     through to the output.
     """
     surfaces = mentions.select("norm").distinct()
 
-    # --- exact channel ------------------------------------------------
-    exact = (
-        surfaces.join(names, "norm")
-        .select("norm", "cui", F.lit("exact").alias("channel"), F.col("norm").alias("block_key"))
-    )
-
-    # --- LSH channel ----------------------------------------------------
-    # The 16-minhash band expression is the most expensive projection in
-    # the stage; each banded frame is referenced more than once (hot-key
-    # count + join), so materialize it once (localCheckpoint) instead of
-    # letting every consumer re-evaluate 16 x |grams| md5 calls per row.
-    def with_bands(df: DataFrame) -> DataFrame:
+    def with_keys(df: DataFrame) -> DataFrame:
+        # the key expression (12 md5 minhashes over multigrams) is the
+        # most expensive projection in the stage and each keyed frame is
+        # consumed more than once -> materialize once
         return df.withColumn(
-            "bk", F.explode(ngram_minhash_bands(F.col("norm"), ns, num_hashes, bands))
-        )
+            "bk",
+            F.explode(
+                blocking_keys(F.col("norm"), ns, num_hashes, bands, del_max_len, lsh_min_len, del2_max_len)
+            ),
+        ).localCheckpoint(eager=False)
 
-    m_bands = with_bands(surfaces).localCheckpoint(eager=False)
-    e_bands = (
-        with_bands(names)
-        .select("cui", "norm", "bk")
-        .dropDuplicates(["cui", "bk"])
-        .localCheckpoint(eager=False)
-    )
+    m_keys = with_keys(surfaces)
+    e_keys = with_keys(names.select("cui", "norm")).dropDuplicates(["cui", "bk"])
 
-    # hot-key cap: drop band keys shared by too many entity names
-    # (stop-gram analogue of the reference's max_df, explicit skew control)
-    key_freq = e_bands.groupBy("bk").agg(F.count_distinct("cui").alias("kf"))
+    # hot-key cap (explicit skew control / max_df analogue)
+    key_freq = e_keys.groupBy("bk").agg(F.count_distinct("cui").alias("kf"))
     hot = key_freq.filter(F.col("kf") > max_key_freq).select("bk")
-    e_bands = e_bands.join(F.broadcast(hot), "bk", "left_anti")
+    e_keys = e_keys.join(F.broadcast(hot), "bk", "left_anti")
 
-    lsh = (
-        m_bands.select(F.col("norm").alias("m_norm"), "bk")
-        .join(e_bands.select("cui", "bk"), "bk")
+    cands = (
+        m_keys.select(F.col("norm").alias("m_norm"), "bk")
+        .join(e_keys.select("cui", "bk"), "bk")
         .select(
             F.col("m_norm").alias("norm"),
             "cui",
-            F.lit("lsh").alias("channel"),
+            channel_of(F.col("bk")).alias("channel"),
             F.col("bk").alias("block_key"),
         )
     )
-
-    cands = exact.unionByName(lsh)
-    # A6: union channels + dedup per (surface, entity); keep the
-    # highest-precision channel/key for reporting.
-    cands = (
-        cands.groupBy("norm", "cui")
-        .agg(F.min("channel").alias("channel"), F.min("block_key").alias("block_key"))
+    # A6: dedup per (surface, entity) across channels; keep deterministic
+    # representatives + an exact-channel flag for the proxy ranking
+    cands = cands.groupBy("norm", "cui").agg(
+        F.min("channel").alias("channel"),
+        F.min("block_key").alias("block_key"),
+        F.max(F.col("channel") == "exact").alias("has_exact"),
     )
 
-    # per-surface top-k cap (W1) on a cheap JVM-side proxy similarity —
-    # bounded input for the scoring stage. Proxy: exact channel pinned
-    # first, then normalized Levenshtein on the key strings.
-    need_cap = top_k is not None and top_k > 0
-    if need_cap:
-        # one deterministic representative norm per cui for the proxy
+    # per-surface top-k cap (W1) on a cheap JVM-side proxy similarity
+    if top_k is not None and top_k > 0:
         rep = names.groupBy("cui").agg(F.min("norm").alias("e_norm"))
         cands = cands.join(rep, "cui", "left")
-        proxy = F.when(F.col("channel") == "exact", F.lit(2.0)).otherwise(
+        proxy = F.when(F.col("has_exact"), F.lit(2.0)).otherwise(
             1.0
             - F.levenshtein("norm", "e_norm")
             / F.greatest(F.length("norm"), F.length("e_norm"), F.lit(1))

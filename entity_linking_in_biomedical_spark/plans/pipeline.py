@@ -37,10 +37,13 @@ from .resume import StageStore, stage_signature
 class PipelineConfig:
     scoring: ScoringConfig = ScoringConfig()
     ngram: int = 3  # scoring tf-idf gram size
-    block_ngrams: tuple[int, ...] = (1, 2, 3)  # reference char 2-5-gram analogue;
-    # 1-grams are what give short acronym typos ("rb6"~"rb96") band overlap
-    num_hashes: int = 16
-    bands: int = 16
+    block_ngrams: tuple[int, ...] = (2, 3)  # LSH gram sizes (no 1-grams:
+    # a min-hash over 1-grams is dominated by common letters -> mega-buckets)
+    num_hashes: int = 12
+    bands: int = 12
+    del_max_len: int = 12  # deletion-neighborhood channel bound
+    del2_max_len: int = 7  # delete-2 depth for very short strings
+    lsh_min_len: int = 5  # skip LSH for very short strings (deletion covers)
     mm_threshold: float = 0.7  # mention-mention edges need more evidence
     max_key_freq: int = 200
     top_k: int = 128
@@ -93,6 +96,9 @@ def run_pipeline(
             ns=cfg.block_ngrams,
             num_hashes=cfg.num_hashes,
             bands=cfg.bands,
+            del_max_len=cfg.del_max_len,
+            lsh_min_len=cfg.lsh_min_len,
+            del2_max_len=cfg.del2_max_len,
             max_key_freq=cfg.max_key_freq,
             top_k=cfg.top_k,
         ),
@@ -139,19 +145,27 @@ def run_pipeline(
     me_scores = store.get_or_compute("me_scores", sig_me, compute_me)
 
     def compute_mm() -> DataFrame:
-        # mention-mention channel: distinct surface pairs sharing an LSH
-        # band (J6/J7 semantics at inference: same block ≙ same doc/cui
-        # grouping in the reference). Needed so NIL surface variants
-        # cluster together without an entity bridge.
-        from ..functions.ngrams import ngram_minhash_bands
+        # mention-mention channel: distinct surface pairs sharing a
+        # blocking key (J6/J7 semantics at inference: same block ≙ same
+        # doc/cui grouping in the reference). Needed so NIL surface
+        # variants cluster together without an entity bridge.
+        from ..operators.blocking import blocking_keys
 
         surf = mentions.select("norm").distinct()
-        # materialize the banding once — consumed by the hot-key count
+        # materialize the keying once — consumed by the hot-key count
         # and both sides of the self-join
         b = surf.withColumn(
             "bk",
             F.explode(
-                ngram_minhash_bands(F.col("norm"), cfg.block_ngrams, cfg.num_hashes, cfg.bands)
+                blocking_keys(
+                    F.col("norm"),
+                    cfg.block_ngrams,
+                    cfg.num_hashes,
+                    cfg.bands,
+                    cfg.del_max_len,
+                    cfg.lsh_min_len,
+                    cfg.del2_max_len,
+                )
             ),
         ).localCheckpoint(eager=False)
         # hot-band cap on the surface side (same skew control as blocking)

@@ -58,6 +58,25 @@ def band_keys(s: str, ns: tuple, num_hashes: int, bands: int) -> list[str]:
     ]
 
 
+def blocking_keys_py(s: str, cfg) -> list[str]:
+    """Python twin of operators.blocking.blocking_keys (exact + deletion
+    neighborhood + LSH bands), order-preserving distinct."""
+    keys = ["x|" + s]
+    if len(s) <= cfg.del_max_len:
+        d1 = [s[:i] + s[i + 1 :] for i in range(len(s))]
+        keys += ["d|" + v for v in d1]
+        if 2 <= len(s) <= cfg.del2_max_len:
+            keys += ["d|" + v[:j] + v[j + 1 :] for v in d1 for j in range(len(v))]
+    if len(s) >= cfg.lsh_min_len:
+        keys += band_keys(s, cfg.block_ngrams, cfg.num_hashes, cfg.bands)
+    out, seen = [], set()
+    for k in keys:
+        if k not in seen:
+            seen.add(k)
+            out.append(k)
+    return out
+
+
 class UF:
     def __init__(self):
         self.p: dict[str, str] = {}
@@ -142,27 +161,21 @@ def run_oracle(corpus, cfg: PipelineConfig = PipelineConfig(), use_emb: bool = T
     top = sorted(dfc.items(), key=lambda kv: (-kv[1], kv[0]))[: sc.vocab_cap]
     idf = {g: math.log((n_names + 1) / (d + 1)) + 1.0 for g, d in top}
 
-    # stage 2: blocking
+    # stage 2: blocking (unified exact + deletion + LSH keys)
     ent_by_norm = defaultdict(set)
     for cui, n in names:
         ent_by_norm[n].add(cui)
-    ent_by_band = defaultdict(set)  # band -> set of (cui, norm)... count by cui
+    ent_by_key = defaultdict(set)  # key -> set(cui)
     for cui, n in names:
-        for bk in set(band_keys(n, cfg.block_ngrams, cfg.num_hashes, cfg.bands)):
-            ent_by_band[bk].add((cui, n))
-    hot = {
-        bk
-        for bk, members in ent_by_band.items()
-        if len({c for c, _ in members}) > cfg.max_key_freq
-    }
+        for bk in blocking_keys_py(n, cfg):
+            ent_by_key[bk].add(cui)
+    hot = {bk for bk, cuis in ent_by_key.items() if len(cuis) > cfg.max_key_freq}
     cands = defaultdict(set)  # norm -> set(cui)
     for s in surfaces:
-        cands[s] |= ent_by_norm.get(s, set())
-        for bk in set(band_keys(s, cfg.block_ngrams, cfg.num_hashes, cfg.bands)):
+        for bk in blocking_keys_py(s, cfg):
             if bk in hot:
                 continue
-            for cui, _ in ent_by_band.get(bk, ()):
-                cands[s].add(cui)
+            cands[s] |= ent_by_key.get(bk, set())
     # top-k cap on proxy (exact pinned first, then lev on representative norm)
     rep = {}
     for cui, n in names:
@@ -200,7 +213,7 @@ def run_oracle(corpus, cfg: PipelineConfig = PipelineConfig(), use_emb: bool = T
     # mention-mention channel (same banding, hot cap on surface side, pair cap)
     surf_by_band = defaultdict(list)
     for s in surfaces:
-        for bk in set(band_keys(s, cfg.block_ngrams, cfg.num_hashes, cfg.bands)):
+        for bk in blocking_keys_py(s, cfg):
             surf_by_band[bk].append(s)
     def md5_order(b: str) -> tuple[str, str]:
         # identical deterministic partner order as the Spark window
