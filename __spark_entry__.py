@@ -70,17 +70,9 @@ def _duck_shingles(text_expr: str) -> str:
 def _duck_minhash_bands(shingles_expr: str, num_hashes: int, bands: int) -> str:
     """DuckDB twin of minhash_signature + lsh_band_keys over an
     arbitrary gram/shingle list expression."""
-    rows = num_hashes // bands
-    safe = f"(case when len({shingles_expr}) > 0 then {shingles_expr} else [''] end)"
-    sig_parts = ", ".join(
-        f"list_min([md5('mh{k}:' || g) for g in {safe}])" for k in range(num_hashes)
-    )
-    sig = f"[{sig_parts}]"
-    band_parts = ", ".join(
-        f"md5('b{j}:' || array_to_string(list_slice({sig}, {j * rows + 1}, {j * rows + rows}), '|'))"
-        for j in range(bands)
-    )
-    return f"[{band_parts}]"
+    from entity_linking_in_biomedical_spark.functions.ngrams import duckdb_band_keys_sql
+
+    return duckdb_band_keys_sql(shingles_expr, num_hashes, bands)
 
 
 # ---------------------------------------------------------------------------

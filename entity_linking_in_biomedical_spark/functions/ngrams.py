@@ -3,15 +3,17 @@ JVM-side Column expressions (no UDF, no Spark-ML vector objects).
 
 Design notes (scale):
 - Everything here is `transform`/`array_min`/`md5` over array columns,
-  so it runs inside whole-stage codegen and never crosses into Python.
-- md5 (not xxhash64) is used as the hash family because DuckDB computes
-  the identical hex digest, which lets the driver's oracle verify the
-  *exact* signature/band values, not just row counts. md5 is ~2-3x
-  slower than xxhash64; for a pure-throughput deployment flip
-  ``hash_expr`` below — every downstream operator is hash-agnostic.
-- Taking `array_min` over hex strings is a valid min-hash: md5 output is
-  uniform over the hex alphabet, and lexicographic string order on
-  equal-length hex strings equals numeric order on the digest.
+  running inside Catalyst — never crossing into Python.
+- Each gram is md5-hashed ONCE (the only expensive op), reduced to a
+  60-bit integer; the k-th minhash is then derived by universal hashing
+  ``(a_k * h + b_k) mod p`` (p = 2^31-1, a_k,b_k fixed constants below).
+  The naive alternative — one md5 per (gram, seed) — is 12-16x more
+  md5 calls and measured ~10x slower end-to-end on the blocking stage.
+- md5 (not xxhash64) is the base hash because DuckDB computes the
+  identical digest, so the driver's oracle can verify exact
+  signature/band values: Spark ``conv(substr(md5(g),1,15),16,10)`` ==
+  DuckDB ``('0x'||substr(md5(g),1,15))::bigint`` == Python
+  ``int(md5(g).hexdigest()[:15],16)``.
 
 Replaces the reference's TF-IDF char 2-5-gram brute-force cosine
 (candidate_generator.py:31-36, 89-127) as the approximate blocking
@@ -20,7 +22,20 @@ channel.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, functions as F
+
+# universal-hash family over the 60-bit gram hash
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne); a*h' < 2^59 — no overflow
+
+
+def minhash_coeffs(k: int) -> tuple[int, int]:
+    """Deterministic (a_k, b_k) pairs derived from md5 — identical in
+    the Spark expression, the DuckDB oracle SQL and the Python oracle."""
+    a = (int(hashlib.md5(f"a{k}".encode()).hexdigest()[:7], 16) | 1) % MINHASH_P
+    b = int(hashlib.md5(f"b{k}".encode()).hexdigest()[:7], 16) % MINHASH_P
+    return a, b
 
 
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
@@ -45,31 +60,54 @@ def char_ngrams_multi(col: Column | str, ns: tuple[int, ...] = (2, 3)) -> Column
     return F.array_distinct(out)
 
 
-def minhash_signature(grams: Column, num_hashes: int = 12) -> Column:
-    """Array of ``num_hashes`` min-hash values (md5 hex strings) over a
-    gram array. Empty gram arrays hash the empty string."""
+def gram_hashes(grams: Column) -> Column:
+    """One md5 per gram -> 60-bit int mod p. Empty gram arrays hash the
+    empty string (so signatures are always well-defined)."""
     safe = F.when(F.size(grams) > 0, grams).otherwise(F.array(F.lit("")))
-
-    def hasher(prefix: str):
-        # NB: the inner lambda must take exactly one arg — a second arg
-        # (even a defaulted one) makes PySpark pass the array index.
-        return lambda g: F.md5(F.concat(F.lit(prefix), g))
-
-    return F.array(
-        *[F.array_min(F.transform(safe, hasher(f"mh{k}:"))) for k in range(num_hashes)]
+    return F.transform(
+        safe,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P),
     )
 
 
+def minhash_signature(grams: Column, num_hashes: int = 12) -> Column:
+    """Array of ``num_hashes`` min-hash values (longs in [0, p)) over a
+    gram array, via universal hashing of the per-gram base hash."""
+    hs = gram_hashes(grams)
+
+    def mk(k: int) -> Column:
+        a, b = minhash_coeffs(k)
+        return F.array_min(
+            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
+        )
+
+    return F.array(*[mk(k) for k in range(num_hashes)])
+
+
 def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
-    """Array of ``bands`` band keys; band j = md5 over rows [j*r, (j+1)*r)
-    of the signature, prefixed with the band index so keys from
-    different bands never collide after explode."""
+    """Array of ``bands`` band keys. rows==1: the key is the minhash
+    value itself, namespaced by band index (no extra hashing). rows>1:
+    md5 over the row-concatenation, prefixed with the band index."""
+    if rows == 1:
+        return F.array(
+            *[
+                F.concat(F.lit(f"l{j}|"), F.get(signature, j).cast("string"))
+                for j in range(bands)
+            ]
+        )
     return F.array(
         *[
             F.md5(
                 F.concat(
                     F.lit(f"b{j}:"),
-                    F.concat_ws("|", F.slice(signature, j * rows + 1, rows)),
+                    F.concat_ws(
+                        "|",
+                        F.transform(
+                            F.slice(signature, j * rows + 1, rows),
+                            lambda v: v.cast("string"),
+                        ),
+                    ),
                 )
             )
             for j in range(bands)
@@ -80,18 +118,13 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
 def ngram_minhash_bands(
     col: Column | str,
     ns: tuple[int, ...] = (2, 3),
-    num_hashes: int = 16,
-    bands: int = 16,
+    num_hashes: int = 12,
+    bands: int = 12,
 ) -> Column:
-    """Convenience: string column -> array of LSH band keys.
-
-    Default 16 bands x 1 row over mixed 2+3-grams: for surface-form
-    blocking the miss probability for a Levenshtein-1/2 typo must be
-    tiny even on 3-5 char acronyms (gram-Jaccard as low as ~0.25 there;
-    (1-J)^16 < 1%) — the downstream scorer + hot-key cap absorb the
-    extra false candidates. Near-dup *document* dedup uses multi-row
-    bands (see operators/dedup.py) because there precision is the
-    lever."""
+    """Convenience: string column -> array of LSH band keys (1-row
+    bands: for surface-form blocking the miss probability for a typo
+    must be tiny; the downstream scorer + hot-key cap absorb the extra
+    false candidates)."""
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     return lsh_band_keys(
@@ -99,28 +132,37 @@ def ngram_minhash_bands(
     )
 
 
-def duckdb_minhash_sql(col_sql: str, n: int = 3, num_hashes: int = 12) -> str:
-    """DuckDB SQL expression producing the identical minhash signature
-    (list of md5 hex strings) — used by oracle_sql() twins."""
-    grams = (
-        f"(case when length({col_sql}) > 0 then "
-        f"[substr({col_sql}, i, {n}) for i in range(1, greatest(1, length({col_sql})-{n-1}) + 1)] "
-        f"else [''] end)"
-    )
-    parts = ", ".join(
-        f"list_min([md5('mh{k}:' || g) for g in {grams}])" for k in range(num_hashes)
-    )
-    return f"[{parts}]"
+# ---------------------------------------------------------------------------
+# DuckDB twins (exact same values)
+# ---------------------------------------------------------------------------
 
 
-def duckdb_band_keys_sql(
-    col_sql: str, n: int = 3, num_hashes: int = 12, bands: int = 6
-) -> str:
-    """DuckDB SQL expression for the identical LSH band-key array."""
+def duckdb_gram_hashes(grams_sql: str) -> str:
+    safe = f"(case when len({grams_sql}) > 0 then {grams_sql} else [''] end)"
+    return (
+        f"[(('0x' || substr(md5(g), 1, 15))::bigint) % {MINHASH_P} for g in {safe}]"
+    )
+
+
+def duckdb_minhash_sql(grams_sql: str, num_hashes: int = 12) -> str:
+    hs = duckdb_gram_hashes(grams_sql)
+    parts = []
+    for k in range(num_hashes):
+        a, b = minhash_coeffs(k)
+        parts.append(f"list_min([({a} * h + {b}) % {MINHASH_P} for h in {hs}])")
+    return "[" + ", ".join(parts) + "]"
+
+
+def duckdb_band_keys_sql(grams_sql: str, num_hashes: int = 12, bands: int = 12) -> str:
     rows = num_hashes // bands
-    sig = duckdb_minhash_sql(col_sql, n, num_hashes)
+    sig = duckdb_minhash_sql(grams_sql, num_hashes)
     parts = []
     for j in range(bands):
-        elems = f"list_slice({sig}, {j * rows + 1}, {j * rows + rows})"
-        parts.append(f"md5('b{j}:' || array_to_string({elems}, '|'))")
+        if rows == 1:
+            parts.append(f"'l{j}|' || cast({sig}[{j + 1}] as varchar)")
+        else:
+            elems = f"list_slice({sig}, {j * rows + 1}, {j * rows + rows})"
+            parts.append(
+                f"md5('b{j}:' || array_to_string(list_transform({elems}, v -> cast(v as varchar)), '|'))"
+            )
     return "[" + ", ".join(parts) + "]"

@@ -59,15 +59,17 @@ def minhash_near_duplicates(
     text_col: str = "text",
     shingle_k: int = 3,
     num_hashes: int = 16,
-    bands: int = 4,
+    bands: int = 8,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 50,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle -> minhash -> band ->
     bucket-join -> exact shingle-set Jaccard verify.
 
-    Multi-row bands (16 hashes / 4 bands = 4 rows): document near-dup
-    wants precision, so candidate pairs need 4 agreeing minhashes.
+    2-row bands (16 hashes / 8 bands): LSH S-curve threshold
+    (1/8)^(1/2) ~= 0.35, i.e. >=95% catch probability at Jaccard 0.55+
+    while sub-threshold pairs mostly never collide; the exact-Jaccard
+    verify step removes the rest, so recall is the only LSH concern.
     ``max_bucket`` drops degenerate buckets (boilerplate/empty docs) —
     the skew control; at 100 TB a single boilerplate bucket would
     otherwise produce O(n^2) pairs.

@@ -44,15 +44,23 @@ def multigrams(s: str, ns=(2, 3)) -> list[str]:
 
 
 def band_keys(s: str, ns: tuple, num_hashes: int, bands: int) -> list[str]:
+    from entity_linking_in_biomedical_spark.functions.ngrams import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
     gs = multigrams(s, ns) or [""]
-    sig = [
-        min(hashlib.md5(f"mh{k}:{g}".encode()).hexdigest() for g in gs)
-        for k in range(num_hashes)
-    ]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % MINHASH_P for g in gs]
+    sig = []
+    for k in range(num_hashes):
+        a, b = minhash_coeffs(k)
+        sig.append(min((a * h + b) % MINHASH_P for h in hs))
     rows = num_hashes // bands
+    if rows == 1:
+        return [f"l{j}|{sig[j]}" for j in range(bands)]
     return [
         hashlib.md5(
-            ("b%d:" % j + "|".join(sig[j * rows : (j + 1) * rows])).encode()
+            ("b%d:" % j + "|".join(str(v) for v in sig[j * rows : (j + 1) * rows])).encode()
         ).hexdigest()
         for j in range(bands)
     ]

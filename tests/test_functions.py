@@ -38,29 +38,58 @@ def test_char_ngrams(spark):
 
 
 def test_minhash_matches_hashlib(spark):
-    """Spark md5-hex minhash must equal a pure-Python reimplementation
-    (this is the property the DuckDB oracle and the pandas pipeline
-    oracle both rely on)."""
+    """Spark minhash (md5-base + universal hashing) must equal a
+    pure-Python reimplementation (the property the DuckDB oracle and
+    the pandas pipeline oracle both rely on)."""
+    from entity_linking_in_biomedical_spark.functions.ngrams import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
     s = "hello world"
     df = spark.createDataFrame([(s,)], "s string")
     sig = df.select(minhash_signature(char_ngrams("s", 3), 4).alias("sig")).collect()[0]["sig"]
     grams = [s[i : i + 3] for i in range(len(s) - 2)]
-    expect = [
-        min(hashlib.md5(f"mh{k}:{g}".encode()).hexdigest() for g in grams)
-        for k in range(4)
-    ]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % MINHASH_P for g in grams]
+    expect = []
+    for k in range(4):
+        a, b = minhash_coeffs(k)
+        expect.append(min((a * h + b) % MINHASH_P for h in hs))
     assert sig == expect
 
 
+def test_minhash_matches_duckdb(spark):
+    import duckdb
+
+    from entity_linking_in_biomedical_spark.functions.ngrams import (
+        char_ngrams_multi,
+        duckdb_band_keys_sql,
+        lsh_band_keys,
+    )
+
+    s = "melanoma"
+    df = spark.createDataFrame([(s,)], "s string")
+    got = df.select(
+        lsh_band_keys(minhash_signature(char_ngrams_multi("s", (2, 3)), 4), 4, 1).alias("b")
+    ).collect()[0]["b"]
+    grams_sql = (
+        "list_distinct([substr('melanoma', i, 2) for i in range(1, 8)] || "
+        "[substr('melanoma', i, 3) for i in range(1, 7)])"
+    )
+    duck = duckdb.sql("select " + duckdb_band_keys_sql(grams_sql, 4, 4)).fetchone()[0]
+    assert got == duck
+
+
 def test_band_keys_shape(spark):
+    from entity_linking_in_biomedical_spark.functions.ngrams import char_ngrams_multi
+
     df = spark.createDataFrame([("melanoma",), ("melanona",)], "s string")
     out = df.select(
-        lsh_band_keys(minhash_signature(char_ngrams("s", 3), 8), 8, 1).alias("bands")
+        lsh_band_keys(minhash_signature(char_ngrams_multi("s", (2, 3)), 12), 12, 1).alias("bands")
     ).collect()
     a, b = out[0]["bands"], out[1]["bands"]
-    assert len(a) == len(b) == 8
+    assert len(a) == len(b) == 12
     # one-char typo on an 8-char string should still share >=1 band
-    # (8 bands x 1 row: miss probability (1-J)^8 < 1% at J~0.45)
     assert set(a) & set(b)
 
 
