@@ -78,6 +78,12 @@ def deletion_keys(col: Column, max_len: int = 12, del2_max_len: int = 7) -> Colu
             ),
         )
 
+    # delete-0 (the string itself) must be IN the d-namespace: an
+    # insertion/deletion edit pair (s, s+char) shares a key only if s
+    # appears as a d-key on both sides (classic SymSpell)
+    d0 = F.when(F.length(col) <= max_len, F.array(col)).otherwise(
+        F.array().cast("array<string>")
+    )
     d1 = F.when(F.length(col) <= max_len, del1(col)).otherwise(
         F.array().cast("array<string>")
     )
@@ -85,7 +91,11 @@ def deletion_keys(col: Column, max_len: int = 12, del2_max_len: int = 7) -> Colu
     d2 = F.when(
         F.length(col).between(2, del2_max_len), F.flatten(F.transform(del1(col), del1))
     ).otherwise(F.array().cast("array<string>"))
-    return F.transform(F.concat(d1, d2), lambda v: F.concat(F.lit("d|"), v))
+    # variants under 3 chars match half the dictionary (e.g. "a4") —
+    # pure fan-out with no discrimination; drop them (measured: they
+    # were the bulk of a 100-candidates-per-surface blowup)
+    usable = F.filter(F.concat(d0, d1, d2), lambda v: F.length(v) >= 3)
+    return F.transform(usable, lambda v: F.concat(F.lit("d|"), v))
 
 
 def blocking_keys(
@@ -130,8 +140,8 @@ def block_candidates(
     del_max_len: int = 12,
     lsh_min_len: int = 5,
     del2_max_len: int = 7,
-    max_key_freq: int = 200,
-    top_k: int = 128,
+    max_key_freq: int = 64,
+    top_k: int = 32,
 ) -> DataFrame:
     """mentions(.., norm) × names(cui, norm) -> candidates
     (norm, cui, channel, block_key, has_exact).

@@ -45,8 +45,8 @@ class PipelineConfig:
     del2_max_len: int = 7  # delete-2 depth for very short strings
     lsh_min_len: int = 5  # skip LSH for very short strings (deletion covers)
     mm_threshold: float = 0.7  # mention-mention edges need more evidence
-    max_key_freq: int = 200
-    top_k: int = 128
+    max_key_freq: int = 64  # keys shared by more entities discriminate nothing
+    top_k: int = 32  # reference's hardest-negative count (dataset.py:103)
     mm_pair_cap: int = 20  # max scored mention-mention partners per surface
 
     def params(self) -> dict:

@@ -72,9 +72,10 @@ def blocking_keys_py(s: str, cfg) -> list[str]:
     keys = ["x|" + s]
     if len(s) <= cfg.del_max_len:
         d1 = [s[:i] + s[i + 1 :] for i in range(len(s))]
-        keys += ["d|" + v for v in d1]
+        variants = [s] + d1
         if 2 <= len(s) <= cfg.del2_max_len:
-            keys += ["d|" + v[:j] + v[j + 1 :] for v in d1 for j in range(len(v))]
+            variants += [v[:j] + v[j + 1 :] for v in d1 for j in range(len(v))]
+        keys += ["d|" + v for v in variants if len(v) >= 3]
     if len(s) >= cfg.lsh_min_len:
         keys += band_keys(s, cfg.block_ngrams, cfg.num_hashes, cfg.bands)
     out, seen = [], set()
