@@ -1,0 +1,105 @@
+"""Blocking channels: exact, deletion-neighborhood, LSH; hot-key cap;
+per-surface top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entity_linking_in_biomedical_spark.operators.blocking import (
+    block_candidates,
+    blocking_keys,
+    deletion_keys,
+    entity_names,
+)
+
+
+def keys_of(spark, s, **kw):
+    df = spark.createDataFrame([(s,)], "norm string")
+    return df.select(blocking_keys(F.col("norm"), **kw).alias("k")).collect()[0]["k"]
+
+
+def test_exact_key_always_present(spark):
+    ks = keys_of(spark, "melanoma")
+    assert "x|melanoma" in ks
+
+
+def test_deletion_keys_lev1_guarantee(spark):
+    """Any lev-1 edit pair (substitution, deletion, insertion,
+    transposition-ish) shares a d| key."""
+    cases = [
+        ("rb96", "rb6"),  # deletion
+        ("rb96", "rb966"),  # insertion... rb966 del-1 -> rb96
+        ("rb96", "rb97"),  # substitution (shares del of last char? rb9)
+        ("abcde", "abdce"),  # adjacent transposition = 2 subs; del2 covers
+    ]
+    for a, b in cases:
+        ka = set(keys_of(spark, a))
+        kb = set(keys_of(spark, b))
+        shared = {k for k in ka & kb if k.startswith("d|")}
+        assert shared, f"{a} vs {b}: no shared deletion key"
+
+
+def test_no_short_variant_keys(spark):
+    ks = keys_of(spark, "ak34")
+    assert all(len(k) - 2 >= 3 for k in ks if k.startswith("d|"))
+
+
+def test_long_strings_skip_deletion_use_lsh(spark):
+    s = "a" * 20
+    ks = keys_of(spark, s)
+    assert not any(k.startswith("d|") for k in ks)
+    assert any(not k.startswith(("d|", "x|")) for k in ks)  # lsh bands
+
+
+def test_short_strings_skip_lsh(spark):
+    ks = keys_of(spark, "ab")
+    assert all(k.startswith(("d|", "x|")) for k in ks)
+
+
+def _mentions(spark, surfaces):
+    return spark.createDataFrame(
+        [("D1", i, s, s) for i, s in enumerate(surfaces)],
+        "doc_id string, span_seq int, surface string, norm string",
+    )
+
+
+def _names(spark, pairs):
+    return spark.createDataFrame(
+        [(c, n, n) for c, n in pairs], "cui string, name string, norm string"
+    )
+
+
+def test_exact_and_typo_candidates(spark):
+    mentions = _mentions(spark, ["melanoma", "melanona", "zzz999xx"])
+    names = _names(spark, [("C1", "melanoma"), ("C2", "carcinoma")])
+    got = block_candidates(mentions, names)
+    pairs = {(r["norm"], r["cui"]) for r in got.collect()}
+    assert ("melanoma", "C1") in pairs
+    assert ("melanona", "C1") in pairs  # typo found via del/lsh channel
+    assert not any(n == "zzz999xx" for n, _ in pairs)
+
+
+def test_hot_key_cap_drops_mega_blocks(spark):
+    # 100 entities share the same norm -> the x| key is hot and dropped
+    mentions = _mentions(spark, ["shared name"])
+    names = _names(spark, [(f"C{i}", "shared name") for i in range(100)])
+    got = block_candidates(mentions, names, max_key_freq=50)
+    assert got.count() == 0
+
+
+def test_top_k_cap(spark):
+    mentions = _mentions(spark, ["akx"])
+    # 40 near-matching entities; top_k=5 keeps 5
+    names = _names(spark, [(f"C{i:02d}", "ak" + chr(97 + i % 26)) for i in range(40)])
+    got = block_candidates(mentions, names, top_k=5)
+    assert got.filter(F.col("norm") == "akx").count() <= 5
+
+
+def test_entity_names_explode_dedup(spark):
+    ents = spark.createDataFrame(
+        [("C1", "T", ["Breast Cancer", "breast cancer", "BC tumor"])],
+        "cui string, sem_type string, synonyms array<string>",
+    )
+    got = entity_names(ents).collect()
+    norms = sorted(r["norm"] for r in got)
+    assert norms == ["bc tumor", "breast cancer"]  # case-dup collapsed
