@@ -61,6 +61,7 @@ def run_pipeline(
     entities: DataFrame,
     embeddings: DataFrame | None = None,
     abbr_map: DataFrame | None = None,
+    split_ids: DataFrame | None = None,
     cfg: PipelineConfig = PipelineConfig(),
     out_dir: str | None = None,
 ) -> dict:
@@ -76,6 +77,14 @@ def run_pipeline(
     store = StageStore(spark, out_dir)
     p = cfg.params()
     tau = cfg.scoring.threshold
+
+    if split_ids is not None:
+        # P1 split semi-join (the reference's PMID split-list filter,
+        # medmention_preprocess.py:34-35)
+        documents = documents.join(
+            split_ids.select("doc_id"), "doc_id", "left_semi"
+        )
+        p["split"] = True
 
     # ---- stage 1: mentions -------------------------------------------
     sig_mentions = stage_signature("mentions", p, [])
