@@ -327,6 +327,67 @@ order by a_key, b_key
 """
 
 
+def q_revenue_3way(spark, sf_dir):
+    """Catalyst join-reordering showcase: customer ⋈ orders ⋈ lineitem,
+    revenue per market segment (decimal-exact)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,6)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_REVENUE_3WAY = """
+select c_mktsegment,
+  cast(round(sum(cast(cast(l_extendedprice as decimal(18,2)) *
+      (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2))) as decimal(28,6))), 2) as double) as revenue,
+  cast(count(*) as bigint) as n_items
+from lineitem join orders on l_orderkey = o_orderkey
+              join customer on o_custkey = c_custkey
+group by c_mktsegment order by c_mktsegment
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Event-time tumbling-window rollup over the events table (the
+    batch twin of the streaming path): hourly counts + decimal sums per
+    event type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour, event_type,
+       cast(count(*) as bigint) as n,
+       cast(round(sum(cast(value as decimal(18,2))), 2) as double) as sum_value
+from events group by 1, 2 order by hour, event_type
+"""
+
+
 def q_norm_key(spark, sf_dir):
     """P6: the blocking normalizer as a column function."""
     from entity_linking_in_biomedical_spark.functions.normalize import norm_key
@@ -657,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "levenshtein_pairs": q_levenshtein,
         "norm_key": q_norm_key,
         "cap_deterministic": q_cap_deterministic,
+        "revenue_3way": q_revenue_3way,
+        "events_hourly": q_events_hourly,
         "exact_dedup": q_exact_dedup,
         "fingerprint_dedup": q_fingerprint_dedup,
         "minhash_dedup": q_minhash_dedup,
@@ -686,6 +749,8 @@ def oracle_sql() -> dict[str, str]:
         "levenshtein_pairs": ORACLE_LEV,
         "norm_key": ORACLE_NORM_KEY,
         "cap_deterministic": ORACLE_CAP,
+        "revenue_3way": ORACLE_REVENUE_3WAY,
+        "events_hourly": ORACLE_EVENTS_HOURLY,
         "exact_dedup": ORACLE_EXACT_DEDUP,
         "fingerprint_dedup": ORACLE_FP_DEDUP,
         "minhash_dedup": _oracle_minhash_dedup(),
