@@ -1,0 +1,112 @@
+"""Physical-plan shape checks: the optimizations we rely on at 100 TB
+must be visible in explain() output at any scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_parquet_filter_pushdown_and_pruning(spark):
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+    # column pruning: only the two projected columns reach the scan
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in schema_line and "l_quantity" in schema_line
+    assert "l_comment" not in schema_line and "l_shipdate" not in schema_line
+
+
+def test_whole_stage_codegen_on_scan_filter(spark):
+    """Codegen stages appear as '*'-starred nodes; AQE hides them in the
+    unexecuted plan, so turn it off for the assertion."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = (
+            spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+            .filter(F.col("o_totalprice") > 100)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert "* HashAggregate" in plan and "* Filter" in plan
+    # map-side combine before the shuffle
+    assert "partial_count" in plan
+
+
+def test_broadcast_join_for_small_side(spark):
+    big = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    small = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    df = big.join(
+        F.broadcast(small.select(F.col("r_regionkey").alias("l_suppkey"))), "l_suppkey"
+    )
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_semi_join_strategy(spark):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    df = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_semi"
+    )
+    assert "LeftSemi" in plan_of(df)
+
+
+def test_topk_window_group_limit(spark):
+    """row_number()<=k must compile to WindowGroupLimit (per-partition
+    top-k short-circuit, Spark 3.5+) — the physical property that makes
+    the blocking top-k cap cheap."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    df = orders.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    assert "WindowGroupLimit" in plan_of(df)
+
+
+def test_blocking_has_no_cartesian(spark, corpus):
+    """The blocking stage must never degenerate into a cross join."""
+    from entity_linking_in_biomedical_spark.operators.blocking import (
+        block_candidates,
+        entity_names,
+    )
+    from entity_linking_in_biomedical_spark.operators.mentions import extract_mentions
+
+    docs, ents, *_ = corpus.to_spark(spark)
+    cands = block_candidates(extract_mentions(docs), entity_names(ents))
+    plan = plan_of(cands)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scoring_single_python_boundary(spark, corpus):
+    """Exactly one Arrow/Python eval per scored pair row (the jw+cos
+    UDF) — Levenshtein, dot product and the logistic stay JVM-side."""
+    from entity_linking_in_biomedical_spark.operators.scoring import score_pairs
+
+    import re
+
+    pairs = spark.createDataFrame([("abc", "abd")], "a_norm string, b_norm string")
+    scored = score_pairs(spark, pairs, {})
+    plan = plan_of(scored)
+    # exactly one Arrow eval node (detail headers are unique per node),
+    # and never the row-at-a-time BatchEvalPython
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "BatchEvalPython" not in plan
