@@ -87,11 +87,13 @@ def connected_components(
     ``nodes`` (single column ``node``) optionally adds isolated nodes,
     which become singleton clusters (cluster_id = node).
     """
-    e = _canon(edges).localCheckpoint(eager=True)
+    # lazy checkpoints: the digest action materializes the iteration's
+    # edge set AND computes the convergence digest in one job
+    e = _canon(edges).localCheckpoint(eager=False)
     prev = None
     iters = 0
     for iters in range(1, max_iter + 1):
-        e = _canon(_small_star(_large_star(e))).localCheckpoint(eager=True)
+        e = _canon(_small_star(_large_star(e))).localCheckpoint(eager=False)
         d = _digest(e)
         if d == prev:
             break

@@ -63,10 +63,12 @@ class StageStore:
         """Write snapshot, record per-partition metrics, commit manifest,
         return the re-read (physically materialized) DataFrame."""
         if self.out_dir is None:
-            # no persistence requested: localCheckpoint for lineage cut
-            out = df.localCheckpoint(eager=True)
-            n = out.count()
-            self.metrics.append({"stage": stage, "rows": n, "partitions": None})
+            # no persistence requested: lazy localCheckpoint — the first
+            # downstream action materializes it; an eager checkpoint +
+            # count here would add two extra jobs per stage (driver-side
+            # fixed cost that caps scaling efficiency)
+            out = df.localCheckpoint(eager=False)
+            self.metrics.append({"stage": stage, "rows": None, "partitions": None})
             return out
         dpath, mpath = self._paths(stage)
         df.write.mode("overwrite").parquet(dpath)
