@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""N-vs-4N **multi-executor** scaling measurement on a local standalone
+cluster — the closest sandbox realization of the north rule's
+"spark-submit --py-files on a multi-executor cluster at N and 4N
+executors".
+
+Topology: one standalone master + K worker JVMs, each worker hosting
+one 4-core/4g executor. N = 2 workers (8 cores), 4N = 8 workers
+(32 cores). Each configuration runs the identical ER bench (bench.py,
+ER-only) in a fresh driver process with the engine shipped as a
+--py-files zip (spark.submit.pyFiles), exactly as a production
+spark-submit would.
+
+Also records the host's raw-CPU scaling ceiling (hypervisor steal makes
+8->32 busy cores only ~0.75-efficient on this box) so the pipeline's
+efficiency can be read against what the hardware permits.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import shutil
+import subprocess
+import sys
+import time
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MASTER_URL = "spark://127.0.0.1:7077"
+
+
+def spark_class() -> list[str]:
+    import pyspark
+
+    home = os.path.dirname(pyspark.__file__)
+    return [os.path.join(home, "bin", "spark-class")]
+
+
+def start_master() -> subprocess.Popen:
+    p = subprocess.Popen(
+        spark_class()
+        + ["org.apache.spark.deploy.master.Master", "--host", "127.0.0.1", "--port", "7077", "--webui-port", "0"],
+        stdout=open("/tmp/el-master.log", "w"),
+        stderr=subprocess.STDOUT,
+    )
+    time.sleep(8)
+    return p
+
+
+def start_workers(n: int, cores: int = 4, mem: str = "4g") -> list[subprocess.Popen]:
+    ws = []
+    for i in range(n):
+        env = dict(os.environ, SPARK_WORKER_DIR=f"/tmp/el-worker-{i}")
+        ws.append(
+            subprocess.Popen(
+                spark_class()
+                + [
+                    "org.apache.spark.deploy.worker.Worker",
+                    MASTER_URL,
+                    "--cores",
+                    str(cores),
+                    "--memory",
+                    mem,
+                    "--webui-port",
+                    "0",
+                ],
+                stdout=open(f"/tmp/el-worker-{i}.log", "w"),
+                stderr=subprocess.STDOUT,
+                env=env,
+            )
+        )
+    time.sleep(10)
+    return ws
+
+
+def stop(procs: list[subprocess.Popen]) -> None:
+    for p in procs:
+        p.terminate()
+    for p in procs:
+        try:
+            p.wait(timeout=20)
+        except Exception:
+            p.kill()
+
+
+def make_pyfiles_zip() -> str:
+    zpath = "/tmp/el_spark_pkg.zip"
+    pkg = os.path.join(REPO, "entity_linking_in_biomedical_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+        z.write(os.path.join(REPO, "__spark_entry__.py"), "__spark_entry__.py")
+    return zpath
+
+
+def run_bench(total_cores: int, zpath: str, n_docs: str) -> float:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_MASTER=MASTER_URL,
+        SPARK_GRAFT_CPUS=str(total_cores),
+        SPARK_GRAFT_BENCH_ONLY_ER="1",
+        SPARK_GRAFT_BENCH_DOCS=n_docs,
+        EL_SPARK_EXTRA_CONF=json.dumps(
+            {
+                "spark.executor.cores": 4,
+                "spark.executor.memory": "3g",
+                "spark.submit.pyFiles": zpath,
+                "spark.cores.max": total_cores,
+                # same-host executors: locality waits only serialize work
+                # behind whichever executor cached a checkpoint block
+                "spark.locality.wait": "0ms",
+                # don't start until the fleet is fully registered
+                "spark.scheduler.minRegisteredResourcesRatio": "1.0",
+                "spark.scheduler.maxRegisteredResourcesWaitingTime": "60s",
+            }
+        ),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd=REPO,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
+        raise RuntimeError("bench produced no JSON")
+    return float(json.loads(lines[-1])["queries"]["er_pipeline"])
+
+
+def _spin(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def cpu_ceiling() -> dict:
+    """Raw-CPU N-vs-4N ceiling of this host (per-core slowdown under
+    full load: hypervisor steal + frequency)."""
+    res = {}
+    for procs in (8, 32):
+        t0 = time.time()
+        with mp.Pool(procs) as p:
+            p.map(_spin, [20_000_000] * procs)
+        res[procs] = time.time() - t0
+    return {"t8": round(res[8], 2), "t32": round(res[32], 2), "ceiling": round(res[8] / res[32], 3)}
+
+
+def main() -> None:
+    n_docs = os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000")
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+    ceil = cpu_ceiling()
+    print(f"raw-CPU 8->32 ceiling: {ceil}", file=sys.stderr)
+    zpath = make_pyfiles_zip()
+    master = start_master()
+    results = {"2w": [], "8w": []}
+    try:
+        for r in range(rounds):
+            for tag, nw in (("2w", 2), ("8w", 8)):
+                workers = start_workers(nw)
+                try:
+                    t = run_bench(nw * 4, zpath, n_docs)
+                    results[tag].append(t)
+                    print(f"round {r}: {nw} workers ({nw * 4} cores): {t:.1f}s", file=sys.stderr)
+                finally:
+                    stop(workers)
+                    for i in range(nw):
+                        shutil.rmtree(f"/tmp/el-worker-{i}", ignore_errors=True)
+    finally:
+        stop([master])
+    t_n, t_4n = min(results["2w"]), min(results["8w"])
+    nd = int(n_docs)
+    eff = (t_n / t_4n) / 4
+    out = {
+        "corpus_docs": nd,
+        "executors_N": 2,
+        "executors_4N": 8,
+        "t_N_sec": t_n,
+        "t_4N_sec": t_4n,
+        "docs_per_sec_N": round(nd / t_n, 1),
+        "docs_per_sec_4N": round(nd / t_4n, 1),
+        "scaling_efficiency": round(eff, 4),
+        "efficiency_vs_cpu_ceiling": round(eff / ceil["ceiling"], 4),
+        "cpu_ceiling": ceil,
+        "all_runs": results,
+    }
+    print(json.dumps(out))
+    with open(os.path.join(REPO, "BENCH", "cluster_scaling.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

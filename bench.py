@@ -37,7 +37,8 @@ def main() -> None:
 
     from entity_linking_in_biomedical_spark.session import get_spark
 
-    spark = get_spark("el-spark-bench", master=f"local[{cpus}]")
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    spark = get_spark("el-spark-bench", master=master)
 
     import __spark_entry__ as E
 

@@ -20,7 +20,7 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    master = master or f"local[{cpus}]"
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     # parallelism implied by the master string, e.g. local[8] -> 8
     n = cpus
     if master.startswith("local["):
@@ -46,6 +46,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("EL_SPARK_DRIVER_MEM", "8g"))
     )
+    # extra confs from the environment (JSON) — used by the standalone-
+    # cluster scaling harness to pass executor sizing + py-files
+    env_conf = os.environ.get("EL_SPARK_EXTRA_CONF")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            b = b.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
