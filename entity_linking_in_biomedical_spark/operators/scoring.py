@@ -91,6 +91,18 @@ def score_pairs(
             coss.append(tfidf_cosine(x, y, idf_d, n=ngram))
         return pd.DataFrame({"jw": jws, "cos": coss})
 
+    # Compute the dot FIRST and drop the vector columns immediately:
+    # a 64-dim double pair is ~1 KB/row, and everything downstream
+    # (Arrow eval, groupBy shuffles, checkpoints) would otherwise carry
+    # it — measured as the dominant shuffle volume of the scoring stage.
+    if a_emb and b_emb:
+        from ..functions.vectors import dot_product
+
+        dot = F.coalesce(dot_product(a_emb, b_emb), F.lit(0.5))
+        dot = F.when(F.col(a_emb).isNull() | F.col(b_emb).isNull(), 0.5).otherwise(dot)
+        pairs = pairs.withColumn("dot", dot).drop(a_emb, b_emb)
+    else:
+        pairs = pairs.withColumn("dot", F.lit(0.5))
     out = pairs.withColumn("_f", _jw_cos(F.col(a_col), F.col(b_col)))
     out = out.withColumn(
         "lev_sim",
@@ -98,17 +110,9 @@ def score_pairs(
         - F.levenshtein(a_col, b_col)
         / F.greatest(F.length(a_col), F.length(b_col), F.lit(1)),
     )
-    if a_emb and b_emb:
-        from ..functions.vectors import dot_product
-
-        dot = F.coalesce(dot_product(a_emb, b_emb), F.lit(0.5))
-        dot = F.when(F.col(a_emb).isNull() | F.col(b_emb).isNull(), 0.5).otherwise(dot)
-    else:
-        dot = F.lit(0.5)
     out = (
         out.withColumn("jw", F.col("_f.jw"))
         .withColumn("cos", F.col("_f.cos"))
-        .withColumn("dot", dot)
         .drop("_f")
     )
     z = (
