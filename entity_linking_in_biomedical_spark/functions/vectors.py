@@ -38,6 +38,18 @@ def l2_normalize(a: Column | str) -> Column:
     return F.transform(a, lambda x: x / nrm)
 
 
+def mean_pool(vectors: Column | str) -> Column:
+    """Element-wise mean over an array of equal-length vectors
+    (array<array<double>> -> array<double>) — the reference's masked
+    mean-pool over mention-token embeddings (affinity_models.py:31-37),
+    JVM-side: one aggregate + a final scale."""
+    vs = F.col(vectors) if isinstance(vectors, str) else vectors
+    n = F.size(vs)
+    zero = F.transform(F.get(vs, 0), lambda x: x * F.lit(0.0))
+    summed = F.aggregate(vs, zero, lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y))
+    return F.when(n > 0, F.transform(summed, lambda x: x / n))
+
+
 def cosine_sim(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b

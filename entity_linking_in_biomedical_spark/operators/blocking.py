@@ -131,6 +131,21 @@ def channel_of(bk: Column) -> Column:
     )
 
 
+def block_size_stats(cands: DataFrame) -> dict:
+    """Skew metrics over candidate blocks (north rule: per-partition
+    lineage + metrics): per-block_key candidate counts -> max / p50 /
+    p99 / mean. One aggregation, collected as four scalars."""
+    sizes = cands.groupBy("block_key").agg(F.count("*").alias("n"))
+    row = sizes.agg(
+        F.max("n").alias("max"),
+        F.expr("percentile_approx(n, 0.5)").alias("p50"),
+        F.expr("percentile_approx(n, 0.99)").alias("p99"),
+        F.round(F.avg("n"), 2).alias("mean"),
+        F.count("*").alias("n_blocks"),
+    ).collect()[0]
+    return {k: (float(row[k]) if row[k] is not None else None) for k in row.asDict()}
+
+
 def block_candidates(
     mentions: DataFrame,
     names: DataFrame,
