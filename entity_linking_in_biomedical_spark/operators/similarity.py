@@ -20,6 +20,9 @@ from __future__ import annotations
 import hashlib
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.vectors import cosine_sim
@@ -56,6 +59,31 @@ def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
         return F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0"))
 
     return F.concat(*[bit(p) for p in range(n_planes)])
+
+
+def srp_bucket_udf(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Arrow pandas-UDF variant of srp_bucket: one numpy matmul per
+    ~10k-row batch against the same deterministic hyperplane matrix.
+    Preferred for high-dim vectors — the unrolled column expression is
+    n_planes x dim terms (512 for 8x64), which blows past whole-stage
+    codegen budgets; a batched matmul is both faster and scales with
+    Python workers. Sign agreement with srp_bucket holds except at
+    |projection| < float-epsilon (measure zero)."""
+    planes = np.array(_plane_coeffs(n_planes, dim))  # (p, d)
+
+    @F.pandas_udf("string")
+    def _bucket(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=str)
+        mat = np.zeros((len(vs), dim))
+        for i, v in enumerate(vs):
+            a = np.asarray(v, dtype=float)[:dim]
+            mat[i, : len(a)] = a
+        proj = mat @ planes.T  # (n, p)
+        bits = (proj >= 0).astype(np.uint8)
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    return _bucket(vec)
 
 
 def brute_force_topk(
@@ -95,8 +123,8 @@ def lsh_topk(
     """Approximate top-k: candidates share the SRP bucket, then exact
     cosine + window top-k inside the bucket. One equi-join shuffle on
     the bucket key instead of a cross join — the 100 TB path."""
-    qb = queries.select(q_id, q_vec, srp_bucket(F.col(q_vec), n_planes).alias("bkt"))
-    db = database.select(db_id, db_vec, srp_bucket(F.col(db_vec), n_planes).alias("bkt"))
+    qb = queries.select(q_id, q_vec, srp_bucket_udf(F.col(q_vec), n_planes).alias("bkt"))
+    db = database.select(db_id, db_vec, srp_bucket_udf(F.col(db_vec), n_planes).alias("bkt"))
     scored = qb.join(db, "bkt").withColumn("cosine", cosine_sim(q_vec, db_vec))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(db_id))
     return (
