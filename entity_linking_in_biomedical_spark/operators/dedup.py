@@ -13,6 +13,29 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.ngrams import lsh_band_keys, minhash_signature, with_band_keys
 from ..functions.text_metrics import fingerprint, simhash64, tokens
 
+# Shared LSH parameters for minhash_near_duplicates — the DuckDB oracle
+# (__spark_entry__._oracle_minhash_dedup) MUST band identically, or it
+# verifies a different candidate set than the implementation.
+MINHASH_DEDUP_NUM_HASHES = 16
+MINHASH_DEDUP_BANDS = 8
+MINHASH_DEDUP_MAX_BUCKET = 50
+
+# Shared SimHash blocking parameters (implementation + DuckDB twin).
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BLOCK_BITS = 15
+SIMHASH_N_BLOCKS = 4
+SIMHASH_MAX_BUCKET = 50
+
+
+def _drop_big_buckets(keyed: DataFrame, key: str, max_bucket: int) -> DataFrame:
+    """Anti-join away buckets with more than ``max_bucket`` members —
+    the skew control shared by every LSH-bucket self-join here: one
+    degenerate bucket (boilerplate docs, zero vectors) is O(bucket^2)
+    pairs at 100 TB. The count aggregate is tiny (one row per big
+    bucket) and broadcast."""
+    big = keyed.groupBy(key).agg(F.count("*").alias("c")).filter(F.col("c") > max_bucket)
+    return keyed.join(F.broadcast(big.select(key)), key, "left_anti")
+
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup by content hash: (text_hash, dup_count, doc_ids).
@@ -75,10 +98,10 @@ def minhash_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
-    num_hashes: int = 16,
-    bands: int = 8,
+    num_hashes: int = MINHASH_DEDUP_NUM_HASHES,
+    bands: int = MINHASH_DEDUP_BANDS,
     jaccard_threshold: float = 0.7,
-    max_bucket: int = 50,
+    max_bucket: int = MINHASH_DEDUP_MAX_BUCKET,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle -> minhash -> band ->
     bucket-join -> exact shingle-set Jaccard verify.
@@ -98,8 +121,7 @@ def minhash_near_duplicates(
         .select("doc_id", "bk")
         .localCheckpoint(eager=False)
     )
-    big = banded.groupBy("bk").agg(F.count("*").alias("c")).filter(F.col("c") > max_bucket)
-    banded = banded.join(F.broadcast(big.select("bk")), "bk", "left_anti")
+    banded = _drop_big_buckets(banded, "bk", max_bucket)
     # id-only pair join + dedup FIRST; the shingle arrays re-attach
     # afterwards — shuffling two ~100-element string arrays per
     # candidate pair was the dominant cost of this operator (measured)
@@ -165,21 +187,29 @@ def simhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 3,
-    block_bits: int = 15,
-    n_blocks: int = 4,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    block_bits: int = SIMHASH_BLOCK_BITS,
+    n_blocks: int = SIMHASH_N_BLOCKS,
+    max_bucket: int = SIMHASH_MAX_BUCKET,
 ) -> DataFrame:
     """SimHash near-dup: 60-bit token simhash, candidates share one of
     ``n_blocks`` bit-blocks, then Hamming verify via bit_count(xor).
 
     Recall guarantee is pigeonhole: with ``max_hamming < n_blocks``
     every qualifying pair shares at least one exact block, so the
-    blocking is lossless for the advertised threshold. (SimHash suits
-    long documents with tiny relative edits; short-doc token swaps move
-    many bits — use minhash_near_duplicates there.)"""
+    blocking is lossless for the advertised threshold *except* for
+    blocks dropped by ``max_bucket`` — the explicit skew cap (a
+    degenerate block, e.g. all-zero simhashes of empty docs, would be
+    O(bucket^2) pairs at scale). Block keys are decimal (not hex) so the
+    DuckDB oracle reproduces them with plain bigint arithmetic.
+    (SimHash suits long documents with tiny relative edits; short-doc
+    token swaps move many bits — use minhash_near_duplicates there.)"""
+    # materialize the simhash before fanning out into block keys: the
+    # block projection references `sh` n_blocks+1 times and Catalyst's
+    # projection collapse would re-evaluate the aggregate per reference
     h = docs.select(
         F.col(id_col).cast("string").alias("doc_id"), simhash64(text_col).alias("sh")
-    )
+    ).localCheckpoint(eager=False)
     blocked = h.select(
         "doc_id",
         "sh",
@@ -188,19 +218,16 @@ def simhash_near_duplicates(
                 *[
                     F.concat(
                         F.lit(f"{b}:"),
-                        F.conv(
-                            F.shiftright(F.col("sh"), b * block_bits)
-                            .bitwiseAND(F.lit((1 << block_bits) - 1))
-                            .cast("string"),
-                            10,
-                            16,
-                        ),
+                        F.shiftright(F.col("sh"), b * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .cast("string"),
                     )
                     for b in range(n_blocks)
                 ]
             )
         ).alias("blk"),
-    )
+    ).localCheckpoint(eager=False)
+    blocked = _drop_big_buckets(blocked, "blk", max_bucket)
     pairs = (
         blocked.alias("x")
         .join(blocked.alias("y"), "blk")
@@ -213,7 +240,7 @@ def simhash_near_duplicates(
         )
         .dropDuplicates(["a_id", "b_id"])
     )
-    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).cast("int")
     return (
         pairs.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
@@ -226,30 +253,41 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cosine_threshold: float = 0.95,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    bits: int = 8,
+    max_bucket: int = 50,
 ) -> DataFrame:
-    """Embedding-cosine near-dup via sign-random-projection LSH:
-    bucket = sign bits under ``n_planes`` deterministic hyperplanes
-    (seeded per dimension from md5 — no RNG), verify cosine in-bucket."""
-    from ..functions.vectors import cosine_sim
-    from .similarity import srp_bucket
+    """Embedding-cosine near-dup via banded multi-table SRP-LSH
+    (deterministic md5-seeded hyperplanes — no RNG), cosine verify on
+    candidate pairs.
 
-    b = embeddings.select(
-        F.col(id_col).cast("string").alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        srp_bucket(F.col(vec_col), n_planes).alias("bkt"),
-    )
+    Recall at the 0.95 threshold: per-bit collision p = 1 - theta/pi
+    ~= 0.90, so one 8-bit table catches ~0.43 of qualifying pairs and
+    8 tables catch ~0.99. ``max_bucket`` drops degenerate buckets
+    (zero / constant vectors) — same skew rule as the text dedups; the
+    id-only pair join runs before vectors re-attach (shuffle carries
+    strings, not 64-dim arrays)."""
+    from ..functions.vectors import cosine_sim
+    from .similarity import srp_table_keys_udf
+
+    base = embeddings.select(
+        F.col(id_col).cast("string").alias("vec_id"), F.col(vec_col).alias("v")
+    ).localCheckpoint(eager=False)
+    b = base.select(
+        "vec_id",
+        F.explode(srp_table_keys_udf(F.col("v"), n_tables, bits)).alias("bkt"),
+    ).localCheckpoint(eager=False)
+    b = _drop_big_buckets(b, "bkt", max_bucket)
     pairs = (
         b.alias("x")
         .join(b.alias("y"), "bkt")
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("a_id"),
-            F.col("y.vec_id").alias("b_id"),
-            F.col("x.v").alias("a_v"),
-            F.col("y.v").alias("b_v"),
-        )
+        .select(F.col("x.vec_id").alias("a_id"), F.col("y.vec_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
     )
+    pairs = pairs.join(
+        base.select(F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")), "a_id"
+    ).join(base.select(F.col("vec_id").alias("b_id"), F.col("v").alias("b_v")), "b_id")
     return (
         pairs.withColumn("cosine", cosine_sim("a_v", "b_v"))
         .filter(F.col("cosine") >= cosine_threshold)

@@ -26,17 +26,29 @@ def salted_equi_join(
     key: str,
     hot_keys: DataFrame,
     n_salts: int = 8,
-    salt_on: str | None = None,
+    salt_on: str = "",
 ) -> DataFrame:
     """Inner-join ``big`` and ``small`` on ``key`` with explicit salting
     of the keys listed in ``hot_keys`` (single column ``key``).
 
-    ``salt_on``: big-side column whose hash spreads rows across salts
-    (defaults to the key itself + a random-ish stable column mix via
-    monotonically varying xxhash64 over all columns is NOT deterministic
-    — callers pass a stable id column).
+    ``salt_on`` (required): big-side column whose hash spreads rows
+    across salts — a stable per-row id, NOT the join key. Hashing the
+    join key would give every row of a hot key the same salt (constant
+    per key), silently turning the salting into a no-op; we raise
+    instead of defaulting into that trap.
     """
-    salt_src = F.xxhash64(F.col(salt_on if salt_on else key))
+    if not salt_on:
+        raise ValueError(
+            "salt_on is required: pass a stable big-side row-id column "
+            "(hashing the join key itself would salt every hot-key row "
+            "identically — a silent no-op)"
+        )
+    if salt_on == key:
+        raise ValueError(
+            "salt_on must differ from the join key: xxhash64(key) is "
+            "constant per key, so hot keys would not be spread"
+        )
+    salt_src = F.xxhash64(F.col(salt_on))
     hot = F.broadcast(hot_keys.select(F.col(key), F.lit(True).alias("_hot")))
 
     big_s = (

@@ -4,11 +4,21 @@ Two paths:
 - brute-force cosine top-k: cross join + JVM-side dot product + window
   top-k. Correctness baseline; at scale only viable when the query set
   is small enough to broadcast (Catalyst picks BroadcastNestedLoopJoin).
-- SRP-LSH bucketed top-k: sign-random-projection buckets shrink the
-  candidate set; recall < 1 traded for a |DB|/2^planes-sized bucket
-  scan. Hyperplanes are derived deterministically from md5 of
-  (plane, dim) — no RNG, so results are reproducible and the pandas
-  oracle can replay them.
+- banded multi-table SRP-LSH top-k: ``n_tables`` independent
+  sign-random-projection tables of ``bits`` bits each; a candidate is
+  any database vector sharing at least one table bucket with the query
+  (union over tables), optionally widened by multiprobe on the query
+  side (flipping the least-confident projection bits). Exact cosine +
+  window top-k run only on the candidate set.
+
+  This is the 100 TB shape: the database pays n_tables bucket keys
+  (one shuffle on the key), every bucket is hard-capped at
+  ``max_bucket`` members (degenerate buckets — zero vectors,
+  boilerplate embeddings — would otherwise be O(bucket * queries)
+  fan-out), and recall is a dial: P(candidate) =
+  1 - (1 - p^bits)^(n_tables * probes) with p = 1 - theta/pi.
+  Hyperplanes are derived deterministically from md5 of (plane, dim) —
+  no RNG, so results are reproducible across runs and engines.
 
 The IVF scale path (k-means coarse quantizer + inverted lists) follows
 the same join shape: assign -> bucket-join -> verify; SRP is used here
@@ -45,9 +55,10 @@ def _plane_coeffs(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
-    """Sign-random-projection bucket id (string of 0/1 bits). ``dim``
-    caps how many leading dimensions participate (extra dims ignored;
-    shorter vectors contribute only their length)."""
+    """Single-table sign-random-projection bucket id (string of 0/1
+    bits) as a pure column expression. Kept for tests / tiny dims; the
+    UDF variants below are the production path (the unrolled expression
+    is n_planes x dim terms, which blows the codegen budget)."""
     planes = _plane_coeffs(n_planes, dim)
 
     def bit(p: int) -> Column:
@@ -64,10 +75,7 @@ def srp_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
 def srp_bucket_udf(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Arrow pandas-UDF variant of srp_bucket: one numpy matmul per
     ~10k-row batch against the same deterministic hyperplane matrix.
-    Preferred for high-dim vectors — the unrolled column expression is
-    n_planes x dim terms (512 for 8x64), which blows past whole-stage
-    codegen budgets; a batched matmul is both faster and scales with
-    Python workers. Sign agreement with srp_bucket holds except at
+    Sign agreement with srp_bucket holds except at
     |projection| < float-epsilon (measure zero)."""
     planes = np.array(_plane_coeffs(n_planes, dim))  # (p, d)
 
@@ -84,6 +92,71 @@ def srp_bucket_udf(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
         return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
 
     return _bucket(vec)
+
+
+def srp_table_keys_udf(
+    vec: Column,
+    n_tables: int = 8,
+    bits: int = 8,
+    dim: int = 64,
+    multiprobe: int = 0,
+) -> Column:
+    """Multi-table SRP bucket keys as array<string>: key ``t{t}|{bits}``
+    per table, where table t uses hyperplanes [t*bits, (t+1)*bits).
+
+    ``multiprobe`` > 0 (query side only) additionally emits, per table,
+    the buckets reached by flipping each of the ``multiprobe``
+    least-confident bits (smallest |projection| — the bits most likely
+    to differ for a true near neighbor), one flip at a time: the classic
+    multiprobe-LSH recall boost at (1 + multiprobe) x key cost instead
+    of more tables (which would multiply the *database* explode too).
+
+    One numpy matmul per Arrow batch; shares srp_bucket's deterministic
+    hyperplane family, so table 0 of a ``bits``-bit index equals
+    srp_bucket(vec, bits)."""
+    planes = np.array(_plane_coeffs(n_tables * bits, dim))  # (T*b, d)
+
+    @F.pandas_udf("array<string>")
+    def _keys(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.zeros((len(vs), dim))
+        for i, v in enumerate(vs):
+            a = np.asarray(v, dtype=float)[:dim]
+            mat[i, : len(a)] = a
+        proj = mat @ planes.T  # (n, T*b)
+        sign = proj >= 0  # (n, T*b)
+        out = []
+        for r in range(sign.shape[0]):
+            keys = []
+            for t in range(n_tables):
+                seg = sign[r, t * bits : (t + 1) * bits]
+                base = "".join("1" if b else "0" for b in seg)
+                keys.append(f"t{t}|{base}")
+                if multiprobe > 0:
+                    conf = np.abs(proj[r, t * bits : (t + 1) * bits])
+                    for j in np.argsort(conf)[:multiprobe]:
+                        flipped = list(base)
+                        flipped[j] = "0" if base[j] == "1" else "1"
+                        keys.append(f"t{t}|{''.join(flipped)}")
+            out.append(keys)
+        return pd.Series(out)
+
+    return _keys(vec)
+
+
+def _cap_buckets(keyed: DataFrame, key: str, id_col: str, max_bucket: int) -> DataFrame:
+    """Keep at most ``max_bucket`` members per bucket (deterministic
+    md5-of-id order). Unlike the dedup operators' drop-the-bucket cap,
+    ANN *truncates* hot buckets: a hot bucket still serves its first
+    ``max_bucket`` members as candidates (graceful recall degradation)
+    instead of vanishing entirely."""
+    w = Window.partitionBy(key).orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_bucket)
+        .drop("_rk")
+    )
 
 
 def brute_force_topk(
@@ -114,21 +187,74 @@ def lsh_topk(
     queries: DataFrame,
     database: DataFrame,
     k: int = 10,
-    n_planes: int = 6,
+    n_tables: int = 8,
+    bits: int = 8,
+    multiprobe: int = 2,
+    max_bucket: int = 1000,
     q_id: str = "q_id",
     q_vec: str = "q_vec",
     db_id: str = "vec_id",
     db_vec: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the SRP bucket, then exact
-    cosine + window top-k inside the bucket. One equi-join shuffle on
-    the bucket key instead of a cross join — the 100 TB path."""
-    qb = queries.select(q_id, q_vec, srp_bucket_udf(F.col(q_vec), n_planes).alias("bkt"))
-    db = database.select(db_id, db_vec, srp_bucket_udf(F.col(db_vec), n_planes).alias("bkt"))
-    scored = qb.join(db, "bkt").withColumn("cosine", cosine_sim(q_vec, db_vec))
+    """Approximate top-k via banded multi-table SRP (see module doc).
+
+    Join shape (the part that must survive 100 TB): ids + bucket keys
+    only flow through the candidate join — the 64-dim vectors re-attach
+    *after* (q_id, vec_id) dedup, so the shuffle carries strings, not
+    arrays. Buckets are capped at ``max_bucket`` database members.
+
+    Recall dial (cos ~0.7, p = 1 - theta/pi ~ 0.745, bits=8):
+    per-probe hit ~0.095, 8 tables x 3 probes -> ~0.91; raise n_tables
+    or multiprobe for more (measured recall: tests/test_dedup_similarity
+    asserts >=0.9 vs brute force on the driver embeddings)."""
+    qk = queries.select(
+        q_id,
+        q_vec,
+        F.explode(
+            srp_table_keys_udf(F.col(q_vec), n_tables, bits, multiprobe=multiprobe)
+        ).alias("bkt"),
+    )
+    dbk = database.select(
+        db_id,
+        F.explode(srp_table_keys_udf(F.col(db_vec), n_tables, bits)).alias("bkt"),
+    )
+    dbk = _cap_buckets(dbk, "bkt", db_id, max_bucket)
+    cand = (
+        qk.select(q_id, "bkt")
+        .join(dbk, "bkt")
+        .select(q_id, db_id)
+        .dropDuplicates([q_id, db_id])
+    )
+    cand = cand.join(queries.select(q_id, q_vec), q_id).join(
+        database.select(db_id, db_vec), db_id
+    )
+    scored = cand.withColumn("cosine", cosine_sim(q_vec, db_vec))
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(db_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(q_id, db_id, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def lsh_recall_at_k(
+    queries: DataFrame,
+    database: DataFrame,
+    k: int = 10,
+    **lsh_kwargs,
+) -> DataFrame:
+    """(q_id, k, recall) — fraction of the exact cosine top-k recovered
+    by lsh_topk, per query. The driver contract asserts recall >= 0.9
+    for every query (see __spark_entry__.q_ann_lsh)."""
+    truth = brute_force_topk(queries, database, k=k).select(
+        "q_id", F.col("vec_id").alias("t_id")
+    )
+    approx = lsh_topk(queries, database, k=k, **lsh_kwargs).select(
+        "q_id", F.col("vec_id").alias("t_id"), F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(approx, ["q_id", "t_id"], "left")
+        .groupBy("q_id")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) / F.count("*")).alias("recall"))
+        .select("q_id", F.lit(k).alias("k"), F.round("recall", 6).alias("recall"))
     )

@@ -76,6 +76,15 @@ def run_pipeline(
     """
     store = StageStore(spark, out_dir)
     p = cfg.params()
+    # input-identity fingerprints (semanticHash of each source plan:
+    # covers paths + upstream transformations) fold into every stage
+    # signature, so a re-run against different inputs into the same
+    # out_dir recomputes instead of serving stale snapshots
+    p["input_fp"] = [
+        df.semanticHash()
+        for df in (documents, entities, embeddings, abbr_map, split_ids)
+        if df is not None
+    ]
     tau = cfg.scoring.threshold
 
     if split_ids is not None:

@@ -27,9 +27,20 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def stage_signature(stage: str, params: dict, parents: list[str]) -> str:
+def stage_signature(
+    stage: str, params: dict, parents: list[str], inputs: list[int] | None = None
+) -> str:
+    """``inputs``: identity fingerprints of the stage's source
+    DataFrames (df.semanticHash() — hashes the canonicalized logical
+    plan, i.e. source paths + transformations). Without them, re-running
+    into the same out_dir with *different inputs* but identical params
+    would silently serve the stale committed snapshot. semanticHash does
+    not see in-place content changes under an unchanged path — for that,
+    use a fresh out_dir per dataset version (documented contract)."""
     payload = json.dumps(
-        {"stage": stage, "params": params, "parents": parents}, sort_keys=True, default=str
+        {"stage": stage, "params": params, "parents": parents, "inputs": inputs or []},
+        sort_keys=True,
+        default=str,
     )
     return hashlib.md5(payload.encode()).hexdigest()
 
@@ -71,6 +82,12 @@ class StageStore:
             self.metrics.append({"stage": stage, "rows": None, "partitions": None})
             return out
         dpath, mpath = self._paths(stage)
+        # invalidate any previous commit BEFORE touching the data: a
+        # crash between the data overwrite and the manifest replace must
+        # leave the stage uncommitted, never an old manifest pointing at
+        # new data (write-then-commit invariant across signature changes)
+        if os.path.exists(mpath):
+            os.remove(mpath)
         df.write.mode("overwrite").parquet(dpath)
         out = self.spark.read.parquet(dpath)
         per_part = (

@@ -16,6 +16,7 @@ from entity_linking_in_biomedical_spark.operators.dedup import (
 )
 from entity_linking_in_biomedical_spark.operators.similarity import (
     brute_force_topk,
+    lsh_recall_at_k,
     lsh_topk,
 )
 
@@ -126,16 +127,43 @@ def test_brute_force_topk_self_is_nearest(spark, emb):
         assert r["q_id"] == r["vec_id"]
 
 
-def test_lsh_topk_subset_of_bucket(spark, emb):
+def test_lsh_topk_self_is_nearest(spark, emb):
     db = emb.limit(300)
     queries = db.limit(4).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    got = lsh_topk(queries, db, k=5, n_planes=4)
+    got = lsh_topk(queries, db, k=5)
     # self always lands in its own bucket -> rank 1 with cosine ~1
     for r in got.filter("rank = 1").collect():
         assert r["q_id"] == r["vec_id"]
         assert r["cosine"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_lsh_recall_contract(spark, emb):
+    """The driver's ann_lsh contract: per-query recall@5 >= 0.9 vs the
+    exact brute-force top-k, at the same index settings the driver query
+    uses (16 tables x 4 bits, multiprobe 2 — sized for the isotropic
+    driver embeddings whose true neighbors sit at cosine ~0.3)."""
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    rec = lsh_recall_at_k(queries, emb, k=5, n_tables=16, bits=4, multiprobe=2).collect()
+    assert len(rec) == 10
+    assert all(r["recall"] >= 0.9 for r in rec), sorted(
+        (r["q_id"], r["recall"]) for r in rec
+    )
+
+
+def test_lsh_bucket_cap_bounds_candidates(spark, emb):
+    """max_bucket truncates hot buckets instead of exploding: with a cap
+    of 3 the candidate set per query is bounded by tables*probes*cap."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = lsh_topk(queries, emb, k=1000, n_tables=2, bits=4, multiprobe=1, max_bucket=3)
+    per_q = got.groupBy("q_id").count().collect()
+    # 2 tables x (1+1 probes) x cap 3 = 12 candidates max per query
+    assert all(r["count"] <= 12 for r in per_q)
 
 
 def test_embedding_near_duplicates(spark):
@@ -147,5 +175,27 @@ def test_embedding_near_duplicates(spark):
         ],
         "vec_id bigint, embedding array<double>",
     )
-    rows = embedding_near_duplicates(df, cosine_threshold=0.95, n_planes=4).collect()
+    rows = embedding_near_duplicates(df, cosine_threshold=0.95).collect()
     assert [(r["a_id"], r["b_id"]) for r in rows] == [("1", "2")]
+
+
+def test_embedding_near_duplicates_bucket_cap(spark):
+    """A degenerate bucket (many identical vectors) is dropped by the
+    max_bucket skew control rather than producing O(n^2) pairs."""
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(20)] + [(100, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = embedding_near_duplicates(df, cosine_threshold=0.95, max_bucket=10).collect()
+    assert got == []  # all 20 identical vectors share every bucket -> capped away
+
+
+def test_simhash_bucket_cap(spark):
+    """Identical docs beyond max_bucket share every block -> dropped."""
+    rows = [(i, "same boilerplate text repeated everywhere") for i in range(8)] + [
+        (100, "totally different content of another kind")
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = simhash_near_duplicates(df, max_bucket=5).collect()
+    assert got == []
+    # and with a cap above the bucket size the pairs come back
+    got2 = simhash_near_duplicates(df, max_bucket=50).collect()
+    assert len(got2) == 8 * 7 // 2

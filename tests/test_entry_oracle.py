@@ -68,6 +68,21 @@ def test_query_runs_and_matches_oracle(spark, duck, name):
     assert a == b, f"{name}: value mismatch, e.g. {mismatch}"
 
 
+def test_er_golden_matches_fresh_oracle():
+    """Drift guard: the frozen er_golden.py rows must equal a fresh run
+    of the single-node pandas oracle (tools/gen_er_golden.py logic). If
+    pipeline math changes legitimately, regenerate the golden."""
+    import er_golden
+    from tools.gen_er_golden import N_DOCS, N_ENTITIES, SEED, golden_rows
+
+    assert (er_golden.N_DOCS, er_golden.N_ENTITIES, er_golden.SEED) == (
+        N_DOCS,
+        N_ENTITIES,
+        SEED,
+    )
+    assert [tuple(r) for r in er_golden.ROWS] == golden_rows()
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
