@@ -54,7 +54,10 @@ def main() -> None:
     from entity_linking_in_biomedical_spark.plans.pipeline import run_pipeline
     from entity_linking_in_biomedical_spark.sources.synthetic import synth_corpus
 
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", 0)) or max(200, int(20000 * sf))
+    # 200k*sf: at sf0.1 the 20k-doc corpus puts fixed costs (IDF fit, CC
+    # digest rounds, Python-worker spin-up) well under half the run, so
+    # the docs/s number reflects engine throughput, not setup
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", 0)) or max(200, int(200000 * sf))
     n_entities = max(100, n_docs // 4)
     corpus = synth_corpus(n_docs=n_docs, n_entities=n_entities, seed=42)
     docs, ents, _, abbr, _ = corpus.to_spark(spark)
@@ -75,12 +78,21 @@ def main() -> None:
     ).collect()
 
     t0 = time.time()
-    res = run_pipeline(spark, docs, ents, embeddings=emb, abbr_map=abbr)
+    res = run_pipeline(
+        spark, docs, ents, embeddings=emb, abbr_map=abbr, eager_stage_timing=True
+    )
     force(res["linked_documents"])
     er_sec = time.time() - t0
     timings["er_pipeline"] = round(er_sec, 3)
     docs_per_sec = round(n_docs / er_sec, 2)
+    # per-stage breakdown (eager barriers inside the same run; the
+    # remainder vs er_pipeline is the final cluster-attach join + sink)
+    er_stages = {
+        m["stage"]: m["sec"] for m in res["metrics"] if m.get("sec") is not None
+    }
     print(f"  er_pipeline: {er_sec:.2f}s ({docs_per_sec} docs/s)", file=sys.stderr)
+    for st, sec in er_stages.items():
+        print(f"    {st}: {sec:.2f}s", file=sys.stderr)
 
     # ---- operator suite over the driver tables ------------------------
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY_ER"):
@@ -91,6 +103,7 @@ def main() -> None:
                     "value": docs_per_sec,
                     "unit": "docs/sec",
                     "queries": timings,
+                    "er_stages": er_stages,
                     "sf": sf,
                     "cpus": cpus,
                     "er_corpus_docs": n_docs,
@@ -129,6 +142,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "er_stages": er_stages,
                 "sf": sf,
                 "cpus": cpus,
                 "er_docs_per_sec": docs_per_sec,

@@ -98,6 +98,38 @@ def deletion_keys(col: Column, max_len: int = 12, del2_max_len: int = 7) -> Colu
     return F.transform(usable, lambda v: F.concat(F.lit("d|"), v))
 
 
+def word_keys(col: Column, word_num_hashes: int = 4) -> Column:
+    """Word-token channel (the reference's word-unigram TF-IDF pass,
+    candidate_generator.py:38-44,114-125): multi-word surfaces whose
+    tokens reorder ("x kinase inhibitor" vs "inhibitor kinase x") share
+    almost no char n-grams, so the char channels miss them.
+
+    Two key families, both namespaced 'w':
+      w|<sorted tokens>   exact sorted-token key (>=2 tokens) — catches
+                          pure reorderings for free;
+      w<k>|<minhash_k>    token-set minhash, 1-row bands (>=3 tokens) —
+                          catches reorder + drop/add of a token
+                          (collision prob per band = token Jaccard).
+    """
+    empty = F.array().cast("array<string>")
+    toks = F.split(col, " ")
+    sorted_key = F.when(
+        F.size(toks) >= 2,
+        F.array(F.concat(F.lit("w|"), F.concat_ws(" ", F.array_sort(toks)))),
+    ).otherwise(empty)
+    if word_num_hashes <= 0:
+        return sorted_key
+    sig = minhash_signature(toks, word_num_hashes)
+    mh = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            sig,
+            lambda v, j: F.concat(F.lit("w"), j.cast("string"), F.lit("|"), v.cast("string")),
+        ),
+    ).otherwise(empty)
+    return F.concat(sorted_key, mh)
+
+
 def blocking_keys(
     col: Column,
     ns: tuple[int, ...] = (2, 3),
@@ -106,10 +138,12 @@ def blocking_keys(
     del_max_len: int = 12,
     lsh_min_len: int = 5,
     del2_max_len: int = 7,
+    word_num_hashes: int = 4,
 ) -> Column:
-    """Unified blocking key array: exact + deletion-neighborhood + LSH
-    bands. Key namespaces cannot collide ('x|'/'d|' prefixes vs 32-char
-    md5 hex)."""
+    """Unified blocking key array: exact + deletion-neighborhood + char
+    LSH bands + word-token channel. Key namespaces cannot collide
+    ('x|'/'d|'/'w|'/'w<k>|' prefixes vs 'l<j>|'-prefixed or 32-char md5
+    band keys)."""
     exact = F.array(F.concat(F.lit("x|"), col))
     dels = deletion_keys(col, del_max_len, del2_max_len)
     lsh = F.when(
@@ -120,15 +154,44 @@ def blocking_keys(
             num_hashes // bands,
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(F.concat(exact, dels, lsh))
+    words = word_keys(col, word_num_hashes)
+    return F.array_distinct(F.concat(exact, dels, lsh, words))
 
 
 def channel_of(bk: Column) -> Column:
     return (
         F.when(bk.startswith("x|"), F.lit("exact"))
         .when(bk.startswith("d|"), F.lit("del"))
+        .when(bk.startswith("w"), F.lit("word"))
         .otherwise(F.lit("lsh"))
     )
+
+
+def surface_blocking_keys(
+    mentions: DataFrame,
+    ns: tuple[int, ...] = (2, 3),
+    num_hashes: int = 12,
+    bands: int = 12,
+    del_max_len: int = 12,
+    lsh_min_len: int = 5,
+    del2_max_len: int = 7,
+    word_num_hashes: int = 4,
+) -> DataFrame:
+    """(norm, bk) for every distinct mention surface — the single most
+    expensive projection of the job (12 md5 minhashes over multigrams
+    per surface), materialized once (lazy localCheckpoint) and SHARED by
+    the mention-entity blocking join and the mention-mention self-join
+    (previously each re-derived it — the keying pass paid twice)."""
+    surfaces = mentions.select("norm").distinct()
+    return surfaces.withColumn(
+        "bk",
+        F.explode(
+            blocking_keys(
+                F.col("norm"), ns, num_hashes, bands, del_max_len, lsh_min_len,
+                del2_max_len, word_num_hashes,
+            )
+        ),
+    ).localCheckpoint(eager=False)
 
 
 def block_size_stats(cands: DataFrame) -> dict:
@@ -157,6 +220,8 @@ def block_candidates(
     del2_max_len: int = 7,
     max_key_freq: int = 64,
     top_k: int = 32,
+    surface_keys: DataFrame | None = None,
+    word_num_hashes: int = 4,
 ) -> DataFrame:
     """mentions(.., norm) × names(cui, norm) -> candidates
     (norm, cui, channel, block_key, has_exact).
@@ -164,8 +229,12 @@ def block_candidates(
     ``block_key`` is a key both sides shared — the north rule's F1 is
     conditioned on pairs at shared blocking keys, so it is carried
     through to the output.
+
+    ``surface_keys``: optional pre-materialized (norm, bk) frame from
+    surface_blocking_keys() — pass it when another stage (the
+    mention-mention self-join) consumes the same keying, so the
+    expensive projection runs once for the whole job.
     """
-    surfaces = mentions.select("norm").distinct()
 
     def with_keys(df: DataFrame) -> DataFrame:
         # the key expression (12 md5 minhashes over multigrams) is the
@@ -174,11 +243,18 @@ def block_candidates(
         return df.withColumn(
             "bk",
             F.explode(
-                blocking_keys(F.col("norm"), ns, num_hashes, bands, del_max_len, lsh_min_len, del2_max_len)
+                blocking_keys(
+                    F.col("norm"), ns, num_hashes, bands, del_max_len, lsh_min_len,
+                    del2_max_len, word_num_hashes,
+                )
             ),
         ).localCheckpoint(eager=False)
 
-    m_keys = with_keys(surfaces)
+    m_keys = (
+        surface_keys
+        if surface_keys is not None
+        else with_keys(mentions.select("norm").distinct())
+    )
     e_keys = with_keys(names.select("cui", "norm")).dropDuplicates(["cui", "bk"])
 
     # hot-key cap (explicit skew control / max_df analogue)

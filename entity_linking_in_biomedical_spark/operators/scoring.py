@@ -26,7 +26,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.strings import jaro_winkler, tfidf_cosine
+from ..functions.strings import jaro_winkler_batch, pack_vocab, tfidf_cosine_batch
 
 
 @dataclass(frozen=True)
@@ -79,17 +79,26 @@ def score_pairs(
     value 0.5 (so the calibration doesn't shift)."""
     idf_bc = spark.sparkContext.broadcast(idf)
     ngram = cfg.ngram
+    # packed-vocab cache: built once per Python worker on first batch
+    # (pack_vocab over 400k grams is ~0.1s — not per-batch work)
+    _vocab_cache: list = []
 
     @F.pandas_udf("struct<jw: double, cos: double>")
     def _jw_cos(a: pd.Series, b: pd.Series) -> pd.DataFrame:
-        idf_d = idf_bc.value
-        jws, coss = [], []
-        for x, y in zip(a, b):
-            x = x or ""
-            y = y or ""
-            jws.append(jaro_winkler(x, y))
-            coss.append(tfidf_cosine(x, y, idf_d, n=ngram))
-        return pd.DataFrame({"jw": jws, "cos": coss})
+        # fully vectorized numpy kernels over the whole Arrow batch —
+        # no per-row Python (see functions/strings.py batch kernels;
+        # equality with the scalar reference is unit-tested)
+        if not _vocab_cache:
+            _vocab_cache.append(pack_vocab(idf_bc.value))
+        vocab_codes, vocab_idf = _vocab_cache[0]
+        xs = ["" if x is None else x for x in a.tolist()]
+        ys = ["" if y is None else y for y in b.tolist()]
+        return pd.DataFrame(
+            {
+                "jw": jaro_winkler_batch(xs, ys),
+                "cos": tfidf_cosine_batch(xs, ys, vocab_codes, vocab_idf, n=ngram),
+            }
+        )
 
     # Compute the dot FIRST and drop the vector columns immediately:
     # a 64-dim double pair is ~1 KB/row, and everything downstream

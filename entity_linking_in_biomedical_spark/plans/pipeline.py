@@ -26,7 +26,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..operators.blocking import block_candidates, entity_names
+from ..operators.blocking import block_candidates, entity_names, surface_blocking_keys
 from ..operators.clustering import connected_components
 from ..operators.mentions import extract_mentions
 from ..operators.scoring import ScoringConfig, fit_idf, score_pairs
@@ -44,6 +44,7 @@ class PipelineConfig:
     del_max_len: int = 12  # deletion-neighborhood channel bound
     del2_max_len: int = 7  # delete-2 depth for very short strings
     lsh_min_len: int = 5  # skip LSH for very short strings (deletion covers)
+    word_num_hashes: int = 4  # word-token minhash channel (0 disables)
     mm_threshold: float = 0.7  # mention-mention edges need more evidence
     max_key_freq: int = 64  # keys shared by more entities discriminate nothing
     top_k: int = 32  # reference's hardest-negative count (dataset.py:103)
@@ -64,6 +65,7 @@ def run_pipeline(
     split_ids: DataFrame | None = None,
     cfg: PipelineConfig = PipelineConfig(),
     out_dir: str | None = None,
+    eager_stage_timing: bool = False,
 ) -> dict:
     """Returns dict with DataFrames: mentions, candidates, me_scores,
     mm_scores, assignments, mention_clusters, linked_documents — plus
@@ -74,7 +76,7 @@ def run_pipeline(
     ``out_dir``: when set, each stage commits a Parquet snapshot +
     manifest and re-runs resume from the last committed stage.
     """
-    store = StageStore(spark, out_dir)
+    store = StageStore(spark, out_dir, eager_timing=eager_stage_timing)
     p = cfg.params()
     # input-identity fingerprints (semanticHash of each source plan:
     # covers paths + upstream transformations) fold into every stage
@@ -103,6 +105,19 @@ def run_pipeline(
 
     names = entity_names(entities)
 
+    # the surface keying frame is shared by blocking (stage 2) and the
+    # mention-mention channel (stage 3b) — one keying pass for the job
+    surf_keys = surface_blocking_keys(
+        mentions,
+        ns=cfg.block_ngrams,
+        num_hashes=cfg.num_hashes,
+        bands=cfg.bands,
+        del_max_len=cfg.del_max_len,
+        lsh_min_len=cfg.lsh_min_len,
+        del2_max_len=cfg.del2_max_len,
+        word_num_hashes=cfg.word_num_hashes,
+    )
+
     # ---- stage 2: blocking -------------------------------------------
     sig_cands = stage_signature("candidates", p, [sig_mentions])
     cands = store.get_or_compute(
@@ -119,11 +134,22 @@ def run_pipeline(
             del2_max_len=cfg.del2_max_len,
             max_key_freq=cfg.max_key_freq,
             top_k=cfg.top_k,
+            surface_keys=surf_keys,
+            word_num_hashes=cfg.word_num_hashes,
         ),
     )
 
     # ---- stage 3: pairwise scoring -----------------------------------
-    idf = fit_idf(names, ngram=cfg.ngram, vocab_cap=cfg.scoring.vocab_cap)
+    if eager_stage_timing:
+        import time as _time
+
+        _t0 = _time.time()
+        idf = fit_idf(names, ngram=cfg.ngram, vocab_cap=cfg.scoring.vocab_cap)
+        store.metrics.append(
+            {"stage": "idf_fit", "rows": len(idf), "sec": round(_time.time() - _t0, 3)}
+        )
+    else:
+        idf = fit_idf(names, ngram=cfg.ngram, vocab_cap=cfg.scoring.vocab_cap)
 
     def with_emb(df: DataFrame, key: str, out: str) -> DataFrame:
         if embeddings is None:
@@ -167,25 +193,9 @@ def run_pipeline(
         # blocking key (J6/J7 semantics at inference: same block ≙ same
         # doc/cui grouping in the reference). Needed so NIL surface
         # variants cluster together without an entity bridge.
-        from ..operators.blocking import blocking_keys
-
-        surf = mentions.select("norm").distinct()
-        # materialize the keying once — consumed by the hot-key count
-        # and both sides of the self-join
-        b = surf.withColumn(
-            "bk",
-            F.explode(
-                blocking_keys(
-                    F.col("norm"),
-                    cfg.block_ngrams,
-                    cfg.num_hashes,
-                    cfg.bands,
-                    cfg.del_max_len,
-                    cfg.lsh_min_len,
-                    cfg.del2_max_len,
-                )
-            ),
-        ).localCheckpoint(eager=False)
+        # Reuses the stage-2 keying frame (surf_keys) — the identical
+        # blocking_keys explode was previously derived twice per job.
+        b = surf_keys
         # hot-band cap on the surface side (same skew control as blocking)
         hot = (
             b.groupBy("bk").agg(F.count("*").alias("kf"))

@@ -46,9 +46,16 @@ def stage_signature(
 
 
 class StageStore:
-    def __init__(self, spark: SparkSession, out_dir: str | None):
+    def __init__(
+        self, spark: SparkSession, out_dir: str | None, eager_timing: bool = False
+    ):
+        """``eager_timing``: force (count) each stage at commit time and
+        record wall seconds in metrics — the bench's per-stage breakdown.
+        Off by default: eager materialization adds one job per stage
+        (driver-side fixed cost that hurts scaling efficiency)."""
         self.spark = spark
         self.out_dir = out_dir
+        self.eager_timing = eager_timing
         self.metrics: list[dict] = []
 
     def _paths(self, stage: str) -> tuple[str, str]:
@@ -115,5 +122,15 @@ class StageStore:
         if self.committed(stage, signature):
             out = self.load(stage)
             self.metrics.append({"stage": stage, "rows": None, "resumed": True})
+            return out
+        if self.eager_timing:
+            import time
+
+            t0 = time.time()
+            out = self.commit(stage, signature, compute())
+            rows = out.count()  # force materialization inside the timer
+            self.metrics.append(
+                {"stage": stage, "rows": rows, "sec": round(time.time() - t0, 3)}
+            )
             return out
         return self.commit(stage, signature, compute())

@@ -66,9 +66,28 @@ def band_keys(s: str, ns: tuple, num_hashes: int, bands: int) -> list[str]:
     ]
 
 
+def word_keys_py(s: str, word_num_hashes: int) -> list[str]:
+    """Python twin of operators.blocking.word_keys."""
+    from entity_linking_in_biomedical_spark.functions.ngrams import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    toks = s.split(" ")
+    keys = []
+    if len(toks) >= 2:
+        keys.append("w|" + " ".join(sorted(toks)))
+    if word_num_hashes > 0 and len(toks) >= 3:
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % MINHASH_P for t in toks]
+        for k in range(word_num_hashes):
+            a, b = minhash_coeffs(k)
+            keys.append(f"w{k}|{min((a * h + b) % MINHASH_P for h in hs)}")
+    return keys
+
+
 def blocking_keys_py(s: str, cfg) -> list[str]:
     """Python twin of operators.blocking.blocking_keys (exact + deletion
-    neighborhood + LSH bands), order-preserving distinct."""
+    neighborhood + LSH bands + word channel), order-preserving distinct."""
     keys = ["x|" + s]
     if len(s) <= cfg.del_max_len:
         d1 = [s[:i] + s[i + 1 :] for i in range(len(s))]
@@ -78,6 +97,7 @@ def blocking_keys_py(s: str, cfg) -> list[str]:
         keys += ["d|" + v for v in variants if len(v) >= 3]
     if len(s) >= cfg.lsh_min_len:
         keys += band_keys(s, cfg.block_ngrams, cfg.num_hashes, cfg.bands)
+    keys += word_keys_py(s, getattr(cfg, "word_num_hashes", 4))
     out, seen = [], set()
     for k in keys:
         if k not in seen:

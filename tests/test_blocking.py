@@ -103,3 +103,29 @@ def test_entity_names_explode_dedup(spark):
     got = entity_names(ents).collect()
     norms = sorted(r["norm"] for r in got)
     assert norms == ["bc tumor", "breast cancer"]  # case-dup collapsed
+
+
+def test_word_channel_catches_token_reorder(spark):
+    """Reordered multi-word synonyms share no useful char n-grams or
+    deletion variants — only the word channel blocks them together."""
+    from entity_linking_in_biomedical_spark.operators.blocking import blocking_keys
+
+    df = spark.createDataFrame(
+        [("egfr kinase inhibitor", "kinase egfr inhibitor")], "a string, b string"
+    )
+    row = df.select(
+        blocking_keys(F.col("a")).alias("ka"), blocking_keys(F.col("b")).alias("kb")
+    ).collect()[0]
+    # pure reorderings are GUARANTEED a shared sorted-token key (char
+    # LSH also usually collides here, but only probabilistically)
+    shared_w = {k for k in set(row["ka"]) & set(row["kb"]) if k.startswith("w")}
+    assert "w|egfr inhibitor kinase" in shared_w
+    # token minhash keys shared too (identical token sets)
+    assert any(k.startswith("w0|") for k in shared_w)
+    # and the oracle twin produces the identical key sets
+    from entity_linking_in_biomedical_spark.plans.pipeline import PipelineConfig
+    from tests.oracle_impl import blocking_keys_py
+
+    cfg = PipelineConfig()
+    assert sorted(row["ka"]) == sorted(blocking_keys_py("egfr kinase inhibitor", cfg))
+    assert sorted(row["kb"]) == sorted(blocking_keys_py("kinase egfr inhibitor", cfg))

@@ -118,3 +118,74 @@ def test_vector_helpers(spark):
     ).collect()
     assert got[0]["d"] == pytest.approx(1.0) and got[0]["c"] == pytest.approx(1.0)
     assert got[1]["d"] == pytest.approx(0.0) and got[1]["c"] == pytest.approx(0.0)
+
+
+# ---------------------------------------------------------------------------
+# batch kernels == scalar reference (the production scoring path)
+# ---------------------------------------------------------------------------
+
+
+def _random_pairs():
+    import random
+
+    random.seed(1234)
+    alph = "abcdefghij 0123é漢"
+    pool = [
+        "".join(random.choice(alph) for _ in range(random.randint(0, 15)))
+        for _ in range(500)
+    ]
+    a = [random.choice(pool) for _ in range(1500)]
+    b = [random.choice(pool) for _ in range(1500)]
+    # adversarial fixtures: empties, equals, prefixes, unicode
+    a += ["", "", "martha", "MARTHA", "dwayne", "abc", "ab", "é漢é"]
+    b += ["", "x", "marhta", "MARHTA", "duane", "abc", "abd", "é漢x"]
+    return a, b
+
+
+def test_jaro_winkler_batch_equals_scalar():
+    from entity_linking_in_biomedical_spark.functions.strings import (
+        jaro_winkler,
+        jaro_winkler_batch,
+    )
+
+    a, b = _random_pairs()
+    got = jaro_winkler_batch(a, b)
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert got[i] == pytest.approx(jaro_winkler(x, y), abs=1e-12), (x, y)
+
+
+def test_tfidf_cosine_batch_equals_scalar():
+    from collections import Counter
+
+    from entity_linking_in_biomedical_spark.functions.strings import (
+        _grams,
+        pack_vocab,
+        tfidf_cosine,
+        tfidf_cosine_batch,
+    )
+
+    a, b = _random_pairs()
+    dfc = Counter()
+    for s in a + b:
+        dfc.update(set(_grams(s, 3)))
+    idf = {g: math.log((len(a) + 1) / (d + 1)) + 1.0 for g, d in dfc.items()}
+    vc, vi = pack_vocab(idf)
+    got = tfidf_cosine_batch(a, b, vc, vi, n=3)
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert got[i] == pytest.approx(tfidf_cosine(x, y, idf, n=3), abs=1e-12), (x, y)
+
+
+def test_batch_kernels_empty_and_null_safe():
+    import numpy as np
+
+    from entity_linking_in_biomedical_spark.functions.strings import (
+        jaro_winkler_batch,
+        tfidf_cosine_batch,
+    )
+
+    assert len(jaro_winkler_batch([], [])) == 0
+    vc = np.zeros(0, dtype=np.int64)
+    vi = np.zeros(0)
+    assert len(tfidf_cosine_batch([], [], vc, vi)) == 0
+    got = jaro_winkler_batch([None, "a"], ["a", None])
+    assert got[0] == 0.0 and got[1] == 0.0
