@@ -769,6 +769,65 @@ order by a_id, b_id
 """
 
 
+def q_semi_hard_negatives(spark, sf_dir):
+    """W3 (batch_sampler.py:242-264): per customer, 'positive' orders
+    are the URGENT ones; pick the semi-hard negative — the priciest
+    non-urgent order strictly inside (best_pos - margin, best_pos) —
+    falling back to the cheapest negative if any negative outprices the
+    positive, else the priciest."""
+    from entity_linking_in_biomedical_spark.operators.negatives import (
+        semi_hard_negatives,
+    )
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    pairs = orders.select(
+        F.col("o_custkey").alias("anchor"),
+        F.col("o_orderkey").alias("cand"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2).cast("double").alias("score"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("is_pos"),
+    )
+    return (
+        semi_hard_negatives(pairs, margin=20000.0)
+        .select("anchor", "cand", "score", "kind")
+        .orderBy("anchor")
+    )
+
+
+ORACLE_SEMI_HARD = """
+with pairs as (
+  select o_custkey as anchor, o_orderkey as cand,
+         cast(round(cast(o_totalprice as decimal(18,2)), 2) as double) as score,
+         (o_orderpriority = '1-URGENT') as is_pos
+  from orders where o_custkey < 500
+),
+pos as (select anchor, max(score) as pos from pairs where is_pos group by anchor),
+negs as (
+  select p.anchor, p.cand, p.score, o.pos,
+         (p.score < o.pos and p.score > o.pos - 20000.0) as in_band
+  from pairs p join pos o using (anchor) where not p.is_pos
+),
+kinds as (
+  select anchor, bool_or(in_band) as has_band, bool_or(score >= pos) as any_ge
+  from negs group by anchor
+),
+eligible as (
+  select n.anchor, n.cand, n.score,
+         case when k.has_band then 'semi_hard'
+              when k.any_ge then 'easiest' else 'hardest' end as kind
+  from negs n join kinds k using (anchor)
+  where n.in_band or not k.has_band
+),
+ranked as (
+  select *, row_number() over (
+    partition by anchor
+    order by (case when kind = 'easiest' then score else -score end) asc, cand asc
+  ) as rk
+  from eligible
+)
+select anchor, cand, score, kind from ranked where rk = 1 order by anchor
+"""
+
+
 def q_er_synthetic(spark, sf_dir):
     """Full three-stage ER pipeline on the deterministic synthetic
     corpus (no external data; seeded) — value-checked against
@@ -832,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "simhash_dedup": q_simhash_dedup,
+        "semi_hard_negatives": q_semi_hard_negatives,
         "er_synthetic": q_er_synthetic,
     }
 
@@ -863,6 +923,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force": ORACLE_ANN,
         "ann_lsh": ORACLE_ANN_LSH,
         "simhash_dedup": _oracle_simhash_dedup(),
+        "semi_hard_negatives": ORACLE_SEMI_HARD,
         # er_synthetic: golden-values oracle, see _oracle_er_synthetic
         "er_synthetic": _oracle_er_synthetic(),
     }
