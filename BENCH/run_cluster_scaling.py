@@ -132,7 +132,8 @@ def run_bench(total_cores: int, zpath: str, n_docs: str) -> float:
     if not lines:
         sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:])
         raise RuntimeError("bench produced no JSON")
-    return float(json.loads(lines[-1])["queries"]["er_pipeline"])
+    rec = json.loads(lines[-1])
+    return float(rec["queries"]["er_pipeline"]), rec.get("er_stages", {})
 
 
 def _spin(n: int) -> int:
@@ -162,14 +163,20 @@ def main() -> None:
     zpath = make_pyfiles_zip()
     master = start_master()
     results = {"2w": [], "8w": []}
+    stages = {"2w": [], "8w": []}
     try:
         for r in range(rounds):
             for tag, nw in (("2w", 2), ("8w", 8)):
                 workers = start_workers(nw)
                 try:
-                    t = run_bench(nw * 4, zpath, n_docs)
+                    t, st = run_bench(nw * 4, zpath, n_docs)
                     results[tag].append(t)
-                    print(f"round {r}: {nw} workers ({nw * 4} cores): {t:.1f}s", file=sys.stderr)
+                    stages[tag].append(st)
+                    print(
+                        f"round {r}: {nw} workers ({nw * 4} cores): {t:.1f}s "
+                        f"stages={st}",
+                        file=sys.stderr,
+                    )
                 finally:
                     stop(workers)
                     for i in range(nw):
@@ -177,6 +184,11 @@ def main() -> None:
     finally:
         stop([master])
     t_n, t_4n = min(results["2w"]), min(results["8w"])
+    # per-stage timings of the fastest run at each level: a serial
+    # choke-point would show as a stage whose seconds do NOT shrink
+    # from N to 4N executors
+    st_n = stages["2w"][results["2w"].index(t_n)]
+    st_4n = stages["8w"][results["8w"].index(t_4n)]
     nd = int(n_docs)
     eff = (t_n / t_4n) / 4
     out = {
@@ -190,6 +202,13 @@ def main() -> None:
         "scaling_efficiency": round(eff, 4),
         "efficiency_vs_cpu_ceiling": round(eff / ceil["ceiling"], 4),
         "cpu_ceiling": ceil,
+        "stages_N_sec": st_n,
+        "stages_4N_sec": st_4n,
+        "per_stage_speedup_N_to_4N": {
+            k: round(st_n[k] / st_4n[k], 3)
+            for k in st_n
+            if k in st_4n and st_4n[k]
+        },
         "all_runs": results,
     }
     print(json.dumps(out))

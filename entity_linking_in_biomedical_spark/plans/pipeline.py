@@ -30,7 +30,7 @@ from ..operators.blocking import block_candidates, entity_names, surface_blockin
 from ..operators.clustering import connected_components
 from ..operators.mentions import extract_mentions
 from ..operators.scoring import ScoringConfig, fit_idf, score_pairs
-from .resume import StageStore, stage_signature
+from .resume import make_stage_store, stage_signature
 
 
 @dataclass(frozen=True)
@@ -73,10 +73,13 @@ def run_pipeline(
 
     ``embeddings``: optional (norm string, embedding array<float>)
     lookup used for the dense dot-product feature.
-    ``out_dir``: when set, each stage commits a Parquet snapshot +
-    manifest and re-runs resume from the last committed stage.
+    ``out_dir``: when set, each stage commits a snapshot + manifest and
+    re-runs resume from the last committed stage. A plain path uses the
+    Parquet+manifest store; ``iceberg://catalog.namespace`` commits each
+    stage as an Iceberg table (north-rule storage contract) when the
+    session has an Iceberg catalog configured.
     """
-    store = StageStore(spark, out_dir, eager_timing=eager_stage_timing)
+    store = make_stage_store(spark, out_dir, eager_timing=eager_stage_timing)
     p = cfg.params()
     # input-identity fingerprints (semanticHash of each source plan:
     # covers paths + upstream transformations) fold into every stage

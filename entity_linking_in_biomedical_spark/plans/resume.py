@@ -134,3 +134,104 @@ class StageStore:
             )
             return out
         return self.commit(stage, signature, compute())
+
+
+class IcebergStageStore(StageStore):
+    """Iceberg-backed stage snapshots — the north rule's storage contract
+    taken literally where a catalog is available.
+
+    ``ref`` is ``catalog.namespace``; each stage becomes the table
+    ``<catalog>.<namespace>.<stage>``. The commit signature rides as a
+    table property inside the same ``createOrReplace`` transaction as
+    the data, so data + manifest swap atomically in one Iceberg snapshot
+    — the write-then-commit invariant the Parquet emulation enforces by
+    hand (delete manifest → overwrite data → os.replace manifest) is
+    native here. Per-partition lineage comes from Iceberg's own file
+    manifests; we still record row metrics for parity with the base
+    store.
+
+    Requires ``iceberg-spark-runtime`` on the session classpath and a
+    configured ``spark.sql.catalog.<name>``; ``available()`` probes for
+    both so callers (and tests) can fall back to the Parquet store.
+    """
+
+    SIG_PROP = "el.stage.signature"
+
+    def __init__(
+        self, spark: SparkSession, ref: str, eager_timing: bool = False
+    ):
+        super().__init__(spark, out_dir=ref, eager_timing=eager_timing)
+        self.ref = ref
+        catalog = ref.split(".", 1)[0]
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+        if impl is None:
+            raise RuntimeError(
+                f"Iceberg stage store requested but no catalog "
+                f"'spark.sql.catalog.{catalog}' is configured on this "
+                f"session; configure an Iceberg catalog or use a plain "
+                f"path out_dir for the Parquet store"
+            )
+
+    @staticmethod
+    def available(spark: SparkSession) -> bool:
+        """True iff the Iceberg Spark runtime is on the classpath."""
+        try:
+            spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+            return True
+        except Exception:
+            return False
+
+    def _table(self, stage: str) -> str:
+        return f"{self.ref}.{stage}"
+
+    def committed(self, stage: str, signature: str) -> bool:
+        try:
+            props = {
+                r["key"]: r["value"]
+                for r in self.spark.sql(
+                    f"SHOW TBLPROPERTIES {self._table(stage)}"
+                ).collect()
+            }
+        except Exception:  # table absent → not committed
+            return False
+        return props.get(self.SIG_PROP) == signature
+
+    def load(self, stage: str) -> DataFrame:
+        return self.spark.read.table(self._table(stage))
+
+    def commit(self, stage: str, signature: str, df: DataFrame) -> DataFrame:
+        tbl = self._table(stage)
+        (
+            df.writeTo(tbl)
+            .using("iceberg")
+            .tableProperty(self.SIG_PROP, signature)
+            .createOrReplace()  # one atomic snapshot: data + signature
+        )
+        out = self.spark.read.table(tbl)
+        rows = out.count()
+        self.metrics.append({"stage": stage, "rows": rows, "table": tbl})
+        return out
+
+
+def make_stage_store(
+    spark: SparkSession, out_dir: str | None, eager_timing: bool = False
+) -> StageStore:
+    """Pick the stage-store backend from the out_dir spec:
+
+    - ``None`` → no persistence (lazy localCheckpoint barriers)
+    - ``iceberg://catalog.namespace`` → :class:`IcebergStageStore`
+      (raises with a clear message if the runtime/catalog is absent)
+    - any other string → Parquet+manifest :class:`StageStore`
+    """
+    if out_dir is not None and out_dir.startswith("iceberg://"):
+        ref = out_dir[len("iceberg://") :]
+        if not IcebergStageStore.available(spark):
+            raise RuntimeError(
+                "iceberg:// stage store requested but the Iceberg Spark "
+                "runtime is not on this session's classpath (add the "
+                "iceberg-spark-runtime jar via spark.jars.packages)"
+            )
+        return IcebergStageStore(spark, ref, eager_timing=eager_timing)
+    return StageStore(spark, out_dir, eager_timing=eager_timing)

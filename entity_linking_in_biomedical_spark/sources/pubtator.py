@@ -124,22 +124,67 @@ def build_entities(mrconso: DataFrame, mrsty: DataFrame) -> DataFrame:
 def read_ab3p(spark: SparkSession, path: str) -> DataFrame:
     """Ab3P output scan (S4): ``doc`` header lines then
     ``  abbr|long|score`` rows (medmention_preprocess.py:109-122).
-    Uses a window to carry the doc id forward — no Python loop."""
+
+    Fill-forward of the doc header is two-level so no single-partition
+    window exists: a per-input-split window carries the header within
+    each split, and an O(#splits) carry-in frame (one row per split,
+    broadcast back) covers rows that precede the first header of their
+    split. Scales to arbitrarily large Ab3P files.
+
+    Ordering notes: within one split, ``monotonically_increasing_id``
+    follows byte offset. Across splits of the SAME file, Spark's
+    size-descending split packing is a stable sort over equal-size
+    chunks, so partition index (the id's high bits) still follows
+    offset order; the undersized tail chunk sorts later but is also
+    last by offset. Across DIFFERENT files no byte order exists, so the
+    carry chain orders by (file name, split) — the standard
+    lexicographic part-file convention.
+    """
     from pyspark.sql import Window
 
     lines = (
         spark.read.text(path)
-        .select(F.monotonically_increasing_id().alias("ln"), "value")
+        .select(
+            F.input_file_name().alias("fname"),
+            F.monotonically_increasing_id().alias("ln"),
+            "value",
+        )
         .filter(F.length(F.trim("value")) > 0)
     )
+    # high bits of monotonically_increasing_id = partition (split) index
     tagged = lines.select(
+        "fname",
         "ln",
+        F.shiftright("ln", 33).alias("blk"),
         "value",
         F.when(~F.col("value").startswith(" "), F.col("value")).alias("doc_hdr"),
     )
-    w = Window.orderBy("ln").rowsBetween(Window.unboundedPreceding, 0)
+    w_in = (
+        Window.partitionBy("fname", "blk")
+        .orderBy("ln")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged.withColumn("fill", F.last("doc_hdr", ignorenulls=True).over(w_in))
+    # carry-in: the last header of any *earlier* split. One row per
+    # input split, so the unpartitioned window is O(#splits), not O(rows).
+    blk_last = (
+        tagged.filter(F.col("doc_hdr").isNotNull())
+        .groupBy("fname", "blk")
+        .agg(F.max_by("doc_hdr", "ln").alias("blk_hdr"))
+    )
+    w_blk = Window.orderBy("fname", "blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = (
+        tagged.select("fname", "blk")
+        .distinct()
+        .join(blk_last, ["fname", "blk"], "left")
+        .withColumn("carry", F.last("blk_hdr", ignorenulls=True).over(w_blk))
+        .select("fname", "blk", "carry")
+    )
     return (
-        tagged.withColumn("doc_id", F.last("doc_hdr", ignorenulls=True).over(w))
+        filled.join(F.broadcast(carry), ["fname", "blk"])
+        .withColumn("doc_id", F.coalesce("fill", "carry"))
         .filter(F.col("doc_hdr").isNull())
         .select(
             "doc_id",

@@ -84,6 +84,27 @@ def test_read_ab3p(spark, tmp_path):
     ]
 
 
+def test_read_ab3p_multisplit_carry(spark, tmp_path):
+    """Headers must carry across input splits: write many files (each
+    becomes its own split/block), some containing only continuation
+    rows, so the cross-block carry-in path is exercised."""
+    d = tmp_path / "ab3p_many"
+    d.mkdir()
+    # file ordering = lexicographic path order = block order
+    (d / "part-00.txt").write_text("D1\n  A1|alpha one|0.9\n")
+    (d / "part-01.txt").write_text("  A2|alpha two|0.9\n")  # no header: carries D1
+    (d / "part-02.txt").write_text("D2\n  B1|beta one|0.8\n")
+    (d / "part-03.txt").write_text("  B2|beta two|0.8\n  B3|beta three|0.7\n")
+    got = read_ab3p(spark, str(d)).orderBy("abbr").collect()
+    assert [(r["doc_id"], r["abbr"], r["long_form"]) for r in got] == [
+        ("D1", "A1", "alpha one"),
+        ("D1", "A2", "alpha two"),
+        ("D2", "B1", "beta one"),
+        ("D2", "B2", "beta two"),
+        ("D2", "B3", "beta three"),
+    ]
+
+
 def test_wrap_flat_documents(spark):
     flat = spark.createDataFrame([(7, "hello world", "en")], "doc_id bigint, text string, lang string")
     got = wrap_flat_documents(flat).collect()[0]
