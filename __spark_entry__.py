@@ -39,6 +39,7 @@ from entity_linking_in_biomedical_spark.operators.dedup import (
 )
 from entity_linking_in_biomedical_spark.operators.similarity import (
     brute_force_topk,
+    ivf_recall_at_k,
     lsh_recall_at_k,
 )
 
@@ -722,6 +723,34 @@ from embeddings where vec_id < 5 order by q_id
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN, checked as a recall contract like
+    q_ann_lsh. The driver embeddings are ISOTROPIC random vectors —
+    IVF's documented worst case (no cluster structure for the coarse
+    quantizer to exploit), so the contract here is recall >= 0.8 at
+    nprobe=12/16 (75% scan). On clustered embeddings — the actual
+    deployment regime — the same operator hits recall >= 0.9 scanning
+    10% of the database (tests/test_dedup_similarity.py::
+    test_ivf_recall_on_clustered_data). Fully deterministic: md5-ordered
+    sample, first-k init, fixed Lloyd iterations."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    rec = ivf_recall_at_k(queries, emb, k=5, n_centroids=16, nprobe=12)
+    return rec.select(
+        "q_id",
+        F.col("k").cast("int").alias("k"),
+        (F.col("recall") >= 0.8).alias("recall_ok"),
+    ).orderBy("q_id")
+
+
+ORACLE_ANN_IVF = """
+select vec_id as q_id, cast(5 as int) as k, true as recall_ok
+from embeddings where vec_id < 5 order by q_id
+"""
+
+
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs; DuckDB twin reproduces the md5 token
     hashing, the 60-bit vote fold, the decimal block keys, the bucket
@@ -890,6 +919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "simhash_dedup": q_simhash_dedup,
         "semi_hard_negatives": q_semi_hard_negatives,
         "er_synthetic": q_er_synthetic,
@@ -922,6 +952,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ORACLE_DOC_FP,
         "ann_brute_force": ORACLE_ANN,
         "ann_lsh": ORACLE_ANN_LSH,
+        "ann_ivf": ORACLE_ANN_IVF,
         "simhash_dedup": _oracle_simhash_dedup(),
         "semi_hard_negatives": ORACLE_SEMI_HARD,
         # er_synthetic: golden-values oracle, see _oracle_er_synthetic

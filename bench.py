@@ -131,6 +131,7 @@ def main() -> None:
         "doc_fingerprint",
         "ann_brute_force",
         "ann_lsh",
+        "ann_ivf",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -20,9 +20,16 @@ Two paths:
   Hyperplanes are derived deterministically from md5 of (plane, dim) —
   no RNG, so results are reproducible across runs and engines.
 
-The IVF scale path (k-means coarse quantizer + inverted lists) follows
-the same join shape: assign -> bucket-join -> verify; SRP is used here
-because it needs no training pass.
+- IVF top-k (inverted-file index): a spherical k-means coarse
+  quantizer trained on a bounded deterministic sample partitions the
+  database into ``n_centroids`` inverted lists; queries probe their
+  ``nprobe`` nearest lists. Same join shape as LSH
+  (assign -> bucket-join on list id -> exact verify), but the
+  partitioning is *data-adaptive*: on clustered real-world embeddings
+  a small nprobe/n_centroids ratio scans a tiny, relevant fraction of
+  the database, where SRP's data-oblivious hyperplanes need many
+  tables. The training pass is the price; it is bounded (sample_cap
+  rows collected once, FAISS-style) regardless of database size.
 """
 
 from __future__ import annotations
@@ -237,24 +244,179 @@ def lsh_topk(
     )
 
 
+def fit_ivf_centroids(
+    database: DataFrame,
+    n_centroids: int = 64,
+    dim: int = 64,
+    sample_cap: int = 20000,
+    iters: int = 8,
+    db_id: str = "vec_id",
+    db_vec: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained on a bounded
+    deterministic sample (FAISS-style: the quantizer never sees the
+    full database, so driver memory is O(sample_cap * dim) at ANY
+    database size).
+
+    Deterministic end to end — the sample is the first ``sample_cap``
+    rows in md5(id) order, init is the first ``n_centroids`` sample
+    vectors, and Lloyd updates are plain numpy — so index builds are
+    reproducible across runs and partitionings. Returns an
+    L2-normalized (n_centroids, dim) matrix; assignment is argmax dot
+    = nearest by cosine."""
+    rows = (
+        database.select(db_id, db_vec)
+        .orderBy(F.md5(F.col(db_id).cast("string")), F.col(db_id))
+        .limit(sample_cap)
+        .collect()
+    )
+    mat = np.zeros((len(rows), dim))
+    for i, r in enumerate(rows):
+        a = np.asarray(r[db_vec], dtype=float)[:dim]
+        mat[i, : len(a)] = a
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = mat / np.where(norms == 0, 1.0, norms)
+    k = min(n_centroids, len(mat))
+    cent = mat[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)  # (n,)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):  # empty cluster keeps its old centroid
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def ivf_assign_udf(vec: Column, centroids: np.ndarray, nprobe: int = 1) -> Column:
+    """array<int> of the ``nprobe`` nearest inverted lists (by cosine
+    against the normalized centroid matrix). One numpy matmul per Arrow
+    batch; the centroid matrix rides in the UDF closure (tiny:
+    n_centroids x dim floats)."""
+    cent = np.asarray(centroids, dtype=float)
+    dim = cent.shape[1]
+    p = min(nprobe, cent.shape[0])
+
+    @F.pandas_udf("array<int>")
+    def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.zeros((len(vs), dim))
+        for i, v in enumerate(vs):
+            a = np.asarray(v, dtype=float)[:dim]
+            mat[i, : len(a)] = a
+        sim = mat @ cent.T  # (n, C); argmax dot == nearest cosine
+        top = np.argsort(-sim, axis=1)[:, :p]
+        return pd.Series([row.tolist() for row in top])
+
+    return _assign(vec)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    database: DataFrame,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    max_list: int = 100000,
+    sample_cap: int = 20000,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    db_id: str = "vec_id",
+    db_vec: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: train quantizer -> assign database rows to
+    their single nearest list -> queries probe their ``nprobe`` nearest
+    lists -> exact cosine + window top-k on the candidates.
+
+    Join shape matches lsh_topk: only (id, list) pairs flow through the
+    candidate join; vectors re-attach after (q_id, vec_id) dedup. Each
+    inverted list is truncated at ``max_list`` members (deterministic
+    md5 order) so a degenerate centroid — all-zero vectors, boilerplate
+    embeddings — cannot turn the list join into a cross join. Expected
+    scan fraction is nprobe/n_centroids of the database; raise
+    n_centroids with database size (sqrt(N) is the usual rule) to keep
+    lists shuffle-partition-sized."""
+    cent = fit_ivf_centroids(
+        database,
+        n_centroids=n_centroids,
+        sample_cap=sample_cap,
+        db_id=db_id,
+        db_vec=db_vec,
+    )
+    dbk = database.select(
+        db_id,
+        F.explode(ivf_assign_udf(F.col(db_vec), cent, nprobe=1)).alias("ivf_list"),
+    )
+    dbk = _cap_buckets(dbk, "ivf_list", db_id, max_list)
+    qk = queries.select(
+        q_id,
+        F.explode(ivf_assign_udf(F.col(q_vec), cent, nprobe=nprobe)).alias(
+            "ivf_list"
+        ),
+    )
+    cand = (
+        qk.join(dbk, "ivf_list")
+        .select(q_id, db_id)
+        .dropDuplicates([q_id, db_id])
+    )
+    cand = cand.join(queries.select(q_id, q_vec), q_id).join(
+        database.select(db_id, db_vec), db_id
+    )
+    scored = cand.withColumn("cosine", cosine_sim(q_vec, db_vec))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(db_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id, db_id, F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def ann_recall_at_k(
+    queries: DataFrame,
+    database: DataFrame,
+    approx: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """(q_id, k, recall) — fraction of the exact cosine top-k recovered
+    by ``approx`` (any (q_id, vec_id, ...) candidate frame), per query.
+    The driver contract asserts recall >= 0.9 for every query (see
+    __spark_entry__.q_ann_lsh / q_ann_ivf)."""
+    truth = brute_force_topk(queries, database, k=k).select(
+        "q_id", F.col("vec_id").alias("t_id")
+    )
+    hits = approx.select(
+        "q_id", F.col("vec_id").alias("t_id"), F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(hits, ["q_id", "t_id"], "left")
+        .groupBy("q_id")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) / F.count("*")).alias("recall"))
+        .select("q_id", F.lit(k).alias("k"), F.round("recall", 6).alias("recall"))
+    )
+
+
 def lsh_recall_at_k(
     queries: DataFrame,
     database: DataFrame,
     k: int = 10,
     **lsh_kwargs,
 ) -> DataFrame:
-    """(q_id, k, recall) — fraction of the exact cosine top-k recovered
-    by lsh_topk, per query. The driver contract asserts recall >= 0.9
-    for every query (see __spark_entry__.q_ann_lsh)."""
-    truth = brute_force_topk(queries, database, k=k).select(
-        "q_id", F.col("vec_id").alias("t_id")
+    """ann_recall_at_k specialized to lsh_topk."""
+    return ann_recall_at_k(
+        queries, database, lsh_topk(queries, database, k=k, **lsh_kwargs), k=k
     )
-    approx = lsh_topk(queries, database, k=k, **lsh_kwargs).select(
-        "q_id", F.col("vec_id").alias("t_id"), F.lit(1).alias("hit")
-    )
-    return (
-        truth.join(approx, ["q_id", "t_id"], "left")
-        .groupBy("q_id")
-        .agg((F.sum(F.coalesce("hit", F.lit(0))) / F.count("*")).alias("recall"))
-        .select("q_id", F.lit(k).alias("k"), F.round("recall", 6).alias("recall"))
+
+
+def ivf_recall_at_k(
+    queries: DataFrame,
+    database: DataFrame,
+    k: int = 10,
+    **ivf_kwargs,
+) -> DataFrame:
+    """ann_recall_at_k specialized to ivf_topk."""
+    return ann_recall_at_k(
+        queries, database, ivf_topk(queries, database, k=k, **ivf_kwargs), k=k
     )

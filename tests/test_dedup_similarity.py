@@ -16,6 +16,10 @@ from entity_linking_in_biomedical_spark.operators.dedup import (
 )
 from entity_linking_in_biomedical_spark.operators.similarity import (
     brute_force_topk,
+    fit_ivf_centroids,
+    ivf_assign_udf,
+    ivf_recall_at_k,
+    ivf_topk,
     lsh_recall_at_k,
     lsh_topk,
 )
@@ -199,3 +203,78 @@ def test_simhash_bucket_cap(spark):
     # and with a cap above the bucket size the pairs come back
     got2 = simhash_near_duplicates(df, max_bucket=50).collect()
     assert len(got2) == 8 * 7 // 2
+
+
+def _clustered_vectors(n_clusters=20, per_cluster=50, dim=64, noise=0.15, seed=7):
+    """Deterministic clustered embeddings: unit centers + small noise,
+    renormalized — within-cluster cosine ~0.96+, across ~0. The regime
+    IVF is built for (real-world embedding corpora are clustered)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for c in range(n_clusters):
+        for m in range(per_cluster):
+            v = centers[c] + noise * rng.standard_normal(dim)
+            v = v / np.linalg.norm(v)
+            rows.append((c * per_cluster + m, c, [float(x) for x in v]))
+    return rows
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """The IVF scale path: on clustered vectors, probing 2 of 20 lists
+    (~10% database scan) recovers >=90% of the exact top-10 per query
+    (measured: 9 of 10 queries at 1.0; one true cluster splits across
+    two lists when two k-means init points land in it)."""
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, cluster int, embedding array<double>"
+    ).drop("cluster")
+    q = df.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    recalls = [
+        r["recall"]
+        for r in ivf_recall_at_k(q, df, k=10, n_centroids=20, nprobe=2).collect()
+    ]
+    assert len(recalls) == 10
+    assert min(recalls) >= 0.9 and sum(recalls) / len(recalls) >= 0.98, recalls
+
+
+def test_ivf_candidates_bounded_by_probe_fraction(spark):
+    """Efficiency contract: IVF scans ~nprobe/n_centroids of the
+    database, not all of it — the candidate set per query must be far
+    below the database size."""
+    rows = _clustered_vectors()
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, cluster int, embedding array<double>"
+    ).drop("cluster")
+    cent = fit_ivf_centroids(df, n_centroids=20)
+    assert cent.shape == (20, 64)
+    one_q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = ivf_topk(one_q, df, k=10, n_centroids=20, nprobe=2)
+    assert got.count() == 10
+    # list sizes are data-adaptive and near-balanced on clustered data
+    dbk = df.select(
+        F.explode(ivf_assign_udf(F.col("embedding"), cent, nprobe=1)).alias("l")
+    )
+    sizes = [r["count"] for r in dbk.groupBy("l").count().collect()]
+    assert max(sizes) <= 3 * (1000 // 20)  # no degenerate mega-list
+
+
+def test_ivf_max_list_truncates_hot_lists(spark):
+    """A degenerate list (identical vectors) is truncated at max_list,
+    bounding the bucket join fan-out."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(50)] + [
+        (100, [0.0, 1.0, 0.0, 0.0])
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    got = ivf_topk(q, df, k=50, n_centroids=2, nprobe=2, max_list=10)
+    assert got.count() <= 11  # 10 from the hot list + at most the other one
