@@ -31,6 +31,7 @@ from entity_linking_in_biomedical_spark.operators.dedup import (
     SIMHASH_MAX_BUCKET,
     SIMHASH_MAX_HAMMING,
     SIMHASH_N_BLOCKS,
+    embedding_near_duplicates,
     exact_duplicates,
     fingerprint_duplicates,
     minhash_near_duplicates,
@@ -751,6 +752,48 @@ from embeddings where vec_id < 5 order by q_id
 """
 
 
+def q_embedding_dedup(spark, sf_dir):
+    """Embedding-cosine near-dup (banded SRP-LSH + exact verify). The
+    driver embeddings are isotropic (no organic pairs at cosine >= 0.9
+    — verified by the brute-force oracle), so the query plants exact
+    copies of vectors 0..9 at vec_id+10000 inside the query; the DuckDB
+    twin performs the identical augmentation and a full O(n^2) verify,
+    so every planted pair must be recovered by the LSH index with the
+    exact same cosine — a full-recall value check, not rows-only.
+    Identical vectors share every SRP bucket deterministically, so
+    recall on the planted pairs is exactly 1."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_duplicates(
+        emb.unionByName(planted), cosine_threshold=0.9
+    ).orderBy("a_id", "b_id")
+
+
+# note a_id < b_id is a STRING comparison in the operator (ids are cast
+# to string for the generic channel) — the twin compares varchar too
+ORACLE_EMB_DEDUP = """
+with aug as (
+  select vec_id, embedding from embeddings
+  union all
+  select vec_id + 10000 as vec_id, embedding from embeddings where vec_id < 10
+), v as (
+  select cast(vec_id as varchar) as id,
+         list_transform(embedding, x -> cast(x as double)) as vv
+  from aug
+)
+select a.id as a_id, b.id as b_id,
+       round(list_dot_product(a.vv, b.vv) /
+             (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))),
+             6) as cosine
+from v a join v b on a.id < b.id
+where list_dot_product(a.vv, b.vv) /
+      (sqrt(list_dot_product(a.vv, a.vv)) * sqrt(list_dot_product(b.vv, b.vv))) >= 0.9
+order by a_id, b_id
+"""
+
+
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs; DuckDB twin reproduces the md5 token
     hashing, the 60-bit vote fold, the decimal block keys, the bucket
@@ -920,6 +963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "embedding_dedup": q_embedding_dedup,
         "simhash_dedup": q_simhash_dedup,
         "semi_hard_negatives": q_semi_hard_negatives,
         "er_synthetic": q_er_synthetic,
@@ -953,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_force": ORACLE_ANN,
         "ann_lsh": ORACLE_ANN_LSH,
         "ann_ivf": ORACLE_ANN_IVF,
+        "embedding_dedup": ORACLE_EMB_DEDUP,
         "simhash_dedup": _oracle_simhash_dedup(),
         "semi_hard_negatives": ORACLE_SEMI_HARD,
         # er_synthetic: golden-values oracle, see _oracle_er_synthetic

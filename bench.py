@@ -132,6 +132,7 @@ def main() -> None:
         "ann_brute_force",
         "ann_lsh",
         "ann_ivf",
+        "embedding_dedup",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir))
 
