@@ -519,18 +519,24 @@ def q_ngram_jaccard(spark, sf_dir):
     ).select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard")).orderBy("a_id", "b_id")
 
 
-def _oracle_ngram_jaccard(rare_df_cap=20, thr=0.5) -> str:
+def _oracle_ngram_jaccard(thr=0.5) -> str:
+    """Twin is the PLAIN exact semantics (any-shared-gram candidates +
+    exact verify) — deliberately NOT a transcription of the operator's
+    prefix filter, so the oracle is a true differential check: a prefix
+    bound bug that loses pairs shows up as a hash mismatch."""
     sh = _duck_shingles("text")
     return f"""
 with sh as (
   select cast(doc_id as varchar) as doc_id, {sh} as shingles from documents
 ),
-inv as (select doc_id, shingles, unnest(shingles) as g from sh),
-rare as (select g from inv group by g having count(*) <= {rare_df_cap}),
-inv2 as (select inv.* from inv join rare using (g)),
+inv as (select doc_id, unnest(shingles) as g from sh),
+cand as (
+  select distinct x.doc_id as a_id, y.doc_id as b_id
+  from inv x join inv y using (g) where x.doc_id < y.doc_id
+),
 pairs as (
-  select distinct x.doc_id as a_id, y.doc_id as b_id, x.shingles as a_sh, y.shingles as b_sh
-  from inv2 x join inv2 y using (g) where x.doc_id < y.doc_id
+  select a_id, b_id, a.shingles as a_sh, b.shingles as b_sh
+  from cand join sh a on a.doc_id = cand.a_id join sh b on b.doc_id = cand.b_id
 )
 select a_id, b_id,
   round(cast(len(list_filter(a_sh, g -> list_contains(b_sh, g))) as double) /
@@ -562,8 +568,8 @@ def q_doc_clusters_cc(spark, sf_dir):
     )
 
 
-def _oracle_doc_clusters(thr=0.5, rare_df_cap=20) -> str:
-    inner = _oracle_ngram_jaccard(rare_df_cap, thr)
+def _oracle_doc_clusters(thr=0.5) -> str:
+    inner = _oracle_ngram_jaccard(thr)
     return f"""
 with recursive pairs as ({inner}),
 und as (

