@@ -800,6 +800,84 @@ order by a_id, b_id
 """
 
 
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing (S6-adjacent training-data path): attach one
+    media span per document (media_ref = img://<doc_id>) and run the
+    mapInPandas decode/featurize pipeline with the deterministic fake
+    decoder (md5-derived dims + 8-d feature — the honest stand-in for
+    the absent codec libraries; see operators/multimodal.py). The DuckDB
+    twin reproduces the md5 byte arithmetic, so schema, batch plumbing,
+    AND kernel values are all driver-checked."""
+    from entity_linking_in_biomedical_spark.operators.multimodal import (
+        extract_media_features,
+    )
+    from entity_linking_in_biomedical_spark.sources.loaders import (
+        wrap_flat_documents,
+    )
+
+    docs = wrap_flat_documents(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(
+        "doc_id",
+        F.concat(
+            "spans",
+            F.array(
+                F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.concat(F.lit("img://"), F.col("doc_id")).alias("media_ref"),
+                    F.lit(1).alias("offset"),
+                )
+            ),
+        ).alias("spans"),
+    )
+    feats = extract_media_features(docs)
+    return feats.select(
+        "doc_id",
+        "span_seq",
+        "media_ref",
+        "width",
+        "height",
+        "n_frames",
+        F.transform("feature", lambda x: F.round(x.cast("double"), 6)).alias(
+            "feature"
+        ),
+    ).orderBy("doc_id")
+
+
+def _oracle_media_features() -> str:
+    """DuckDB twin of fake_decoder's md5 byte arithmetic."""
+
+    def hexbyte(i: int) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr(h,{2 * i + 1},1))-1)*16 + "
+            f"(strpos('0123456789abcdef', substr(h,{2 * i + 2},1))-1))"
+        )
+
+    feature = (
+        "["
+        + ", ".join(
+            f"round(cast(cast({hexbyte(i)}/255.0 as float) as double), 6)"
+            for i in range(3, 11)
+        )
+        + "]"
+    )
+    return f"""
+with m as (
+  select cast(doc_id as varchar) as doc_id,
+         md5('img://' || cast(doc_id as varchar)) as h
+  from documents
+)
+select doc_id, cast(1 as int) as span_seq,
+       'img://' || doc_id as media_ref,
+       cast(64 + {hexbyte(0)} as int) as width,
+       cast(64 + {hexbyte(1)} as int) as height,
+       cast(1 + {hexbyte(2)} % 8 as int) as n_frames,
+       {feature} as feature
+from m order by doc_id
+"""
+
+
 def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs; DuckDB twin reproduces the md5 token
     hashing, the 60-bit vote fold, the decimal block keys, the bucket
@@ -970,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_dedup": q_embedding_dedup,
+        "media_features": q_media_features,
         "simhash_dedup": q_simhash_dedup,
         "semi_hard_negatives": q_semi_hard_negatives,
         "er_synthetic": q_er_synthetic,
@@ -1004,6 +1083,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": ORACLE_ANN_LSH,
         "ann_ivf": ORACLE_ANN_IVF,
         "embedding_dedup": ORACLE_EMB_DEDUP,
+        "media_features": _oracle_media_features(),
         "simhash_dedup": _oracle_simhash_dedup(),
         "semi_hard_negatives": ORACLE_SEMI_HARD,
         # er_synthetic: golden-values oracle, see _oracle_er_synthetic
