@@ -111,9 +111,13 @@ def run_bench(total_cores: int, zpath: str, n_docs: str) -> float:
                 "spark.executor.memory": "3g",
                 "spark.submit.pyFiles": zpath,
                 "spark.cores.max": total_cores,
-                # same-host executors: locality waits only serialize work
-                # behind whichever executor cached a checkpoint block
-                "spark.locality.wait": "0ms",
+                # keep the default locality wait (3s): measured on this
+                # host, locality.wait=0ms made the first stage reading
+                # the checkpointed corpus 6-25x slower at 8 executors —
+                # tasks scattered off their block owners, which then
+                # re-serialize deserialized blocks over loopback while
+                # running their own tasks (17.8s vs 2.8s warmed; see
+                # BENCH/BASELINE.md)
                 # don't start until the fleet is fully registered
                 "spark.scheduler.minRegisteredResourcesRatio": "1.0",
                 "spark.scheduler.maxRegisteredResourcesWaitingTime": "60s",

@@ -85,7 +85,9 @@ def main() -> None:
     # this host at 8 executors: 351s aggregate task CPU cold vs 6s warm
     # for the identical 131MB stage input, i.e. the stage wall time
     # *grew* with executor count purely from compile contention.
-    warm_docs = docs.limit(2000).localCheckpoint(eager=True)
+    # repartition the slice across every executor: the codegen cache is
+    # per-JVM, so the warm tasks must land on ALL of them
+    warm_docs = docs.limit(2000).repartition(cpus).localCheckpoint(eager=True)
     warm_res = run_pipeline(spark, warm_docs, ents, embeddings=emb, abbr_map=abbr)
     force(warm_res["linked_documents"])
 

@@ -82,3 +82,52 @@ def extract_media_features(
             yield out[["doc_id", "span_seq", "media_ref", "width", "height", "n_frames", "feature"]]
 
     return media.mapInPandas(decode_batches, MEDIA_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id string, span_seq int, media_ref string, "
+    "frame_idx int, frame_feature array<float>"
+)
+
+
+def sample_frames(
+    media_features: DataFrame,
+    k: int = 3,
+    decoder: Callable[[str, bytes | None], dict] = fake_decoder,
+) -> DataFrame:
+    """Deterministic frame sampling for video media: given the feature
+    rows from :func:`extract_media_features`, emit up to ``k`` frames
+    per media span at evenly spaced indices over [0, n_frames), each
+    with a per-frame feature (decoder called with ``ref#<frame_idx>`` —
+    a real decoder seeks to the frame and featurizes it; the fake twin
+    keeps everything deterministic).
+
+    Index selection is pure JVM (sequence + transform); only the
+    per-frame featurize crosses to Python, batched."""
+    frames = media_features.select(
+        "doc_id",
+        "span_seq",
+        "media_ref",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.least(F.col("n_frames"), F.lit(k)) - 1),
+                # evenly spaced: floor(i * n_frames / min(k, n_frames))
+                lambda i: F.floor(
+                    (i * F.col("n_frames"))
+                    / F.least(F.col("n_frames"), F.lit(k))
+                ).cast("int"),
+            )
+        ).alias("frame_idx"),
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decoder(f"{ref}#{idx}", None)["feature"]
+                for ref, idx in zip(pdf["media_ref"], pdf["frame_idx"])
+            ]
+            out = pdf[["doc_id", "span_seq", "media_ref", "frame_idx"]].copy()
+            out["frame_feature"] = feats
+            yield out
+
+    return frames.mapInPandas(featurize, FRAME_SAMPLE_SCHEMA)

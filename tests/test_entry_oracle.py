@@ -27,15 +27,20 @@ def duck():
 
 
 def _normalize(rows, cols):
+    import numpy as np
+
+    def norm_val(v):
+        if isinstance(v, float):
+            return round(v, 9)
+        if isinstance(v, np.floating):
+            return round(float(v), 9)
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return tuple(norm_val(x) for x in v)
+        return v
+
     out = []
     for r in rows:
-        vals = []
-        for c in cols:
-            v = r[c]
-            if isinstance(v, float):
-                v = round(v, 9)
-            vals.append(v)
-        out.append(tuple(vals))
+        out.append(tuple(norm_val(r[c]) for c in cols))
     out.sort(key=lambda t: tuple(str(x) for x in t))
     return out
 

@@ -17,6 +17,7 @@ from entity_linking_in_biomedical_spark.functions.text_metrics import (
 from entity_linking_in_biomedical_spark.operators.multimodal import (
     extract_media_features,
     fake_decoder,
+    sample_frames,
     unsupported_decoder,
 )
 
@@ -82,6 +83,31 @@ def test_media_features_plumbing(spark, corpus):
 def test_unsupported_decoder_raises():
     with pytest.raises(NotImplementedError):
         unsupported_decoder("img://x", None)
+
+
+def test_sample_frames(spark, corpus):
+    docs, *_ = corpus.to_spark(spark)
+    feats = extract_media_features(docs)
+    frames = sample_frames(feats, k=3).collect()
+    assert frames
+    by_span = {}
+    for f in frames:
+        by_span.setdefault((f["doc_id"], f["span_seq"]), []).append(f["frame_idx"])
+    n_frames = {
+        (r["doc_id"], r["span_seq"]): r["n_frames"] for r in feats.collect()
+    }
+    for key, idxs in by_span.items():
+        n = n_frames[key]
+        idxs = sorted(idxs)
+        assert len(idxs) == min(3, n)  # k evenly spaced, capped at n_frames
+        assert len(set(idxs)) == len(idxs) and all(0 <= i < n for i in idxs)
+        assert idxs[0] == 0
+    # per-frame features are deterministic functions of (ref, frame_idx)
+    f0 = frames[0]
+    expect = fake_decoder(f"{f0['media_ref']}#{f0['frame_idx']}", None)["feature"]
+    assert [round(x, 5) for x in f0["frame_feature"]] == [
+        round(x, 5) for x in expect
+    ]
 
 
 def test_streaming_link(spark, corpus, tmp_path):
