@@ -278,3 +278,41 @@ def test_ivf_max_list_truncates_hot_lists(spark):
     )
     got = ivf_topk(q, df, k=50, n_centroids=2, nprobe=2, max_list=10)
     assert got.count() <= 11  # 10 from the hot list + at most the other one
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(spark):
+    """Differential test of the prefix filter: on random docs from a
+    tiny vocabulary (lots of borderline-overlap pairs), the operator
+    must return EXACTLY the pairs a brute-force O(n^2) jaccard over the
+    same shingle sets returns — the prefix bound may prune candidates,
+    never answers."""
+    import itertools
+    import random
+
+    from entity_linking_in_biomedical_spark.operators.dedup import _shingled
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for thr in (0.35, 0.5, 0.8):
+        got = {
+            (r["a_id"], r["b_id"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(df, jaccard_threshold=thr).collect()
+        }
+        sets = {
+            r["doc_id"]: frozenset(r["shingles"])
+            for r in _shingled(df, "doc_id", "text", 3).collect()
+        }
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            sa, sb = sets[a], sets[b]
+            if not sa and not sb:
+                continue
+            j = len(sa & sb) / max(len(sa | sb), 1)
+            if j >= thr:
+                want[(a, b)] = round(j, 9)
+        assert got == want, (thr, len(got), len(want))
