@@ -769,8 +769,11 @@ def q_embedding_dedup(spark, sf_dir):
     Identical vectors share every SRP bucket deterministically, so
     recall on the planted pairs is exactly 1."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # plant above max(vec_id) so ids stay unique at every sf (a fixed
+    # +10000 offset would collide once the table has >10k rows)
+    off = emb.agg(F.max("vec_id") + 1).first()[0]
     planted = emb.filter(F.col("vec_id") < 10).select(
-        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding"
     )
     return embedding_near_duplicates(
         emb.unionByName(planted), cosine_threshold=0.9
@@ -783,7 +786,8 @@ ORACLE_EMB_DEDUP = """
 with aug as (
   select vec_id, embedding from embeddings
   union all
-  select vec_id + 10000 as vec_id, embedding from embeddings where vec_id < 10
+  select vec_id + (select max(vec_id) + 1 from embeddings) as vec_id, embedding
+  from embeddings where vec_id < 10
 ), v as (
   select cast(vec_id as varchar) as id,
          list_transform(embedding, x -> cast(x as double)) as vv

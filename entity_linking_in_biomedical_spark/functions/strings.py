@@ -208,7 +208,10 @@ _GRAM_MAXN = 3
 
 
 def pack_gram_code(g: str) -> int:
-    """Pack a gram string (len <= 3) into its int64 code."""
+    """Pack a gram string (len <= 3) into its int64 code (left-aligned
+    over exactly _GRAM_MAXN 21-bit slots)."""
+    if len(g) > _GRAM_MAXN:
+        raise ValueError(f"gram {g!r} longer than {_GRAM_MAXN} codepoints")
     code = 0
     for i in range(_GRAM_MAXN):
         c = ord(g[i]) if i < len(g) else 0
@@ -232,6 +235,10 @@ def _gram_codes_flat(
     """All gram codes of a batch as flat (row_idx, code) arrays —
     mirrors _grams: a sliding window of n codepoints; strings shorter
     than n contribute themselves; empty strings contribute nothing."""
+    if n > _GRAM_MAXN:
+        raise ValueError(
+            f"gram length {n} exceeds the int64 packing limit {_GRAM_MAXN}"
+        )
     m, lens = _codepoint_matrix(strs)
     nrows, lmax = m.shape
     if lmax < n:
@@ -241,6 +248,10 @@ def _gram_codes_flat(
     codes = np.zeros((nrows, w), dtype=np.int64)
     for k in range(n):
         codes = (codes << _GRAM_SHIFT) | m[:, k : k + w].astype(np.int64)
+    # left-align to _GRAM_MAXN slots so codes match pack_gram_code for
+    # every n <= _GRAM_MAXN (n=2 codes were right-aligned before, so
+    # every vocab lookup silently missed)
+    codes <<= _GRAM_SHIFT * (_GRAM_MAXN - n)
     # valid windows: i <= len - n; short non-empty strings get window 0
     # (their zero-padded whole-string code — identical to pack_gram_code)
     wi = np.arange(w)

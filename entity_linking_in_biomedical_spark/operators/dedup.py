@@ -179,19 +179,28 @@ def ngram_jaccard_pairs(
         "rk",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "g")),
     )
+    # Float-exact prefix/length bounds: the verify keeps a pair iff
+    # float(inter/union) >= t, so every pre-filter must be a NECESSARY
+    # condition of that under the SAME float division (a multiplication
+    # form like `min >= t*max`, or a ceil over doubles, overshoots when
+    # t*n lands on an exact integer — e.g. 0.07*100 = 7.0000000000000009
+    # — and silently drops qualifying pairs). Division is monotone in
+    # float, so float(min/max) >= float(inter/union) >= t and
+    # float((n-rk+1)/n) >= float(o/n) for the minimum overlap o a
+    # qualifying pair must carry — both filters below are safe.
     prefix = (
         ranked.join(sizes, "doc_id")
-        .filter(F.col("rk") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .filter((F.col("n") - F.col("rk") + 1) / F.col("n") >= F.lit(t))
         .select("doc_id", "g", "n")
     )
     pairs = (
         prefix.alias("x")
         .join(prefix.alias("y"), "g")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        # length filter: J >= t needs |A∩B| >= t*max(|A|,|B|), impossible
-        # when the smaller set has fewer than that many elements
+        # length filter: inter <= min and union >= max, so
+        # float(min/max) >= float(inter/union); require it >= t
         .filter(
-            F.least("x.n", "y.n") >= F.ceil(F.lit(t) * F.greatest("x.n", "y.n"))
+            F.least("x.n", "y.n") / F.greatest("x.n", "y.n") >= F.lit(t)
         )
         .select(F.col("x.doc_id").alias("a_id"), F.col("y.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])

@@ -104,7 +104,10 @@ def sample_frames(
 
     Index selection is pure JVM (sequence + transform); only the
     per-frame featurize crosses to Python, batched."""
-    frames = media_features.select(
+    # zero-frame media (still image / failed decode from a real decoder)
+    # emits no rows — without this, sequence(0, -1) yields [0, -1] and
+    # the index division by least(n_frames, k)=0 throws under ANSI mode
+    frames = media_features.filter(F.col("n_frames") > 0).select(
         "doc_id",
         "span_seq",
         "media_ref",

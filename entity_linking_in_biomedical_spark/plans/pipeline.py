@@ -56,6 +56,25 @@ class PipelineConfig:
         return d
 
 
+def _input_fingerprint(df: DataFrame) -> list:
+    """Stable identity fingerprint of a pipeline input for stage
+    signatures. semanticHash covers source paths + transformations, but
+    a (local)checkpoint-backed frame analyzes to a LogicalRDD whose
+    hash embeds the RDD id — different on EVERY run — which would make
+    all signatures unique and silently defeat snapshot resume. For
+    those frames fall back to (schema md5, row count): weaker (a
+    content change preserving both goes unnoticed — same caveat as an
+    in-place file change under an unchanged path) but stable across
+    runs."""
+    import hashlib
+
+    plan = df._jdf.queryExecution().analyzed().toString()  # type: ignore[operator]
+    if "LogicalRDD" in plan or "ExistingRDD" in plan:
+        schema_md5 = hashlib.md5(df.schema.json().encode()).hexdigest()
+        return ["schema", schema_md5, "rows", df.count()]
+    return [df.semanticHash()]
+
+
 def run_pipeline(
     spark: SparkSession,
     documents: DataFrame,
@@ -86,7 +105,7 @@ def run_pipeline(
     # signature, so a re-run against different inputs into the same
     # out_dir recomputes instead of serving stale snapshots
     p["input_fp"] = [
-        df.semanticHash()
+        _input_fingerprint(df)
         for df in (documents, entities, embeddings, abbr_map, split_ids)
         if df is not None
     ]

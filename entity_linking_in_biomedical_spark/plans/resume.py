@@ -77,16 +77,23 @@ class StageStore:
         dpath, _ = self._paths(stage)
         return self.spark.read.parquet(dpath)
 
-    def commit(self, stage: str, signature: str, df: DataFrame) -> DataFrame:
+    def commit(
+        self, stage: str, signature: str, df: DataFrame, record_metrics: bool = True
+    ) -> DataFrame:
         """Write snapshot, record per-partition metrics, commit manifest,
-        return the re-read (physically materialized) DataFrame."""
+        return the re-read (physically materialized) DataFrame.
+        ``record_metrics=False``: the caller records its own entry (the
+        eager-timing path), so skip this one to avoid duplicates."""
         if self.out_dir is None:
             # no persistence requested: lazy localCheckpoint — the first
             # downstream action materializes it; an eager checkpoint +
             # count here would add two extra jobs per stage (driver-side
             # fixed cost that caps scaling efficiency)
             out = df.localCheckpoint(eager=False)
-            self.metrics.append({"stage": stage, "rows": None, "partitions": None})
+            if record_metrics:
+                self.metrics.append(
+                    {"stage": stage, "rows": None, "partitions": None}
+                )
             return out
         dpath, mpath = self._paths(stage)
         # invalidate any previous commit BEFORE touching the data: a
@@ -113,9 +120,14 @@ class StageStore:
         with open(tmp, "w") as f:
             json.dump(manifest, f, sort_keys=True)
         os.replace(tmp, mpath)  # atomic commit
-        self.metrics.append(
-            {"stage": stage, "rows": manifest["rows"], "partitions": len(part_rows)}
-        )
+        if record_metrics:
+            self.metrics.append(
+                {
+                    "stage": stage,
+                    "rows": manifest["rows"],
+                    "partitions": len(part_rows),
+                }
+            )
         return out
 
     def get_or_compute(self, stage: str, signature: str, compute) -> DataFrame:
@@ -127,7 +139,7 @@ class StageStore:
             import time
 
             t0 = time.time()
-            out = self.commit(stage, signature, compute())
+            out = self.commit(stage, signature, compute(), record_metrics=False)
             rows = out.count()  # force materialization inside the timer
             self.metrics.append(
                 {"stage": stage, "rows": rows, "sec": round(time.time() - t0, 3)}
@@ -201,7 +213,9 @@ class IcebergStageStore(StageStore):
     def load(self, stage: str) -> DataFrame:
         return self.spark.read.table(self._table(stage))
 
-    def commit(self, stage: str, signature: str, df: DataFrame) -> DataFrame:
+    def commit(
+        self, stage: str, signature: str, df: DataFrame, record_metrics: bool = True
+    ) -> DataFrame:
         tbl = self._table(stage)
         (
             df.writeTo(tbl)
@@ -210,8 +224,9 @@ class IcebergStageStore(StageStore):
             .createOrReplace()  # one atomic snapshot: data + signature
         )
         out = self.spark.read.table(tbl)
-        rows = out.count()
-        self.metrics.append({"stage": stage, "rows": rows, "table": tbl})
+        if record_metrics:  # eager-timing caller counts (and records) itself
+            rows = out.count()
+            self.metrics.append({"stage": stage, "rows": rows, "table": tbl})
         return out
 
 

@@ -316,3 +316,21 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark):
             if j >= thr:
                 want[(a, b)] = round(j, 9)
         assert got == want, (thr, len(got), len(want))
+
+
+def test_ngram_jaccard_no_float_ceil_overshoot(spark):
+    """Regression: thresholds where t*n is an exact integer used to be
+    pruned by ceil-of-double overshoot (ceil(0.07*100) == 8). Doc A's 7
+    shingles all inside doc B's 100 -> J = 0.07 exactly; the pair must
+    survive at t=0.07."""
+    import itertools
+
+    # 8 tokens -> 7 distinct consecutive-token 3-gram... build by tokens:
+    # shingles are word 3-grams, so w tokens -> w-2 shingles (distinct here)
+    toks = [f"t{i}" for i in range(102)]  # 100 shingles
+    big = " ".join(toks)
+    small = " ".join(toks[:9])  # 7 shingles, all shared with big
+    df = spark.createDataFrame([(1, small), (2, big)], "doc_id bigint, text string")
+    rows = ngram_jaccard_pairs(df, jaccard_threshold=0.07).collect()
+    assert [(r["a_id"], r["b_id"]) for r in rows] == [("1", "2")]
+    assert rows[0]["jaccard"] == pytest.approx(0.07)

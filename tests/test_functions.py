@@ -175,6 +175,41 @@ def test_tfidf_cosine_batch_equals_scalar():
         assert got[i] == pytest.approx(tfidf_cosine(x, y, idf, n=3), abs=1e-12), (x, y)
 
 
+def test_tfidf_cosine_batch_equals_scalar_n2():
+    """Regression: n=2 batch codes were right-aligned while the vocab
+    packs left-aligned, so every idf lookup silently missed."""
+    from collections import Counter
+
+    from entity_linking_in_biomedical_spark.functions.strings import (
+        _grams,
+        pack_vocab,
+        tfidf_cosine,
+        tfidf_cosine_batch,
+    )
+
+    a, b = _random_pairs()
+    dfc = Counter()
+    for s in a + b:
+        dfc.update(set(_grams(s, 2)))
+    idf = {g: math.log((len(a) + 1) / (d + 1)) + 1.0 for g, d in dfc.items()}
+    vc, vi = pack_vocab(idf)
+    got = tfidf_cosine_batch(a, b, vc, vi, n=2)
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert got[i] == pytest.approx(tfidf_cosine(x, y, idf, n=2), abs=1e-12), (x, y)
+
+
+def test_tfidf_cosine_batch_rejects_oversize_n():
+    import pytest as _pytest
+
+    from entity_linking_in_biomedical_spark.functions.strings import (
+        tfidf_cosine_batch,
+    )
+    import numpy as np
+
+    with _pytest.raises(ValueError):
+        tfidf_cosine_batch(["abcd"], ["abcd"], np.zeros(0, dtype=np.int64), np.zeros(0), n=4)
+
+
 def test_batch_kernels_empty_and_null_safe():
     import numpy as np
 

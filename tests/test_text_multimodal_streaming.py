@@ -132,3 +132,16 @@ def test_streaming_link(spark, corpus, tmp_path):
         "trim(regexp_replace(lower(n), '[^a-z0-9]+', ' ')) as norm").collect()}
     for r in out.filter("cui is not null").collect():
         assert r["norm"] in names
+
+
+def test_sample_frames_zero_frames(spark):
+    """A media span whose decoder reports n_frames=0 (still image /
+    failed decode) must emit no frame rows rather than dividing by
+    zero under ANSI mode."""
+    feats = spark.createDataFrame(
+        [("d1", 1, "img://x", 10, 10, 0, [0.1]), ("d2", 1, "img://y", 10, 10, 2, [0.2])],
+        "doc_id string, span_seq int, media_ref string, width int, height int, n_frames int, feature array<float>",
+    )
+    got = sample_frames(feats, k=3).collect()
+    assert {r["doc_id"] for r in got} == {"d2"}
+    assert len(got) == 2  # min(k, n_frames) frames for d2
