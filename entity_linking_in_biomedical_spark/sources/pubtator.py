@@ -121,6 +121,55 @@ def build_entities(mrconso: DataFrame, mrsty: DataFrame) -> DataFrame:
     return syn.join(mrsty, "cui", "left").select("cui", "sem_type", "synonyms")
 
 
+def write_dictionary(entities: DataFrame, path: str) -> None:
+    """K2 sink — the reference's ``dictionary.txt`` format
+    (umls_preprocess.py:56-62): ``cui||semtype|syn1|syn2...``, lines
+    joined by newline, no trailing newline. One artifact file, like the
+    reference ships; rows stream through toLocalIterator (sorted by
+    cui for determinism), so driver memory stays O(1) — the dictionary
+    is a bounded dimension table, not corpus-scale data."""
+    rows = (
+        entities.select(
+            F.concat_ws(
+                "|",
+                F.concat(F.col("cui"), F.lit("|")),  # cui|| before semtype
+                F.coalesce(F.col("sem_type"), F.lit("")),
+                F.concat_ws("|", F.col("synonyms")),
+            ).alias("line"),
+            "cui",
+        )
+        .orderBy("cui")
+        .select("line")
+    )
+    with open(path, "w", encoding="utf-8") as f:
+        first = True
+        for r in rows.toLocalIterator():
+            if not first:
+                f.write("\n")
+            f.write(r["line"])
+            first = False
+
+
+def read_dictionary(spark: SparkSession, path: str) -> DataFrame:
+    """S8 scan of the reference's ``dictionary.txt``:
+    (cui, sem_type, synonyms array<string>)."""
+    return (
+        spark.read.text(path)
+        .filter(F.length(F.trim("value")) > 0)
+        .select(
+            F.split("value", r"\|\|").getItem(0).alias("cui"),
+            F.split(F.split("value", r"\|\|").getItem(1), r"\|").alias("rest"),
+        )
+        .select(
+            "cui",
+            F.col("rest").getItem(0).alias("sem_type"),
+            F.slice("rest", 2, F.greatest(F.size("rest") - 1, F.lit(0))).alias(
+                "synonyms"
+            ),
+        )
+    )
+
+
 def read_ab3p(spark: SparkSession, path: str) -> DataFrame:
     """Ab3P output scan (S4): ``doc`` header lines then
     ``  abbr|long|score`` rows (medmention_preprocess.py:109-122).

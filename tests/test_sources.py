@@ -73,6 +73,34 @@ def test_umls_scans_and_dictionary(spark, tmp_path):
     assert rows["C0376571"]["synonyms"] == ["BRCA1"]
 
 
+def test_dictionary_txt_roundtrip(spark, tmp_path):
+    """K2 sink in the reference's dictionary.txt format
+    (cui||semtype|syn1|syn2...) and the matching S8 scan."""
+    from entity_linking_in_biomedical_spark.sources.pubtator import (
+        read_dictionary,
+        write_dictionary,
+    )
+
+    c = tmp_path / "MRCONSO.RRF"
+    c.write_text(MRCONSO)
+    s = tmp_path / "MRSTY.RRF"
+    s.write_text(MRSTY)
+    ents = build_entities(read_mrconso(spark, str(c)), read_mrsty(spark, str(s)))
+    out = tmp_path / "dictionary.txt"
+    write_dictionary(ents, str(out))
+    txt = out.read_text()
+    assert (
+        "C0006142||Neoplastic Process|Breast Cancer|breast carcinoma" in txt
+    )
+    assert not txt.endswith("\n")  # reference writes no trailing newline
+    back = {r["cui"]: r for r in read_dictionary(spark, str(out)).collect()}
+    orig = {r["cui"]: r for r in ents.collect()}
+    assert set(back) == set(orig)
+    for cui in orig:
+        assert back[cui]["sem_type"] == (orig[cui]["sem_type"] or "")
+        assert back[cui]["synonyms"] == orig[cui]["synonyms"]
+
+
 def test_read_ab3p(spark, tmp_path):
     p = tmp_path / "ab3p.txt"
     p.write_text(AB3P)
