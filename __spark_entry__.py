@@ -762,7 +762,8 @@ def q_embedding_dedup(spark, sf_dir):
     """Embedding-cosine near-dup (banded SRP-LSH + exact verify). The
     driver embeddings are isotropic (no organic pairs at cosine >= 0.9
     — verified by the brute-force oracle), so the query plants exact
-    copies of vectors 0..9 at vec_id+10000 inside the query; the DuckDB
+    copies of vectors 0..9 at vec_id + max(vec_id)+1 inside the query
+    (derived from the data, so ids stay unique at every sf); the DuckDB
     twin performs the identical augmentation and a full O(n^2) verify,
     so every planted pair must be recovered by the LSH index with the
     exact same cosine — a full-recall value check, not rows-only.

@@ -103,12 +103,15 @@ def run_pipeline(
     # input-identity fingerprints (semanticHash of each source plan:
     # covers paths + upstream transformations) fold into every stage
     # signature, so a re-run against different inputs into the same
-    # out_dir recomputes instead of serving stale snapshots
-    p["input_fp"] = [
-        _input_fingerprint(df)
-        for df in (documents, entities, embeddings, abbr_map, split_ids)
-        if df is not None
-    ]
+    # out_dir recomputes instead of serving stale snapshots. Signatures
+    # are only consulted when snapshots persist, so skip the (possibly
+    # count-bearing) fingerprints entirely when out_dir is None.
+    if out_dir is not None:
+        p["input_fp"] = [
+            _input_fingerprint(df)
+            for df in (documents, entities, embeddings, abbr_map, split_ids)
+            if df is not None
+        ]
     tau = cfg.scoring.threshold
 
     if split_ids is not None:

@@ -96,8 +96,14 @@ def _doc_blocks(
     tok_sents = [
         [(tok, base + rel) for tok, rel in tokenizer(txt)] for base, txt in sentences
     ]
-    blocks, out_mentions = [], []
-    seq = 0
+    # resolve first: a mention survives iff one sentence contains it
+    # (P4) AND its begin offset is a token boundary (a begin inside a
+    # token — e.g. 'Tyr263Cys' within 'p.Tyr263Cys' under a coarser
+    # tokenizer — would otherwise emit a block with no B tag at all).
+    # Tagging below then iterates ONLY survivors, so a dropped mention
+    # never leaves stray I tags referencing a CUI absent from every
+    # artifact.
+    resolved = []  # (mb, me, cui, surf, containing_tokens)
     for mb, me, cui, surf in mentions:
         containing = None
         for (base, txt), toks in zip(sentences, tok_sents):
@@ -106,20 +112,25 @@ def _doc_blocks(
                 break
         if containing is None:
             continue  # crosses a sentence boundary -> dropped (P4)
+        if not any(start == mb for _, start in containing):
+            continue  # begin not on a token boundary -> dropped
+        resolved.append((mb, me, cui, surf, containing))
+
+    blocks, out_mentions = [], []
+    for seq, (mb, me, cui, surf, containing) in enumerate(resolved):
         tokens = []
         for tok, start in containing:
             if start == mb:
                 tag = f"B:{cui}"  # only the CURRENT mention gets B
             else:
                 tag = "O"
-                for ob, oe, ocui, _ in mentions:
-                    if ob < start < oe:  # strictly inside ANY mention
+                for ob, oe, ocui, _, _ in resolved:
+                    if ob < start < oe:  # strictly inside ANY survivor
                         tag = f"I:{ocui}"
                         break
             tokens.append({"token": tok, "tag": tag})
         blocks.append({"sent_seq": seq, "tokens": tokens})
         out_mentions.append({"span_seq": seq, "cui": cui, "surface": surf})
-        seq += 1
     return {"blocks": blocks, "mentions": out_mentions}
 
 

@@ -152,20 +152,26 @@ def write_dictionary(entities: DataFrame, path: str) -> None:
 
 def read_dictionary(spark: SparkSession, path: str) -> DataFrame:
     """S8 scan of the reference's ``dictionary.txt``:
-    (cui, sem_type, synonyms array<string>)."""
+    (cui, sem_type, synonyms array<string>).
+
+    The ``||`` split is limited to the FIRST separator — a synonym list
+    that itself renders a ``||`` (empty first synonym after the sort)
+    must not shift the parse. Empty synonym entries are artifacts of
+    the format's trailing-| convention and are dropped (an empty-string
+    synonym is unrepresentable in this format)."""
     return (
         spark.read.text(path)
         .filter(F.length(F.trim("value")) > 0)
         .select(
-            F.split("value", r"\|\|").getItem(0).alias("cui"),
-            F.split(F.split("value", r"\|\|").getItem(1), r"\|").alias("rest"),
+            F.split("value", r"\|\|", 2).getItem(0).alias("cui"),
+            F.split(F.split("value", r"\|\|", 2).getItem(1), r"\|").alias("rest"),
         )
         .select(
             "cui",
             F.col("rest").getItem(0).alias("sem_type"),
-            F.slice("rest", 2, F.greatest(F.size("rest") - 1, F.lit(0))).alias(
-                "synonyms"
-            ),
+            F.array_remove(
+                F.slice("rest", 2, F.greatest(F.size("rest") - 1, F.lit(0))), ""
+            ).alias("synonyms"),
         )
     )
 

@@ -323,10 +323,8 @@ def test_ngram_jaccard_no_float_ceil_overshoot(spark):
     pruned by ceil-of-double overshoot (ceil(0.07*100) == 8). Doc A's 7
     shingles all inside doc B's 100 -> J = 0.07 exactly; the pair must
     survive at t=0.07."""
-    import itertools
-
-    # 8 tokens -> 7 distinct consecutive-token 3-gram... build by tokens:
-    # shingles are word 3-grams, so w tokens -> w-2 shingles (distinct here)
+    # shingles are word 3-grams over distinct tokens, so w tokens give
+    # w-2 distinct shingles: 102 tokens -> 100 for big, 9 -> 7 for small
     toks = [f"t{i}" for i in range(102)]  # 100 shingles
     big = " ".join(toks)
     small = " ".join(toks[:9])  # 7 shingles, all shared with big

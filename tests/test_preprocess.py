@@ -33,6 +33,27 @@ def test_tokenizer_and_sentencizer():
     assert [b for _, b in sents] == [0, 11]
 
 
+def test_mid_token_mention_dropped_cleanly(spark, tmp_path):
+    """A mention whose begin sits inside a token (e.g. 'Tyr263Cys'
+    within 'p.Tyr263Cys') is dropped entirely: no block, no .txt line,
+    and no stray I tags from it in other blocks."""
+    corpus = (
+        "301|t|Variant p.Tyr263Cys alters Dynactin function.\n"
+        "301|a|Filler abstract.\n"
+        "301\t10\t19\tTyr263Cys\tVariant\tT000:C900\n"
+        "301\t27\t35\tDynactin\tGene\tT028:C901\n"
+    )
+    p = tmp_path / "c.txt"
+    p.write_text(corpus)
+    res = pubtator_to_context(spark, str(p))
+    ms = [(r["cui"], r["surface"]) for r in res["mentions"].collect()]
+    assert ms == [("C901", "Dynactin")]
+    blocks = res["context"].collect()
+    assert len(blocks) == 1
+    tags = {t["tag"] for t in blocks[0]["tokens"]}
+    assert "B:C901" in tags and not any("C900" in t for t in tags)
+
+
 def test_pubtator_to_context_end_to_end(spark, tmp_path):
     corpus = tmp_path / "corpus.txt"
     corpus.write_text(CORPUS)
