@@ -5,15 +5,24 @@ cluster — the closest sandbox realization of the north rule's
 executors".
 
 Topology: one standalone master + K worker JVMs, each worker hosting
-one 4-core/4g executor. N = 2 workers (8 cores), 4N = 8 workers
-(32 cores). Each configuration runs the identical ER bench (bench.py,
-ER-only) in a fresh driver process with the engine shipped as a
---py-files zip (spark.submit.pyFiles), exactly as a production
-spark-submit would.
+one executor. Default: 4-core executors, N = 2 workers (8 cores),
+4N = 8 workers (32 cores). Each configuration runs the identical ER
+bench (bench.py, ER-only) in a fresh driver process with the engine
+shipped as a --py-files zip (spark.submit.pyFiles), exactly as a
+production spark-submit would.
 
-Also records the host's raw-CPU scaling ceiling (hypervisor steal makes
-8->32 busy cores only ~0.75-efficient on this box) so the pipeline's
-efficiency can be read against what the hardware permits.
+The topology is env-tunable because this host's memory controllers
+saturate at ~8 busy cores (numpy-streaming microbench: 0.18 efficiency
+8->32 procs vs 0.85 ALU — BENCH/BASELINE.md): the default 8->32-core
+measurement runs INTO that wall, so the north rule's N-vs-4N criterion
+is additionally evidenced inside the host's linear regime with
+SPARK_GRAFT_SCALE_N_WORKERS=1 SPARK_GRAFT_SCALE_4N_WORKERS=4
+SPARK_GRAFT_SCALE_CORES=2 (1x2-core vs 4x2-core executors = 2 vs 8
+total cores, all under the wall).
+
+Also records the host's raw-CPU scaling ceiling at the same two core
+counts (hypervisor steal + frequency) so the pipeline's efficiency can
+be read against what the hardware permits.
 """
 
 from __future__ import annotations
@@ -98,7 +107,9 @@ def make_pyfiles_zip() -> str:
     return zpath
 
 
-def run_bench(total_cores: int, zpath: str, n_docs: str) -> float:
+def run_bench(
+    total_cores: int, zpath: str, n_docs: str, exec_cores: int = 4, exec_mem: str = "3g"
+) -> tuple[float, dict]:
     env = dict(
         os.environ,
         SPARK_GRAFT_MASTER=MASTER_URL,
@@ -107,8 +118,8 @@ def run_bench(total_cores: int, zpath: str, n_docs: str) -> float:
         SPARK_GRAFT_BENCH_DOCS=n_docs,
         EL_SPARK_EXTRA_CONF=json.dumps(
             {
-                "spark.executor.cores": 4,
-                "spark.executor.memory": "3g",
+                "spark.executor.cores": exec_cores,
+                "spark.executor.memory": exec_mem,
                 "spark.submit.pyFiles": zpath,
                 "spark.cores.max": total_cores,
                 # keep the default locality wait (3s): measured on this
@@ -147,37 +158,52 @@ def _spin(n: int) -> int:
     return x
 
 
-def cpu_ceiling() -> dict:
-    """Raw-CPU N-vs-4N ceiling of this host (per-core slowdown under
-    full load: hypervisor steal + frequency)."""
+def cpu_ceiling(n_cores: int, n4_cores: int) -> dict:
+    """Raw-CPU N-vs-4N ceiling of this host at the measured core counts
+    (per-core slowdown under full load: hypervisor steal + frequency)."""
     res = {}
-    for procs in (8, 32):
+    for procs in (n_cores, n4_cores):
         t0 = time.time()
         with mp.Pool(procs) as p:
             p.map(_spin, [20_000_000] * procs)
         res[procs] = time.time() - t0
-    return {"t8": round(res[8], 2), "t32": round(res[32], 2), "ceiling": round(res[8] / res[32], 3)}
+    return {
+        f"t{n_cores}": round(res[n_cores], 2),
+        f"t{n4_cores}": round(res[n4_cores], 2),
+        "ceiling": round(res[n_cores] / res[n4_cores], 3),
+    }
 
 
 def main() -> None:
     n_docs = os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000")
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
-    ceil = cpu_ceiling()
-    print(f"raw-CPU 8->32 ceiling: {ceil}", file=sys.stderr)
+    nw_n = int(os.environ.get("SPARK_GRAFT_SCALE_N_WORKERS", "2"))
+    nw_4n = int(os.environ.get("SPARK_GRAFT_SCALE_4N_WORKERS", "8"))
+    cores = int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "4"))
+    worker_mem = os.environ.get("SPARK_GRAFT_SCALE_WORKER_MEM", "4g")
+    exec_mem = os.environ.get("SPARK_GRAFT_SCALE_EXEC_MEM", "3g")
+    out_name = os.environ.get("SPARK_GRAFT_SCALE_OUT", "cluster_scaling.json")
+    ceil = cpu_ceiling(nw_n * cores, nw_4n * cores)
+    print(
+        f"raw-CPU {nw_n * cores}->{nw_4n * cores} ceiling: {ceil}", file=sys.stderr
+    )
     zpath = make_pyfiles_zip()
     master = start_master()
-    results = {"2w": [], "8w": []}
-    stages = {"2w": [], "8w": []}
+    tag_n, tag_4n = f"{nw_n}w", f"{nw_4n}w"
+    results = {tag_n: [], tag_4n: []}
+    stages = {tag_n: [], tag_4n: []}
     try:
         for r in range(rounds):
-            for tag, nw in (("2w", 2), ("8w", 8)):
-                workers = start_workers(nw)
+            for tag, nw in ((tag_n, nw_n), (tag_4n, nw_4n)):
+                workers = start_workers(nw, cores=cores, mem=worker_mem)
                 try:
-                    t, st = run_bench(nw * 4, zpath, n_docs)
+                    t, st = run_bench(
+                        nw * cores, zpath, n_docs, exec_cores=cores, exec_mem=exec_mem
+                    )
                     results[tag].append(t)
                     stages[tag].append(st)
                     print(
-                        f"round {r}: {nw} workers ({nw * 4} cores): {t:.1f}s "
+                        f"round {r}: {nw} workers ({nw * cores} cores): {t:.1f}s "
                         f"stages={st}",
                         file=sys.stderr,
                     )
@@ -187,18 +213,19 @@ def main() -> None:
                         shutil.rmtree(f"/tmp/el-worker-{i}", ignore_errors=True)
     finally:
         stop([master])
-    t_n, t_4n = min(results["2w"]), min(results["8w"])
+    t_n, t_4n = min(results[tag_n]), min(results[tag_4n])
     # per-stage timings of the fastest run at each level: a serial
     # choke-point would show as a stage whose seconds do NOT shrink
     # from N to 4N executors
-    st_n = stages["2w"][results["2w"].index(t_n)]
-    st_4n = stages["8w"][results["8w"].index(t_4n)]
+    st_n = stages[tag_n][results[tag_n].index(t_n)]
+    st_4n = stages[tag_4n][results[tag_4n].index(t_4n)]
     nd = int(n_docs)
     eff = (t_n / t_4n) / 4
     out = {
         "corpus_docs": nd,
-        "executors_N": 2,
-        "executors_4N": 8,
+        "executors_N": nw_n,
+        "executors_4N": nw_4n,
+        "cores_per_executor": cores,
         "t_N_sec": t_n,
         "t_4N_sec": t_4n,
         "docs_per_sec_N": round(nd / t_n, 1),
@@ -216,7 +243,7 @@ def main() -> None:
         "all_runs": results,
     }
     print(json.dumps(out))
-    with open(os.path.join(REPO, "BENCH", "cluster_scaling.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         json.dump(out, f, indent=2)
 
 

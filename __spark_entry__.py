@@ -769,15 +769,25 @@ def q_embedding_dedup(spark, sf_dir):
     exact same cosine — a full-recall value check, not rows-only.
     Identical vectors share every SRP bucket deterministically, so
     recall on the planted pairs is exactly 1."""
+    import math
+
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # plant above max(vec_id) so ids stay unique at every sf (a fixed
-    # +10000 offset would collide once the table has >10k rows)
-    off = emb.agg(F.max("vec_id") + 1).first()[0]
+    # +10000 offset would collide once the table has >10k rows); the same
+    # agg row carries the count for the bits sizing below
+    off, n = emb.agg(F.max("vec_id") + 1, F.count("*")).first()
     planted = emb.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding"
     )
+    # the O(n^2) DuckDB twin does not model the max_bucket drop rule, so
+    # the index must stay drop-free here: scale bits with table size so
+    # a uniform SRP bucket holds ~12 rows << max_bucket=50 at every sf
+    # (at 8 bits / 256 buckets, a >13k-row table would overflow EVERY
+    # bucket and silently drop the planted pairs). Identical planted
+    # vectors collide in all tables at any bits, so recall stays 1.
+    bits = max(8, math.ceil(math.log2(max((n + 10) / 12, 1))))
     return embedding_near_duplicates(
-        emb.unionByName(planted), cosine_threshold=0.9
+        emb.unionByName(planted), cosine_threshold=0.9, bits=bits
     ).orderBy("a_id", "b_id")
 
 
@@ -805,22 +815,14 @@ order by a_id, b_id
 """
 
 
-def q_media_features(spark, sf_dir):
-    """Multimodal plumbing (S6-adjacent training-data path): attach one
-    media span per document (media_ref = img://<doc_id>) and run the
-    mapInPandas decode/featurize pipeline with the deterministic fake
-    decoder (md5-derived dims + 8-d feature — the honest stand-in for
-    the absent codec libraries; see operators/multimodal.py). The DuckDB
-    twin reproduces the md5 byte arithmetic, so schema, batch plumbing,
-    AND kernel values are all driver-checked."""
-    from entity_linking_in_biomedical_spark.operators.multimodal import (
-        extract_media_features,
-    )
+def _docs_with_media(spark, sf_dir):
+    """documents table wrapped to the engine shape with one media span
+    appended per document (media_ref = img://<doc_id>, span_seq = 1)."""
     from entity_linking_in_biomedical_spark.sources.loaders import (
         wrap_flat_documents,
     )
 
-    docs = wrap_flat_documents(
+    return wrap_flat_documents(
         _t(spark, sf_dir, "documents").select("doc_id", "text")
     ).select(
         "doc_id",
@@ -836,7 +838,28 @@ def q_media_features(spark, sf_dir):
             ),
         ).alias("spans"),
     )
-    feats = extract_media_features(docs)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing (S6-adjacent training-data path): attach one
+    media span per document (media_ref = img://<doc_id>) and run the
+    mapInPandas decode/featurize pipeline with the deterministic fake
+    decoder (md5-derived dims + 8-d feature — the honest stand-in for
+    the absent codec libraries; see operators/multimodal.py). The DuckDB
+    twin reproduces the md5 byte arithmetic, so schema, batch plumbing,
+    AND kernel values are all driver-checked."""
+    from entity_linking_in_biomedical_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    feats = extract_media_features(_docs_with_media(spark, sf_dir))
+    # the feature vector is projected to a comma-joined fixed-6-decimal
+    # string: the driver's canonicalizer sorts result columns in pandas
+    # and list values are unhashable, so both engines emit the same
+    # sortable scalar (round-then-format keeps the doubles identical on
+    # both sides, so the HALF_UP-vs-half-even printf difference can
+    # never bite — the rounded value sits ~1e-10 from a 6-decimal point,
+    # nowhere near the 5e-7 format midpoint)
     return feats.select(
         "doc_id",
         "span_seq",
@@ -844,9 +867,13 @@ def q_media_features(spark, sf_dir):
         "width",
         "height",
         "n_frames",
-        F.transform("feature", lambda x: F.round(x.cast("double"), 6)).alias(
-            "feature"
-        ),
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature",
+                lambda x: F.format_string("%.6f", F.round(x.cast("double"), 6)),
+            ),
+        ).alias("feature_csv"),
     ).orderBy("doc_id")
 
 
@@ -860,12 +887,12 @@ def _oracle_media_features() -> str:
         )
 
     feature = (
-        "["
+        "concat_ws(',', "
         + ", ".join(
-            f"round(cast(cast({hexbyte(i)}/255.0 as float) as double), 6)"
+            f"printf('%.6f', round(cast(cast({hexbyte(i)}/255.0 as float) as double), 6))"
             for i in range(3, 11)
         )
-        + "]"
+        + ")"
     )
     return f"""
 with m as (
@@ -878,8 +905,82 @@ select doc_id, cast(1 as int) as span_seq,
        cast(64 + {hexbyte(0)} as int) as width,
        cast(64 + {hexbyte(1)} as int) as height,
        cast(1 + {hexbyte(2)} % 8 as int) as n_frames,
-       {feature} as feature
+       {feature} as feature_csv
 from m order by doc_id
+"""
+
+
+def q_sample_frames(spark, sf_dir):
+    """Video frame sampling over the media spans: up to k=3 evenly
+    spaced frame indices per media span (index selection pure JVM —
+    sequence/transform/explode), each frame featurized by the batched
+    fake decoder on ``ref#<frame_idx>``. The DuckDB twin reproduces the
+    index arithmetic (floor(i*n_frames/min(k,n_frames))) and the
+    per-frame md5 feature bytes, so the whole explode+mapInPandas
+    plumbing is value-checked."""
+    from entity_linking_in_biomedical_spark.operators.multimodal import (
+        extract_media_features,
+        sample_frames,
+    )
+
+    frames = sample_frames(extract_media_features(_docs_with_media(spark, sf_dir)), k=3)
+    return frames.select(
+        "doc_id",
+        "span_seq",
+        "media_ref",
+        "frame_idx",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "frame_feature",
+                lambda x: F.format_string("%.6f", F.round(x.cast("double"), 6)),
+            ),
+        ).alias("frame_feature_csv"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+def _oracle_sample_frames(k: int = 3) -> str:
+    """DuckDB twin of sample_frames over fake_decoder: n_frames from
+    md5(media_ref) byte 2, frame indices floor(i*n_frames/min(k,n)),
+    per-frame feature from md5(media_ref || '#' || idx) bytes 3..10."""
+
+    def hexbyte(col: str, i: int) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr({col},{2 * i + 1},1))-1)*16 + "
+            f"(strpos('0123456789abcdef', substr({col},{2 * i + 2},1))-1))"
+        )
+
+    feature = (
+        "concat_ws(',', "
+        + ", ".join(
+            f"printf('%.6f', round(cast(cast({hexbyte('h2', i)}/255.0 as float) as double), 6))"
+            for i in range(3, 11)
+        )
+        + ")"
+    )
+    return f"""
+with m as (
+  select cast(doc_id as varchar) as doc_id,
+         'img://' || cast(doc_id as varchar) as media_ref,
+         md5('img://' || cast(doc_id as varchar)) as h
+  from documents
+), mf as (
+  select doc_id, media_ref,
+         cast(1 + {hexbyte('h', 2)} % 8 as int) as n_frames
+  from m
+), fr as (
+  select doc_id, media_ref, n_frames,
+         cast(floor(cast(i * n_frames as double) / least(n_frames, {k})) as int)
+           as frame_idx
+  from (select *, unnest(generate_series(0, least(n_frames, {k}) - 1)) as i from mf)
+), f2 as (
+  select doc_id, media_ref, frame_idx,
+         md5(media_ref || '#' || cast(frame_idx as varchar)) as h2
+  from fr
+)
+select doc_id, cast(1 as int) as span_seq, media_ref, frame_idx,
+       {feature} as frame_feature_csv
+from f2 order by doc_id, frame_idx
 """
 
 
@@ -1054,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_dedup": q_embedding_dedup,
         "media_features": q_media_features,
+        "sample_frames": q_sample_frames,
         "simhash_dedup": q_simhash_dedup,
         "semi_hard_negatives": q_semi_hard_negatives,
         "er_synthetic": q_er_synthetic,
@@ -1089,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": ORACLE_ANN_IVF,
         "embedding_dedup": ORACLE_EMB_DEDUP,
         "media_features": _oracle_media_features(),
+        "sample_frames": _oracle_sample_frames(),
         "simhash_dedup": _oracle_simhash_dedup(),
         "semi_hard_negatives": ORACLE_SEMI_HARD,
         # er_synthetic: golden-values oracle, see _oracle_er_synthetic

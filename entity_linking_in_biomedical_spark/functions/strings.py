@@ -316,7 +316,7 @@ def tfidf_cosine_batch(
     key_a = ra * v + np.searchsorted(all_codes, ca_)
     key_b = rb * v + np.searchsorted(all_codes, cb_)
     common, ia, ib = np.intersect1d(key_a, key_b, assume_unique=True, return_indices=True)
-    contrib = cnt_a[ia] * cnt_b[ib] * wa[ia] * wa[ia]
+    contrib = cnt_a[ia] * cnt_b[ib] * wa[ia] * wb[ib]
     dot = np.bincount(ra[ia], weights=contrib, minlength=nb_)
     denom = na * nbn
     with np.errstate(divide="ignore", invalid="ignore"):

@@ -244,6 +244,36 @@ def lsh_topk(
     )
 
 
+def ivf_training_sample(
+    database: DataFrame,
+    sample_cap: int = 20000,
+    db_id: str = "vec_id",
+    db_vec: str = "embedding",
+) -> DataFrame:
+    """The quantizer's bounded deterministic sample: first ``sample_cap``
+    rows in md5(id) order.
+
+    Scale path: a bare orderBy(md5).limit compiles to
+    TakeOrderedAndProject — bounded driver memory, but it md5s and
+    heap-sorts EVERY database row for a 20k-row sample. When the table
+    is more than 4x the sample, a deterministic hash pre-filter
+    (pmod(xxhash64(id), m) = 0, m sized so ~4*sample_cap rows survive)
+    runs first, so the sort sees only the filtrate; tables at or below
+    4x (every test/bench sf) skip the filter and draw the identical
+    sample as before. Either way the draw depends only on ids — never
+    on partitioning — so index builds stay reproducible."""
+    sample = database.select(db_id, db_vec)
+    n_rows = sample.count()
+    mod = max(1, n_rows // (4 * sample_cap))
+    if mod > 1:
+        sample = sample.filter(
+            F.pmod(F.xxhash64(F.col(db_id).cast("string")), F.lit(mod)) == 0
+        )
+    return sample.orderBy(
+        F.md5(F.col(db_id).cast("string")), F.col(db_id)
+    ).limit(sample_cap)
+
+
 def fit_ivf_centroids(
     database: DataFrame,
     n_centroids: int = 64,
@@ -263,13 +293,10 @@ def fit_ivf_centroids(
     vectors, and Lloyd updates are plain numpy — so index builds are
     reproducible across runs and partitionings. Returns an
     L2-normalized (n_centroids, dim) matrix; assignment is argmax dot
-    = nearest by cosine."""
-    rows = (
-        database.select(db_id, db_vec)
-        .orderBy(F.md5(F.col(db_id).cast("string")), F.col(db_id))
-        .limit(sample_cap)
-        .collect()
-    )
+    = nearest by cosine.
+
+    Scale path: see :func:`ivf_training_sample`."""
+    rows = ivf_training_sample(database, sample_cap, db_id, db_vec).collect()
     mat = np.zeros((len(rows), dim))
     for i, r in enumerate(rows):
         a = np.asarray(r[db_vec], dtype=float)[:dim]

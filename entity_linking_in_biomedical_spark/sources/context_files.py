@@ -248,3 +248,61 @@ def write_context(ctx: DataFrame, out_dir: str) -> None:
 
 def write_mention_txt(mentions: DataFrame, out_dir: str) -> None:
     _write_files(render_mention_txt(mentions), out_dir, ".txt")
+
+
+def read_all_mentions(spark: SparkSession, path: str) -> DataFrame:
+    """`all_mention.txt` (corpus-wide flat mention file) ->
+    (seq, doc_id, surface, cui), ``seq`` = file line number.
+
+    Format per src/data/pre_processing.py:230-237 (writer) /
+    src/utils.py:391-407 (reader): ``docid||surface||CUI`` per line,
+    file ends with a newline (the reference reader drops the final
+    empty split element). One corpus-wide file, so wholetext keeps the
+    global line order losslessly; the reference corpus is ~350k lines —
+    a 10^12-doc corpus would carry mentions in Parquet, not this."""
+    raw = spark.read.text(path, wholetext=True)
+    lines = raw.select(
+        F.posexplode(
+            F.filter(F.split("value", r"\n"), lambda l: l != "")
+        ).alias("seq", "line")
+    )
+    return lines.select(
+        "seq",
+        F.split("line", r"\|\|").getItem(0).alias("doc_id"),
+        F.split("line", r"\|\|").getItem(1).alias("surface"),
+        F.split("line", r"\|\|").getItem(2).alias("cui"),
+    )
+
+
+def render_all_mentions(mentions: DataFrame) -> DataFrame:
+    """One row (content) — exact `all_mention.txt` bytes:
+    ``docid||surface||CUI`` lines in ``seq`` order, every line
+    newline-terminated (reference writer emits '\\n' per row, so the
+    file ends with a newline)."""
+    return mentions.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("seq", "doc_id", "surface", "cui"))
+        ).alias("ms")
+    ).select(
+        F.concat_ws(
+            "",
+            F.transform(
+                "ms",
+                lambda m: F.concat(
+                    m["doc_id"], F.lit("||"), m["surface"], F.lit("||"),
+                    m["cui"], F.lit("\n"),
+                ),
+            ),
+        ).alias("content")
+    )
+
+
+def write_all_mentions(mentions: DataFrame, out_path: str) -> None:
+    """Sink for the reference's corpus-wide mention file (K1 family).
+    Single file by definition, so the rendered row is written directly
+    (content size = corpus mention lines — fine at reference scale,
+    see read_all_mentions)."""
+    content = render_all_mentions(mentions).first()["content"]
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write(content)

@@ -47,21 +47,24 @@ def streaming_exact_dedup(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (seen,) = state.get if state.exists else (0,)
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
-            out = pd.DataFrame(
+        # a key's micro-batch group may arrive as SEVERAL Arrow chunks;
+        # sorting per chunk would make "which doc is first" depend on
+        # chunk boundaries, so accumulate the group and sort once —
+        # group size is the duplicates of ONE hash in one micro-batch,
+        # so materializing it is bounded and the doc_id order (hence
+        # is_duplicate assignment) is reproducible under repartitioning
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+            yield pd.DataFrame(
                 {
                     "text_hash": key[0],
                     "doc_id": pdf["doc_id"].values,
                     # duplicate iff anything with this hash came before it
-                    "is_duplicate": (
-                        seen + pd.RangeIndex(len(pdf)).values
-                    )
-                    > 0,
+                    "is_duplicate": (seen + pd.RangeIndex(len(pdf)).values) > 0,
                 }
             )
             seen += len(pdf)
-            yield out
         state.update((seen,))
 
     return hashed.groupBy("text_hash").applyInPandasWithState(

@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 
 from entity_linking_in_biomedical_spark.sources.context_files import (
     context_to_documents,
+    read_all_mentions,
     read_context,
     read_mention_txt,
+    write_all_mentions,
     write_context,
     write_mention_txt,
 )
@@ -52,6 +54,37 @@ def test_mention_txt_roundtrip_all_shipped_files(spark, tmp_path):
             os.path.join(out, name), encoding="utf-8"
         ) as f2:
             assert f1.read() == f2.read(), f"byte mismatch: {name}"
+
+
+def test_all_mentions_roundtrip(spark, tmp_path):
+    """Corpus-wide `all_mention.txt` (reference byte format
+    `docid||surface||CUI` + newline per line, src/data/
+    pre_processing.py:230-237): the reference ships no such file, so the
+    fixture is synthesized in the writer's exact byte format from the
+    shipped per-doc `.txt` mention files, then write(read(f)) must
+    reproduce it byte-for-byte and the parsed columns must line up."""
+    originals = sorted(glob.glob(f"{REF_DIR}/*.txt"))
+    assert originals
+    lines = []
+    for orig in originals:
+        doc_id = os.path.basename(orig)[:-4]
+        with open(orig, encoding="utf-8") as f:
+            for line in f.read().split("\n"):
+                if line:
+                    cui, surface = line.split("||", 1)
+                    lines.append(f"{doc_id}||{surface}||{cui}\n")
+    src = tmp_path / "all_mention.txt"
+    src.write_text("".join(lines), encoding="utf-8")
+
+    df = read_all_mentions(spark, str(src))
+    out = tmp_path / "out" / "all_mention.txt"
+    write_all_mentions(df, str(out))
+    assert out.read_text(encoding="utf-8") == src.read_text(encoding="utf-8")
+
+    assert df.count() == len(lines)
+    first = df.orderBy("seq").first()
+    d0, s0, c0 = lines[0][:-1].split("||")
+    assert (first["doc_id"], first["surface"], first["cui"]) == (d0, s0, c0)
 
 
 def test_context_to_documents_offsets_and_alignment(spark):

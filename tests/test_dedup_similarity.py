@@ -266,6 +266,52 @@ def test_ivf_candidates_bounded_by_probe_fraction(spark):
     assert max(sizes) <= 3 * (1000 // 20)  # no degenerate mega-list
 
 
+def test_ivf_sample_prefilter_plan_and_determinism(spark):
+    """The quantizer sample must not md5-heap-sort the whole database:
+    above 4x sample_cap a deterministic xxhash64 pre-filter precedes the
+    order/limit (visible in the plan), the draw stays id-deterministic
+    across partitionings, and at/below 4x the plan has no filter so the
+    sample is bit-identical to the unfiltered draw."""
+    from entity_linking_in_biomedical_spark.operators.similarity import (
+        ivf_training_sample,
+    )
+
+    def plan_of(df) -> str:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(True)
+        return buf.getvalue()
+
+    rows = [(i, [float(i % 7), 1.0]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    big = ivf_training_sample(df, sample_cap=10)
+    assert "xxhash64" in plan_of(big)
+    got1 = [r["vec_id"] for r in big.collect()]
+    got2 = [
+        r["vec_id"]
+        for r in ivf_training_sample(df.repartition(7), sample_cap=10).collect()
+    ]
+    assert got1 == got2 and len(got1) == 10
+
+    small = ivf_training_sample(df, sample_cap=200)
+    assert "xxhash64" not in plan_of(small)
+    # unfiltered draw == the pre-refactor behavior: global md5 order
+    expected = [
+        r["vec_id"]
+        for r in df.select(
+            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(200)
+        .collect()
+    ]
+    assert [r["vec_id"] for r in small.collect()] == expected
+
+
 def test_ivf_max_list_truncates_hot_lists(spark):
     """A degenerate list (identical vectors) is truncated at max_list,
     bounding the bucket join fan-out."""
