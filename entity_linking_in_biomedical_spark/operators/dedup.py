@@ -191,6 +191,11 @@ def ngram_jaccard_pairs(
     prefix = (
         ranked.join(sizes, "doc_id")
         .filter((F.col("n") - F.col("rk") + 1) / F.col("n") >= F.lit(t))
+        # df=1 grams occupy their prefix slot (the rank above counts
+        # them — required) but can never produce a candidate pair, so
+        # they are dead weight in the self-join; dropping them here is
+        # candidate-set-preserving and typically halves the join input
+        .filter(F.col("df") >= 2)
         .select("doc_id", "g", "n")
     )
     pairs = (

@@ -51,14 +51,22 @@ def fit_idf(names: DataFrame, ngram: int = 3, vocab_cap: int = 400_000) -> dict[
     from ..functions.ngrams import char_ngrams
 
     n_docs = names.count()
-    df = (
+    agg = (
         names.select("norm", F.explode(F.array_distinct(char_ngrams("norm", ngram))).alias("g"))
         .groupBy("g")
         .agg(F.count("*").alias("df"))
-        .orderBy(F.desc("df"), F.asc("g"))
-        .limit(vocab_cap)
-        .collect()
+        .localCheckpoint(eager=False)  # count + collect: aggregate once
     )
+    # TakeOrderedAndProject keeps a vocab_cap-sized heap PER TASK and
+    # merge-sorts cap*partitions rows on the driver — pure overhead when
+    # the vocabulary is under the cap (the common case: char-3-gram
+    # vocab over entity names is ~50k; the 400k cap matches the
+    # reference's max_features and only binds on far larger
+    # dictionaries). Sort only when the cap actually binds.
+    if agg.count() <= vocab_cap:
+        df = agg.collect()
+    else:
+        df = agg.orderBy(F.desc("df"), F.asc("g")).limit(vocab_cap).collect()
     return {r["g"]: math.log((n_docs + 1) / (r["df"] + 1)) + 1.0 for r in df}
 
 

@@ -261,3 +261,55 @@ def _nk(s: str) -> str:
     import re
 
     return re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+
+def synth_pubtator_lines(
+    n_docs: int = 1000, n_entities: int = 200, seed: int = 7
+) -> list[str]:
+    """Deterministic synthetic PubTator corpus (title/abstract lines +
+    tab-separated annotations) for benchmarking the E1 preprocess plan
+    (plans/preprocess.pubtator_to_context) at scale. Text is built so
+    the regex tokenizer/sentencizer round-trips exactly: words carry no
+    punctuation, every sentence ends '.' and starts uppercase, every
+    mention begins on a token boundary."""
+    rng = random.Random(seed)
+    ents = []
+    for i in range(n_entities):
+        name = " ".join(rng.sample(_WORDS, rng.randint(1, 3)))
+        ents.append((f"C{i + 1:07d}", name))
+
+    lines: list[str] = []
+    for d in range(n_docs):
+        doc_id = str(10_000_000 + d)
+        anns: list[tuple[int, int, str, str]] = []
+
+        def sentence(base: int) -> str:
+            parts: list[str] = []
+            pos = base
+            for t in range(rng.randint(4, 10)):
+                first = t == 0
+                if rng.random() < 0.25:
+                    cui, name = ents[rng.randrange(len(ents))]
+                    surf = name.title() if first else name
+                    anns.append((pos, pos + len(surf), surf, cui))
+                    parts.append(surf)
+                    pos += len(surf) + 1
+                else:
+                    w = rng.choice(_FILLER)
+                    parts.append(w.capitalize() if first else w)
+                    pos += len(parts[-1]) + 1
+            return " ".join(parts) + "."
+
+        title = sentence(0)
+        base = len(title) + 1
+        abs_sents = []
+        for _ in range(rng.randint(2, 6)):
+            s = sentence(base)
+            abs_sents.append(s)
+            base += len(s) + 1
+        lines.append(f"{doc_id}|t|{title}")
+        lines.append(f"{doc_id}|a|{' '.join(abs_sents)}")
+        for s, e, surf, cui in sorted(anns):
+            lines.append(f"{doc_id}\t{s}\t{e}\t{surf}\tX\tT000:{cui}")
+        lines.append("")
+    return lines

@@ -76,6 +76,108 @@ def streaming_exact_dedup(
     )
 
 
+MINHASH_OUTPUT_SCHEMA = (
+    "band_key string, doc_id string, is_duplicate boolean, matched_id string"
+)
+MINHASH_STATE_SCHEMA = "first_id string, seen bigint"
+
+
+def streaming_minhash_dedup(
+    stream_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Online twin of minhash_near_duplicates: every arriving document
+    is emitted once per LSH band with ``is_duplicate`` = whether any
+    EARLIER document (this or any previous micro-batch, across
+    restarts) landed in the same band bucket, and ``matched_id`` = the
+    bucket's first-ever document (the online candidate edge). A doc is
+    a near-duplicate iff ANY of its bands collides — roll up with
+    ``minhash_doc_flags`` (batch) or a downstream ``foreachBatch``.
+
+    Same signature machinery and default banding (16 hashes x 8 bands
+    of 2 rows) as the batch operator, so online and offline candidate
+    sets agree. State per band key is (first_id, seen) — O(1) per
+    distinct bucket regardless of bucket population (no pair join here,
+    so the batch max_bucket skew cap is unnecessary: output is one row
+    per (doc, band), never O(bucket^2)).
+
+    Streaming-safe banding: with_band_keys' localCheckpoint barrier is
+    illegal on a streaming plan, so the signature is materialized
+    behind an explode(array(...)) Generate node instead — projections
+    don't collapse through a generator, so the md5-per-shingle pass
+    runs once, not once per band."""
+    from ..functions.ngrams import lsh_band_keys, minhash_signature
+    from ..functions.text_metrics import tokens
+    from ..operators.dedup import _word_shingles
+
+    toks = stream_docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        tokens(text_col).alias("toks"),
+    )
+    sh = toks.select(
+        "doc_id", F.array_distinct(_word_shingles(F.col("toks"), shingle_k)).alias("shingles")
+    )
+    sigged = sh.select(
+        "doc_id",
+        F.explode(F.array(minhash_signature(F.col("shingles"), num_hashes))).alias("_sig"),
+    )
+    banded = sigged.select(
+        "doc_id",
+        F.explode(lsh_band_keys(F.col("_sig"), bands, num_hashes // bands)).alias(
+            "band_key"
+        ),
+    )
+
+    def mark(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        first_id, seen = state.get if state.exists else (None, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
+            if first_id is None:
+                first_id = str(pdf["doc_id"].iloc[0])
+            order = pd.RangeIndex(len(pdf)).values
+            is_dup = (seen + order) > 0
+            yield pd.DataFrame(
+                {
+                    "band_key": key[0],
+                    "doc_id": pdf["doc_id"].values,
+                    "is_duplicate": is_dup,
+                    # the bucket's first doc is its own match target: None
+                    "matched_id": [first_id if d else None for d in is_dup],
+                }
+            )
+            seen += len(pdf)
+        state.update((first_id, seen))
+
+    return banded.groupBy("band_key").applyInPandasWithState(
+        mark,
+        outputStructType=MINHASH_OUTPUT_SCHEMA,
+        stateStructType=MINHASH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def minhash_doc_flags(band_rows: DataFrame) -> DataFrame:
+    """Per-doc roll-up of streaming_minhash_dedup output (run on the
+    accumulated sink or inside foreachBatch): (doc_id, is_duplicate,
+    matched_ids) — duplicate iff any band collided."""
+    return band_rows.groupBy("doc_id").agg(
+        F.max("is_duplicate").alias("is_duplicate"),
+        F.sort_array(
+            F.array_distinct(
+                F.filter(F.collect_list("matched_id"), lambda m: m.isNotNull())
+            )
+        ).alias("matched_ids"),
+    )
+
+
 def batch_exact_dedup_flags(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> list[tuple[Any, ...]]:
     """Single-node oracle for tests: (text_hash, doc_id, is_duplicate)
     with the same doc_id arrival order, computed in pandas."""

@@ -113,3 +113,69 @@ def test_pubtator_to_context_end_to_end(spark, tmp_path):
         if s["kind"] == "mention"
     }
     assert ("201", "Dynactin") in surfs and ("201", "chronic lung infection") in surfs
+
+
+# ---------------------------------------------------------------------------
+# Stanza-parity fixtures: shipped st21pv docs whose artifacts the regex
+# tokenizer reproduces BYTE-exactly end-to-end (found by
+# tools/find_parity_docs.py — 285 of 3,514 shipped docs qualify; the
+# rest diverge only where stanza's neural tokenization differs from the
+# regex default: hyphen/symbol token grouping and multi-space surfaces).
+# ---------------------------------------------------------------------------
+
+import os
+
+import pytest
+
+REF_ST21PV = "/root/reference/data/processed/st21pv"
+# (split, doc_id) drawn from the scanner's passing set: first train doc,
+# a mid-corpus train doc, and a test-split doc
+PARITY_DOCS = [("train", "27010511"), ("train", "27332832"), ("test", "27235559")]
+
+
+def _load_parity_tools():
+    import importlib.util
+
+    p = os.path.join(os.path.dirname(__file__), "..", "tools", "find_parity_docs.py")
+    spec = importlib.util.spec_from_file_location("find_parity_docs", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_ST21PV), reason="reference artifacts not present"
+)
+def test_shipped_artifact_byte_parity_end_to_end(spark, tmp_path):
+    """Full byte parity with the reference's processed artifacts through
+    the SPARK plan: reconstruct each fixture doc's PubTator input from
+    its shipped `.context`/`.txt` (the artifact bytes depend only on
+    token sequences + mention spans, so a reconstruction that
+    re-tokenizes identically must reproduce them exactly), run
+    pubtator_to_context, and compare the written files byte-for-byte
+    against data/processed/st21pv."""
+    tools = _load_parity_tools()
+    lines = []
+    shipped = {}
+    for split, doc_id in PARITY_DOCS:
+        rec, why = tools.reconstruct(doc_id, split)
+        assert rec is not None, why
+        spans, cuis, want_ctx, want_txt = rec
+        title, abstract = spans[0]["text"], spans[1]["text"]
+        lines.append(f"{doc_id}|t|{title}")
+        lines.append(f"{doc_id}|a|{abstract}")
+        for s, c in zip([s for s in spans if s["kind"] == "mention"], cuis):
+            b = s["offset"]
+            lines.append(
+                f"{doc_id}\t{b}\t{b + len(s['text'])}\t{s['text']}\tX\tT000:{c}"
+            )
+        lines.append("")
+        shipped[doc_id] = (want_ctx, want_txt)
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(lines))
+    out = tmp_path / "processed"
+    pubtator_to_context(spark, str(corpus), out_dir=str(out))
+    for _, doc_id in PARITY_DOCS:
+        want_ctx, want_txt = shipped[doc_id]
+        assert (out / f"{doc_id}.context").read_text() == want_ctx, doc_id
+        assert (out / f"{doc_id}.txt").read_text() == want_txt, doc_id

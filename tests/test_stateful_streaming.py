@@ -61,3 +61,103 @@ def test_streaming_dedup_output_schema(spark, tmp_path):
     assert len(out) == 1 and not out.is_duplicate.iloc[0]
     assert isinstance(out.text_hash.iloc[0], str) and len(out.text_hash.iloc[0]) == 32
     assert pd.api.types.is_bool_dtype(out.is_duplicate)
+
+
+# ---------------------------------------------------------------------------
+# Streaming minhash near-dup: banded keyed state across restarts
+# ---------------------------------------------------------------------------
+
+LONG_A = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "researchers annotate biomedical mentions across interleaved spans "
+    "of text and media documents at considerable scale"
+)
+LONG_A_EDIT = LONG_A.replace("seventeen", "eighteen")  # near-dup of A
+UNRELATED = (
+    "completely different content about parquet partition pruning and "
+    "adaptive query execution inside the catalyst optimizer stack with "
+    "no shingles shared with anything else in this corpus at all"
+)
+
+
+def _run_minhash_batch(spark, src_dir, ckpt, out_dir):
+    from entity_linking_in_biomedical_spark.streaming.stateful import (
+        streaming_minhash_dedup,
+    )
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src_dir)
+    q = (
+        streaming_minhash_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out_dir)
+
+
+def _batch_band_keys(spark, rows):
+    """Oracle: the BATCH banding machinery over the same texts — the
+    online candidate set must agree with the offline one."""
+    from entity_linking_in_biomedical_spark.functions.ngrams import with_band_keys
+    from entity_linking_in_biomedical_spark.functions.text_metrics import tokens
+    from entity_linking_in_biomedical_spark.operators.dedup import _word_shingles
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, SCHEMA).select(
+        F.col("doc_id").cast("string").alias("doc_id"), tokens("text").alias("toks")
+    )
+    sh = df.select(
+        "doc_id", F.array_distinct(_word_shingles(F.col("toks"), 3)).alias("shingles")
+    )
+    out = {}
+    for r in with_band_keys(sh, F.col("shingles"), 16, 8).select("doc_id", "bk").collect():
+        out.setdefault(r.doc_id, set()).add(r.bk)
+    return out
+
+
+def test_streaming_minhash_dedup_state_survives_restart(spark, tmp_path):
+    from entity_linking_in_biomedical_spark.streaming.stateful import (
+        minhash_doc_flags,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    b1 = [(1, LONG_A), (2, UNRELATED), (3, LONG_A_EDIT)]
+    b2 = [(4, LONG_A), (5, UNRELATED + " with a tail edit")]
+    keys = _batch_band_keys(spark, b1 + b2)
+    # sanity on the fixture: the edit still collides on >=1 band; the
+    # unrelated doc collides on none
+    assert keys["1"] & keys["3"]
+    assert not (keys["2"] & (keys["1"] | keys["3"]))
+
+    spark.createDataFrame(b1, SCHEMA).write.mode("append").parquet(src)
+    flags1 = {
+        r.doc_id: (r.is_duplicate, list(r.matched_ids))
+        for r in minhash_doc_flags(_run_minhash_batch(spark, src, ckpt, out)).collect()
+    }
+    assert flags1["1"] == (False, [])
+    assert flags1["2"] == (False, [])
+    assert flags1["3"] == (True, ["1"])
+
+    # restart (new query, same checkpoint): the exact copy of doc 1 must
+    # collide on EVERY band with matched_id "1" — only possible if band
+    # state was restored; doc 5's perturbed unrelated text must match
+    # doc 2 iff the batch machinery says their bands collide
+    spark.createDataFrame(b2, SCHEMA).write.mode("append").parquet(src)
+    rows2 = _run_minhash_batch(spark, src, ckpt, out)
+    new = rows2.filter(rows2.doc_id.isin("4", "5"))
+    flags2 = {
+        r.doc_id: (r.is_duplicate, list(r.matched_ids))
+        for r in minhash_doc_flags(new).collect()
+    }
+    assert flags2["4"] == (True, ["1"])
+    n4 = new.filter("doc_id = '4' and is_duplicate").count()
+    assert n4 == 8  # all 8 bands of an exact copy collide
+    expect5 = bool(keys["5"] & keys["2"])
+    assert flags2["5"][0] == expect5
