@@ -16,11 +16,17 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from entity_linking_in_biomedical_spark.functions.normalize import NORM_KEY_SQL
 from entity_linking_in_biomedical_spark.functions.text_metrics import (
+    PII_PATTERNS,
     TOKENS_SQL,
+    dup_2gram_ratio,
+    dup_token_ratio,
     fingerprint,
     lang_id,
+    pii_count,
+    pii_redact,
     quality_score,
     token_count,
+    top_token_ratio,
 )
 from entity_linking_in_biomedical_spark.operators.clustering import connected_components
 from entity_linking_in_biomedical_spark.operators.dedup import (
@@ -664,6 +670,100 @@ from documents order by doc_id
 """
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing pass (training-data hygiene): deterministic PII is
+    planted into every 7th document (the synthetic corpus carries none),
+    then counted per kind and redacted with typed placeholders — all
+    sequential JVM regexp_replace, no UDF. The DuckDB twin plants the
+    identical strings and runs the identical RE2-safe patterns, so the
+    match counts AND the md5 of the redacted text are value-checked."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id").cast("string")
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact jane.doe+"),
+            d,
+            F.lit("@example.org or 555-867-530"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(", server 10.1.2."),
+            (F.col("doc_id") % 255).cast("string"),
+            F.lit(", ssn 123-45-6789."),
+        ),
+    ).otherwise(F.col("text"))
+    t = docs.withColumn("t", planted)
+    return t.select(
+        "doc_id",
+        pii_count("t", "email").cast("bigint").alias("n_email"),
+        pii_count("t", "ssn").cast("bigint").alias("n_ssn"),
+        pii_count("t", "phone").cast("bigint").alias("n_phone"),
+        pii_count("t", "ipv4").cast("bigint").alias("n_ipv4"),
+        F.md5(pii_redact("t")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+def _oracle_pii_redact() -> str:
+    pats = {k: p for k, p, _ in PII_PATTERNS}
+    repl = {k: r for k, _, r in PII_PATTERNS}
+    red = "t"
+    for k, _, _ in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pats[k]}', '{repl[k]}', 'g')"
+    counts = ",\n       ".join(
+        f"cast(len(regexp_extract_all(t, '{pats[k]}')) as bigint) as n_{k}"
+        for k in ("email", "ssn", "phone", "ipv4")
+    )
+    return f"""
+with p as (
+  select doc_id,
+         case when doc_id % 7 = 0 then
+           text || ' Contact jane.doe+' || cast(doc_id as varchar)
+                || '@example.org or 555-867-530' || cast(doc_id % 10 as varchar)
+                || ', server 10.1.2.' || cast(doc_id % 255 as varchar)
+                || ', ssn 123-45-6789.'
+         else text end as t
+  from documents
+)
+select doc_id,
+       {counts},
+       md5({red}) as redacted_md5
+from p order by doc_id
+"""
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics per document: duplicate-token
+    ratio, top-token frequency ratio, duplicate-2-gram ratio — the
+    quality rules that gate a crawl before training. Pure column
+    expressions (codegen, no shuffle beyond the scan)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        dup_token_ratio("text").alias("dup_token_ratio"),
+        top_token_ratio("text").alias("top_token_ratio"),
+        dup_2gram_ratio("text").alias("dup_2gram_ratio"),
+    ).orderBy("doc_id")
+
+
+ORACLE_REPETITION = f"""
+with t as (
+  select doc_id, {_TOKS} as toks from documents
+), g as (
+  select doc_id, toks, len(toks) as n,
+         case when len(toks) >= 2
+              then list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+              else [] end as g2
+  from t
+)
+select doc_id,
+  case when n > 0 then round(1.0 - cast(len(list_distinct(toks)) as double) / n, 6) else 0.0 end as dup_token_ratio,
+  case when n > 0 then round(cast(list_max(list_transform(list_distinct(toks),
+         d -> len(list_filter(toks, x -> x = d)))) as double) / n, 6) else 0.0 end as top_token_ratio,
+  case when n >= 2 then round(1.0 - cast(len(list_distinct(g2)) as double) / (n - 1), 6) else 0.0 end as dup_2gram_ratio
+from g order by doc_id
+"""
+
+
 # ---- similarity search over embeddings ------------------------------------
 
 
@@ -1150,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "pii_redact": q_pii_redact,
+        "repetition": q_repetition,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1186,6 +1288,8 @@ def oracle_sql() -> dict[str, str]:
         "token_count": ORACLE_TOKEN_COUNT,
         "quality_score": ORACLE_QUALITY,
         "doc_fingerprint": ORACLE_DOC_FP,
+        "pii_redact": _oracle_pii_redact(),
+        "repetition": ORACLE_REPETITION,
         "ann_brute_force": ORACLE_ANN,
         "ann_lsh": ORACLE_ANN_LSH,
         "ann_ivf": ORACLE_ANN_IVF,

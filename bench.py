@@ -176,6 +176,8 @@ def main() -> None:
         "token_count",
         "quality_score",
         "doc_fingerprint",
+        "pii_redact",
+        "repetition",
         "ann_brute_force",
         "ann_lsh",
         "ann_ivf",

@@ -72,6 +72,81 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))))
 
 
+# ---- PII redaction ---------------------------------------------------------
+# Patterns restricted to the regex subset where Java (Spark executors)
+# and RE2 (the DuckDB oracle) agree exactly: character classes, bounded
+# repeats, alternation-free bodies, ASCII \b word boundaries — no
+# lookaround, no backreferences. Order matters: emails are redacted
+# before the digit patterns so an address' local part can never be
+# half-eaten by the phone rule.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IPV4>"),
+]
+
+
+def pii_redact(col: Column | str) -> Column:
+    """Replace emails / SSNs / phone numbers / IPv4 addresses with typed
+    placeholders — the standard scrubbing pass before a corpus becomes
+    training data. Pure sequential regexp_replace: JVM-side, codegen,
+    no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Match count for one PII kind on the UNREDACTED text (each kind
+    counted independently, so counts are order-free)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = next(p for k, p, _ in PII_PATTERNS if k == kind)
+    return F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+
+
+# ---- repetition metrics (Gopher-style quality rules) -----------------------
+
+
+def dup_token_ratio(col: Column | str) -> Column:
+    """1 - |distinct tokens| / |tokens| — the fraction of the document
+    that is repeated words (0 for empty docs)."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def top_token_ratio(col: Column | str) -> Column:
+    """Frequency of the most common token over total tokens. O(u·n) per
+    document as a pure column expression — documents are length-bounded
+    upstream (P-rules), so this stays cheap at any corpus size; the
+    100 TB fallback for pathological docs is the same counter in a
+    mapInPandas batch."""
+    toks = tokens(col)
+    n = F.size(toks)
+    counts = F.transform(
+        F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda t: t == d))
+    )
+    return F.when(n > 0, F.round(F.array_max(counts) / n, 6)).otherwise(F.lit(0.0))
+
+
+def dup_2gram_ratio(col: Column | str) -> Column:
+    """1 - |distinct word 2-grams| / |2-grams| (0 when fewer than two
+    tokens). The Gopher dup-ngram filter family's base case."""
+    toks = tokens(col)
+    n = F.size(toks)
+    m = F.greatest(n - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    return F.when(
+        n >= 2, F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / m, 6)
+    ).otherwise(F.lit(0.0))
+
+
 def simhash64(col: Column | str) -> Column:
     """60-bit SimHash over tokens (md5-derived token hashes, so any
     engine reproduces it). Bit b of the result is the sign of the

@@ -7,12 +7,17 @@ import pytest
 from pyspark.sql import functions as F
 
 from entity_linking_in_biomedical_spark.functions.text_metrics import (
+    dup_2gram_ratio,
+    dup_token_ratio,
     fingerprint,
     lang_id,
+    pii_count,
+    pii_redact,
     quality_score,
     simhash64,
     token_count,
     tokens,
+    top_token_ratio,
 )
 from entity_linking_in_biomedical_spark.operators.multimodal import (
     extract_media_features,
@@ -61,6 +66,58 @@ def test_simhash_similar_docs_close(spark):
     df = spark.createDataFrame([(a,), (a.replace("eight", "nine"),)], "t string")
     got = [r[0] for r in df.select(simhash64("t")).collect()]
     assert bin(got[0] ^ got[1]).count("1") <= 20
+
+
+def test_pii_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "Mail a.b+c@sub.example.org, call 555-123-4567, "
+                "host 192.168.0.1, ssn 987-65-4321.",
+            ),
+            ("no pii here, version 1.2 build 34",),
+        ],
+        "t string",
+    )
+    got = df.select(
+        pii_redact("t").alias("red"),
+        pii_count("t", "email").alias("ne"),
+        pii_count("t", "phone").alias("np"),
+        pii_count("t", "ipv4").alias("ni"),
+        pii_count("t", "ssn").alias("ns"),
+    ).collect()
+    assert got[0]["red"] == (
+        "Mail <EMAIL>, call <PHONE>, host <IPV4>, ssn <SSN>."
+    )
+    assert (got[0]["ne"], got[0]["np"], got[0]["ni"], got[0]["ns"]) == (1, 1, 1, 1)
+    # "1.2" / "34" must not trip the digit patterns
+    assert got[1]["red"] == "no pii here, version 1.2 build 34"
+    assert (got[1]["ne"], got[1]["np"], got[1]["ni"], got[1]["ns"]) == (0, 0, 0, 0)
+
+
+def test_repetition_metrics(spark):
+    df = spark.createDataFrame(
+        [
+            ("a a a a",),  # one token repeated
+            ("a b c d",),  # all distinct
+            ("a b a b a b",),  # repeated bigram
+            ("",),
+            ("solo",),
+        ],
+        "t string",
+    )
+    got = df.select(
+        dup_token_ratio("t").alias("d1"),
+        top_token_ratio("t").alias("tt"),
+        dup_2gram_ratio("t").alias("d2"),
+    ).collect()
+    assert got[0]["d1"] == 0.75 and got[0]["tt"] == 1.0 and got[0]["d2"] == pytest.approx(2 / 3)
+    assert got[1]["d1"] == 0.0 and got[1]["tt"] == 0.25 and got[1]["d2"] == 0.0
+    # "a b a b a b": 6 tokens, 2 distinct; 5 bigrams, 2 distinct
+    assert got[2]["d1"] == pytest.approx(2 / 3)
+    assert got[2]["d2"] == pytest.approx(0.6)
+    assert got[3]["d1"] == 0.0 and got[3]["tt"] == 0.0 and got[3]["d2"] == 0.0
+    assert got[4]["d1"] == 0.0 and got[4]["tt"] == 1.0 and got[4]["d2"] == 0.0
 
 
 def test_media_features_plumbing(spark, corpus):
