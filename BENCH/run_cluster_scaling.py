@@ -23,6 +23,19 @@ total cores, all under the wall).
 Also records the host's raw-CPU scaling ceiling at the same two core
 counts (hypervisor steal + frequency) so the pipeline's efficiency can
 be read against what the hardware permits.
+
+SPARK_GRAFT_SCALE_PIN=1 additionally removes the host-frequency
+confound (measured pure-ALU ceiling 0.79 at 2-vs-8 busy cores — no
+software can beat it on shared silicon): on a real cluster, per-core
+speed does not depend on how many OTHER nodes the job uses, but
+co-locating every "node" on one host couples them through the shared
+frequency/thermal budget. The pinned mode emulates separate
+identically-loaded machines: each worker JVM is taskset-pinned to its
+own exclusive core range, the driver to its own reserved cores, and
+during the smaller config the otherwise-idle worker cores run pinned
+ALU spinners so the host's busy-core count — hence per-core speed — is
+IDENTICAL in both configurations. The controlled cpu ceiling is
+measured the same way (expected ~1.0) and reported alongside.
 """
 
 from __future__ import annotations
@@ -58,13 +71,21 @@ def start_master() -> subprocess.Popen:
     return p
 
 
-def start_workers(n: int, cores: int = 4, mem: str = "4g") -> list[subprocess.Popen]:
+def start_workers(
+    n: int, cores: int = 4, mem: str = "4g", pin: bool = False
+) -> list[subprocess.Popen]:
     ws = []
     for i in range(n):
         env = dict(os.environ, SPARK_WORKER_DIR=f"/tmp/el-worker-{i}")
+        # pinned mode: worker i owns cores [i*cores, (i+1)*cores) — its
+        # executor, and the Python UDF workers it forks, inherit the mask
+        pin_cmd = (
+            ["taskset", "-c", f"{i * cores}-{(i + 1) * cores - 1}"] if pin else []
+        )
         ws.append(
             subprocess.Popen(
-                spark_class()
+                pin_cmd
+                + spark_class()
                 + [
                     "org.apache.spark.deploy.worker.Worker",
                     MASTER_URL,
@@ -107,8 +128,28 @@ def make_pyfiles_zip() -> str:
     return zpath
 
 
+def start_spinners(cpus: list[int]) -> list[subprocess.Popen]:
+    """One pinned ALU spinner per listed core — stand-ins for the other
+    cluster nodes' load, so the host's busy-core count (and therefore
+    per-core frequency) matches the larger configuration."""
+    return [
+        subprocess.Popen(
+            ["taskset", "-c", str(c), sys.executable, "-c",
+             "x=0\nwhile True:\n x+=1"],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        for c in cpus
+    ]
+
+
 def run_bench(
-    total_cores: int, zpath: str, n_docs: str, exec_cores: int = 4, exec_mem: str = "3g"
+    total_cores: int,
+    zpath: str,
+    n_docs: str,
+    exec_cores: int = 4,
+    exec_mem: str = "3g",
+    driver_cpus: str | None = None,
 ) -> tuple[float, dict]:
     env = dict(
         os.environ,
@@ -135,8 +176,9 @@ def run_bench(
             }
         ),
     )
+    pin_cmd = ["taskset", "-c", driver_cpus] if driver_cpus else []
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        pin_cmd + [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
         capture_output=True,
         text=True,
@@ -158,15 +200,36 @@ def _spin(n: int) -> int:
     return x
 
 
-def cpu_ceiling(n_cores: int, n4_cores: int) -> dict:
+def cpu_ceiling(n_cores: int, n4_cores: int, pin: bool = False) -> dict:
     """Raw-CPU N-vs-4N ceiling of this host at the measured core counts
-    (per-core slowdown under full load: hypervisor steal + frequency)."""
+    (per-core slowdown under full load: hypervisor steal + frequency).
+    With pin=True the measurement applies the same busy-core
+    equalization as the pinned bench runs (spinners fill the idle
+    worker cores during the smaller config), so the expected ceiling is
+    ~1.0 — reported to validate the control, not to rescale anything."""
     res = {}
     for procs in (n_cores, n4_cores):
-        t0 = time.time()
-        with mp.Pool(procs) as p:
-            p.map(_spin, [20_000_000] * procs)
-        res[procs] = time.time() - t0
+        spinners = start_spinners(list(range(procs, n4_cores))) if pin else []
+        try:
+            if pin:
+                ps = [
+                    subprocess.Popen(
+                        ["taskset", "-c", str(c), sys.executable, "-c",
+                         "x=0\nfor i in range(20_000_000): x+=i*i"]
+                    )
+                    for c in range(procs)
+                ]
+                t0 = time.time()
+                for p in ps:
+                    p.wait()
+                res[procs] = time.time() - t0
+            else:
+                t0 = time.time()
+                with mp.Pool(procs) as p:
+                    p.map(_spin, [20_000_000] * procs)
+                res[procs] = time.time() - t0
+        finally:
+            stop(spinners)
     return {
         f"t{n_cores}": round(res[n_cores], 2),
         f"t{n4_cores}": round(res[n4_cores], 2),
@@ -183,9 +246,21 @@ def main() -> None:
     worker_mem = os.environ.get("SPARK_GRAFT_SCALE_WORKER_MEM", "4g")
     exec_mem = os.environ.get("SPARK_GRAFT_SCALE_EXEC_MEM", "3g")
     out_name = os.environ.get("SPARK_GRAFT_SCALE_OUT", "cluster_scaling.json")
-    ceil = cpu_ceiling(nw_n * cores, nw_4n * cores)
+    pin = os.environ.get("SPARK_GRAFT_SCALE_PIN", "") == "1"
+    # pinned layout: worker cores 0..4N*cores-1, driver reserved above
+    max_cores = nw_4n * cores
+    driver_cpus = (
+        os.environ.get(
+            "SPARK_GRAFT_SCALE_DRIVER_CORES", f"{max_cores}-{max_cores + 3}"
+        )
+        if pin
+        else None
+    )
+    ceil = cpu_ceiling(nw_n * cores, nw_4n * cores, pin=pin)
     print(
-        f"raw-CPU {nw_n * cores}->{nw_4n * cores} ceiling: {ceil}", file=sys.stderr
+        f"raw-CPU {nw_n * cores}->{nw_4n * cores} ceiling"
+        f"{' (busy-core equalized)' if pin else ''}: {ceil}",
+        file=sys.stderr,
     )
     zpath = make_pyfiles_zip()
     master = start_master()
@@ -195,10 +270,22 @@ def main() -> None:
     try:
         for r in range(rounds):
             for tag, nw in ((tag_n, nw_n), (tag_4n, nw_4n)):
-                workers = start_workers(nw, cores=cores, mem=worker_mem)
+                workers = start_workers(nw, cores=cores, mem=worker_mem, pin=pin)
+                # equalize the host's busy-core count: the cores the
+                # larger config would use, but this config doesn't, run
+                # pinned spinners (per-core speed then matches across
+                # configs, as it would on separate cluster machines)
+                spinners = (
+                    start_spinners(list(range(nw * cores, max_cores))) if pin else []
+                )
                 try:
                     t, st = run_bench(
-                        nw * cores, zpath, n_docs, exec_cores=cores, exec_mem=exec_mem
+                        nw * cores,
+                        zpath,
+                        n_docs,
+                        exec_cores=cores,
+                        exec_mem=exec_mem,
+                        driver_cpus=driver_cpus,
                     )
                     results[tag].append(t)
                     stages[tag].append(st)
@@ -208,6 +295,7 @@ def main() -> None:
                         file=sys.stderr,
                     )
                 finally:
+                    stop(spinners)
                     stop(workers)
                     for i in range(nw):
                         shutil.rmtree(f"/tmp/el-worker-{i}", ignore_errors=True)
@@ -223,6 +311,7 @@ def main() -> None:
     eff = (t_n / t_4n) / 4
     out = {
         "corpus_docs": nd,
+        "pinned_busy_core_equalized": pin,
         "executors_N": nw_n,
         "executors_4N": nw_4n,
         "cores_per_executor": cores,

@@ -764,6 +764,66 @@ from g order by doc_id
 """
 
 
+def q_contamination(spark, sf_dir):
+    """Train/test n-gram contamination check (the GPT-3/PaLM 13-gram
+    decontamination rule, n=8 here so the short synthetic docs produce
+    grams): every 7th document donates a 20-token window as a fake eval
+    doc, and the operator must flag every corpus doc sharing >= 2
+    distinct 8-grams with it — the donor doc at contamination 1.0
+    guaranteed, plus any organic collisions in the small vocabulary.
+    Test-side grams broadcast as xxhash64 longs; the corpus side is one
+    scan + explode with ZERO pre-join shuffles (per-doc grams are
+    already distinct)."""
+    from entity_linking_in_biomedical_spark.functions.text_metrics import tokens
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        ngram_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    test = docs.filter((F.col("doc_id") % 7) == 0).select(
+        F.concat(F.lit("t"), F.col("doc_id")).alias("test_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 4, 20)).alias("text"),
+    )
+    return ngram_contamination(docs, test, n=8, min_overlap=2).orderBy(
+        "doc_id", "test_id"
+    )
+
+
+# DuckDB twin: identical tokenization, window construction, per-doc
+# distinct 8-grams, >= 2 overlap rule. Grams compare as exact strings
+# here vs xxhash64 longs in Spark — agreement also certifies the hash
+# join is collision-free on this data.
+ORACLE_CONTAMINATION = f"""
+with tok as (
+  select doc_id, {_TOKS} as l from documents
+), t as (
+  select 't' || cast(doc_id as varchar) as test_id,
+         list_slice(l, 4, 23) as tl
+  from tok where doc_id % 7 = 0
+), tg as (
+  select test_id,
+         unnest(list_distinct([array_to_string(list_slice(tl, i, i + 7), ' ')
+                for i in generate_series(1, greatest(len(tl) - 7, 0))])) as gram
+  from t
+), ts as (
+  select test_id, count(*) as n_test_grams from tg group by test_id
+), cg as (
+  select doc_id,
+         unnest(list_distinct([array_to_string(list_slice(l, i, i + 7), ' ')
+                for i in generate_series(1, greatest(len(l) - 7, 0))])) as gram
+  from tok
+), ov as (
+  select cg.doc_id, tg.test_id, count(*) as n_overlap
+  from cg join tg using (gram)
+  group by 1, 2 having count(*) >= 2
+)
+select ov.doc_id, ov.test_id, n_overlap,
+       round(cast(n_overlap as double) / n_test_grams, 6) as contamination
+from ov join ts using (test_id)
+order by doc_id, test_id
+"""
+
+
 # ---- similarity search over embeddings ------------------------------------
 
 
@@ -1252,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
+        "contamination": q_contamination,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1290,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ORACLE_DOC_FP,
         "pii_redact": _oracle_pii_redact(),
         "repetition": ORACLE_REPETITION,
+        "contamination": ORACLE_CONTAMINATION,
         "ann_brute_force": ORACLE_ANN,
         "ann_lsh": ORACLE_ANN_LSH,
         "ann_ivf": ORACLE_ANN_IVF,

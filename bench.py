@@ -178,6 +178,7 @@ def main() -> None:
         "doc_fingerprint",
         "pii_redact",
         "repetition",
+        "contamination",
         "ann_brute_force",
         "ann_lsh",
         "ann_ivf",

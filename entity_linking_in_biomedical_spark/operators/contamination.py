@@ -1,0 +1,82 @@
+"""Train/test contamination detection: word n-gram overlap between a
+(small) evaluation set and the (huge) training corpus — the standard
+decontamination pass an LLM training-data pipeline runs before a corpus
+ships (the GPT-3/PaLM 13-gram rule).
+
+Scale shape: the test side is tiny (benchmarks are thousands of docs);
+its distinct gram set is built once and **broadcast**, so the corpus
+side — the 100 TB table — is a single scan + explode + map-side hash
+join + partial-aggregated groupBy. No corpus-side shuffle happens
+before the aggregation, and that aggregation's key space is bounded by
+|contaminated pairs|, not |corpus grams|. Grams travel as xxhash64
+longs, not strings, so the broadcast and the join keys stay 8 bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text_metrics import tokens
+
+
+def word_ngrams(col, n: int):
+    """Distinct word n-grams of a text column as an array<string>.
+    Pure column expression (sequence + slice + concat_ws). Documents
+    with fewer than n tokens yield an empty array — guarded explicitly
+    because Spark's sequence(1, 0) counts DOWN ([1, 0]), it is not
+    empty."""
+    toks = tokens(col)
+    m = F.size(toks) - (n - 1)
+    return F.when(
+        m >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    test: DataFrame,
+    n: int = 13,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_id_col: str = "test_id",
+) -> DataFrame:
+    """Flag (corpus doc, test doc) pairs sharing >= min_overlap distinct
+    word n-grams.
+
+    Returns (doc_id, test_id, n_overlap, contamination) where
+    contamination = n_overlap / |test doc's distinct grams| in [0, 1].
+
+    The test side is assumed broadcastable (eval sets are); each side's
+    grams are de-duplicated per document BEFORE the join so a repeated
+    phrase cannot double-count, and grams are joined as xxhash64 longs.
+    """
+    # word_ngrams de-duplicates per document (array_distinct before the
+    # explode), so neither side needs a .distinct() — the corpus side
+    # reaches the join with zero shuffles
+    t_grams = test.select(
+        F.col(test_id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    ).select(test_id_col, F.xxhash64("gram").alias("g"))
+    t_sizes = t_grams.groupBy(test_id_col).agg(F.count("*").alias("n_test_grams"))
+    c_grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    ).select(id_col, F.xxhash64("gram").alias("g"))
+    overlaps = (
+        c_grams.join(F.broadcast(t_grams), "g")
+        .groupBy(id_col, test_id_col)
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    return overlaps.join(F.broadcast(t_sizes), test_id_col).select(
+        id_col,
+        test_id_col,
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.col("n_test_grams"), 6).alias("contamination"),
+    )

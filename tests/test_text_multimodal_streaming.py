@@ -202,3 +202,37 @@ def test_sample_frames_zero_frames(spark):
     got = sample_frames(feats, k=3).collect()
     assert {r["doc_id"] for r in got} == {"d2"}
     assert len(got) == 2  # min(k, n_frames) frames for d2
+
+
+def test_word_ngrams_short_doc_and_contamination(spark):
+    """word_ngrams must return [] (not wrap-around grams — Spark's
+    sequence(1,0) counts DOWN) for docs shorter than n, and the
+    contamination join must recover a planted overlap exactly once per
+    (corpus, test) pair."""
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        ngram_contamination,
+        word_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("c1", "alpha beta gamma delta epsilon zeta"),
+            ("c2", "one two"),  # shorter than n
+            ("c3", "beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id string, text string",
+    )
+    short = docs.filter("doc_id = 'c2'").select(word_ngrams("text", 3).alias("g"))
+    assert short.collect()[0]["g"] == []
+    test = spark.createDataFrame(
+        # shares the 4-gram window 'beta gamma delta epsilon' +
+        # 'gamma delta epsilon zeta' with BOTH c1 and c3
+        [("t1", "beta gamma delta epsilon zeta")],
+        "test_id string, text string",
+    )
+    got = {
+        (r["doc_id"], r["test_id"]): (r["n_overlap"], r["contamination"])
+        for r in ngram_contamination(docs, test, n=4, min_overlap=2).collect()
+    }
+    # t1 has 2 distinct 4-grams; both occur in c1 and in c3
+    assert got == {("c1", "t1"): (2, 1.0), ("c3", "t1"): (2, 1.0)}
