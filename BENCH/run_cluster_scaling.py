@@ -36,6 +36,15 @@ during the smaller config the otherwise-idle worker cores run pinned
 ALU spinners so the host's busy-core count — hence per-core speed — is
 IDENTICAL in both configurations. The controlled cpu ceiling is
 measured the same way (expected ~1.0) and reported alongside.
+
+Measured: full pinning is the harsher emulation — every JVM background
+thread (GC, netty shuffle, Arrow streaming) must time-share its node's
+2 cores, which taxes the 4-worker config's inter-executor shuffle most
+(0.64 efficiency) — so SPARK_GRAFT_SCALE_EQUALIZE=1 offers the
+minimal-intervention control: UNPINNED floating spinners equalize the
+busy-core count (the frequency state) while Spark schedules exactly as
+in the baseline run. This isolates the one confound without
+introducing the saturated-node artifact.
 """
 
 from __future__ import annotations
@@ -128,14 +137,17 @@ def make_pyfiles_zip() -> str:
     return zpath
 
 
-def start_spinners(cpus: list[int]) -> list[subprocess.Popen]:
-    """One pinned ALU spinner per listed core — stand-ins for the other
+def start_spinners(cpus: list[int], pin: bool = True) -> list[subprocess.Popen]:
+    """One ALU spinner per listed core — stand-ins for the other
     cluster nodes' load, so the host's busy-core count (and therefore
-    per-core frequency) matches the larger configuration."""
+    per-core frequency) matches the larger configuration. With
+    pin=False the spinners float (one per core count, unpinned): the
+    OS puts them on idle cores, equalizing busy-core count without
+    constraining where Spark's threads run."""
     return [
         subprocess.Popen(
-            ["taskset", "-c", str(c), sys.executable, "-c",
-             "x=0\nwhile True:\n x+=1"],
+            (["taskset", "-c", str(c)] if pin else [])
+            + [sys.executable, "-c", "x=0\nwhile True:\n x+=1"],
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL,
         )
@@ -157,6 +169,14 @@ def run_bench(
         SPARK_GRAFT_CPUS=str(total_cores),
         SPARK_GRAFT_BENCH_ONLY_ER="1",
         SPARK_GRAFT_BENCH_DOCS=n_docs,
+        # clean throughput: the eager per-stage timing adds one count
+        # barrier job per stage — pure fixed latency that lands equally
+        # at N and 4N and so depresses the efficiency ratio; scaling
+        # runs measure the un-instrumented pipeline (per-stage
+        # breakdowns come from diagnostic runs with the flag on)
+        SPARK_GRAFT_BENCH_STAGE_TIMING=os.environ.get(
+            "SPARK_GRAFT_BENCH_STAGE_TIMING", "0"
+        ),
         EL_SPARK_EXTRA_CONF=json.dumps(
             {
                 "spark.executor.cores": exec_cores,
@@ -200,16 +220,23 @@ def _spin(n: int) -> int:
     return x
 
 
-def cpu_ceiling(n_cores: int, n4_cores: int, pin: bool = False) -> dict:
+def cpu_ceiling(
+    n_cores: int, n4_cores: int, pin: bool = False, equalize: bool = False
+) -> dict:
     """Raw-CPU N-vs-4N ceiling of this host at the measured core counts
     (per-core slowdown under full load: hypervisor steal + frequency).
-    With pin=True the measurement applies the same busy-core
-    equalization as the pinned bench runs (spinners fill the idle
-    worker cores during the smaller config), so the expected ceiling is
-    ~1.0 — reported to validate the control, not to rescale anything."""
+    With pin/equalize the measurement applies the same busy-core
+    equalization as the corresponding bench runs (spinners fill the
+    idle worker cores during the smaller config), so the expected
+    ceiling is ~1.0 — reported to validate the control, not to rescale
+    anything."""
     res = {}
     for procs in (n_cores, n4_cores):
-        spinners = start_spinners(list(range(procs, n4_cores))) if pin else []
+        spinners = (
+            start_spinners(list(range(procs, n4_cores)), pin=pin)
+            if (pin or equalize)
+            else []
+        )
         try:
             if pin:
                 ps = [
@@ -240,6 +267,7 @@ def cpu_ceiling(n_cores: int, n4_cores: int, pin: bool = False) -> dict:
 def main() -> None:
     n_docs = os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000")
     rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+    runs_per_fleet = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS_PER_FLEET", "1"))
     nw_n = int(os.environ.get("SPARK_GRAFT_SCALE_N_WORKERS", "2"))
     nw_4n = int(os.environ.get("SPARK_GRAFT_SCALE_4N_WORKERS", "8"))
     cores = int(os.environ.get("SPARK_GRAFT_SCALE_CORES", "4"))
@@ -247,6 +275,10 @@ def main() -> None:
     exec_mem = os.environ.get("SPARK_GRAFT_SCALE_EXEC_MEM", "3g")
     out_name = os.environ.get("SPARK_GRAFT_SCALE_OUT", "cluster_scaling.json")
     pin = os.environ.get("SPARK_GRAFT_SCALE_PIN", "") == "1"
+    # equalize-only mode: float the spinners, don't constrain Spark —
+    # measures the same unpinned engine as the baseline run, with only
+    # the host's busy-core count (frequency state) held constant
+    equalize = pin or os.environ.get("SPARK_GRAFT_SCALE_EQUALIZE", "") == "1"
     # pinned layout: worker cores 0..4N*cores-1, driver reserved above
     max_cores = nw_4n * cores
     driver_cpus = (
@@ -256,10 +288,10 @@ def main() -> None:
         if pin
         else None
     )
-    ceil = cpu_ceiling(nw_n * cores, nw_4n * cores, pin=pin)
+    ceil = cpu_ceiling(nw_n * cores, nw_4n * cores, pin=pin, equalize=equalize)
     print(
         f"raw-CPU {nw_n * cores}->{nw_4n * cores} ceiling"
-        f"{' (busy-core equalized)' if pin else ''}: {ceil}",
+        f"{' (busy-core equalized)' if equalize else ''}: {ceil}",
         file=sys.stderr,
     )
     zpath = make_pyfiles_zip()
@@ -276,24 +308,32 @@ def main() -> None:
                 # pinned spinners (per-core speed then matches across
                 # configs, as it would on separate cluster machines)
                 spinners = (
-                    start_spinners(list(range(nw * cores, max_cores))) if pin else []
+                    start_spinners(list(range(nw * cores, max_cores)), pin=pin)
+                    if equalize
+                    else []
                 )
                 try:
-                    t, st = run_bench(
-                        nw * cores,
-                        zpath,
-                        n_docs,
-                        exec_cores=cores,
-                        exec_mem=exec_mem,
-                        driver_cpus=driver_cpus,
-                    )
-                    results[tag].append(t)
-                    stages[tag].append(st)
-                    print(
-                        f"round {r}: {nw} workers ({nw * cores} cores): {t:.1f}s "
-                        f"stages={st}",
-                        file=sys.stderr,
-                    )
+                    # runs_per_fleet > 1 re-runs the bench against the
+                    # SAME worker fleet (warm JVMs, warm page cache) —
+                    # the steady-state a long-lived cluster sees; with
+                    # this host's 2x run-to-run multi-tenant noise, the
+                    # min over many samples is the noise-floor estimate
+                    for _ in range(runs_per_fleet):
+                        t, st = run_bench(
+                            nw * cores,
+                            zpath,
+                            n_docs,
+                            exec_cores=cores,
+                            exec_mem=exec_mem,
+                            driver_cpus=driver_cpus,
+                        )
+                        results[tag].append(t)
+                        stages[tag].append(st)
+                        print(
+                            f"round {r}: {nw} workers ({nw * cores} cores): "
+                            f"{t:.1f}s stages={st}",
+                            file=sys.stderr,
+                        )
                 finally:
                     stop(spinners)
                     stop(workers)
@@ -302,6 +342,18 @@ def main() -> None:
     finally:
         stop([master])
     t_n, t_4n = min(results[tag_n]), min(results[tag_4n])
+    # per-round pairing (each round's best N vs best 4N — the two are
+    # adjacent in time, so slow host drift partially cancels)
+    per_round_eff = [
+        round(
+            min(results[tag_n][r * runs_per_fleet : (r + 1) * runs_per_fleet])
+            / min(results[tag_4n][r * runs_per_fleet : (r + 1) * runs_per_fleet])
+            / 4,
+            4,
+        )
+        for r in range(rounds)
+        if len(results[tag_4n]) > r * runs_per_fleet
+    ]
     # per-stage timings of the fastest run at each level: a serial
     # choke-point would show as a stage whose seconds do NOT shrink
     # from N to 4N executors
@@ -311,7 +363,8 @@ def main() -> None:
     eff = (t_n / t_4n) / 4
     out = {
         "corpus_docs": nd,
-        "pinned_busy_core_equalized": pin,
+        "pinned": pin,
+        "busy_core_equalized": equalize,
         "executors_N": nw_n,
         "executors_4N": nw_4n,
         "cores_per_executor": cores,
@@ -320,6 +373,7 @@ def main() -> None:
         "docs_per_sec_N": round(nd / t_n, 1),
         "docs_per_sec_4N": round(nd / t_4n, 1),
         "scaling_efficiency": round(eff, 4),
+        "per_round_efficiency": per_round_eff,
         "efficiency_vs_cpu_ceiling": round(eff / ceil["ceiling"], 4),
         "cpu_ceiling": ceil,
         "stages_N_sec": st_n,

@@ -91,9 +91,15 @@ def main() -> None:
     warm_res = run_pipeline(spark, warm_docs, ents, embeddings=emb, abbr_map=abbr)
     force(warm_res["linked_documents"])
 
+    # SPARK_GRAFT_BENCH_STAGE_TIMING=0: skip the eager per-stage count
+    # barriers (one extra job per stage — fixed latency that lands
+    # equally at every parallelism level and so depresses scaling
+    # ratios); the cluster scaling harness sets it for clean throughput
+    stage_timing = os.environ.get("SPARK_GRAFT_BENCH_STAGE_TIMING", "1") != "0"
     t0 = time.time()
     res = run_pipeline(
-        spark, docs, ents, embeddings=emb, abbr_map=abbr, eager_stage_timing=True
+        spark, docs, ents, embeddings=emb, abbr_map=abbr,
+        eager_stage_timing=stage_timing,
     )
     force(res["linked_documents"])
     er_sec = time.time() - t0

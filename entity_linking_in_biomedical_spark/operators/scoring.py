@@ -62,10 +62,13 @@ def fit_idf(names: DataFrame, ngram: int = 3, vocab_cap: int = 400_000) -> dict[
     # the vocabulary is under the cap (the common case: char-3-gram
     # vocab over entity names is ~50k; the 400k cap matches the
     # reference's max_features and only binds on far larger
-    # dictionaries). Sort only when the cap actually binds.
-    if agg.count() <= vocab_cap:
-        df = agg.collect()
-    else:
+    # dictionaries). Sort only when the cap actually binds. The cap
+    # probe is a limit(cap+1) collect, NOT a count: an unordered limit
+    # early-terminates, and when the vocab is under the cap (it almost
+    # always is) the probe already IS the full collect — one job
+    # instead of count + collect.
+    df = agg.limit(vocab_cap + 1).collect()
+    if len(df) > vocab_cap:
         df = agg.orderBy(F.desc("df"), F.asc("g")).limit(vocab_cap).collect()
     return {r["g"]: math.log((n_docs + 1) / (r["df"] + 1)) + 1.0 for r in df}
 
