@@ -24,7 +24,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _canon(e: DataFrame) -> DataFrame:
@@ -41,11 +41,18 @@ def _canon(e: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u}).
+
+    Partition-window min, not groupBy+join: the whole-partition
+    aggregate over an unordered window is ONE exchange on the node key
+    (plus a local sort) where the agg-then-self-join form pays the agg
+    exchange AND the join exchange — at 10^12-edge scale the saved
+    network pass per iteration compounds over the O(log^2) rounds."""
     nbrs = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    m = nbrs.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    w = Window.partitionBy("src")
+    m = F.least(F.min("dst").over(w), F.col("src"))
     return (
-        nbrs.join(m, "src")
+        nbrs.withColumn("m", m)
         .filter(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
@@ -53,16 +60,24 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Orient edges larger->smaller; connect all smaller neighbors and
-    u itself to the minimum."""
+    u itself to the minimum. Same one-exchange window form as
+    _large_star; the duplicate (u, m) rows the window emits (one per
+    edge instead of one per u) are collapsed by the _canon dedup that
+    follows every round anyway."""
     o = e.select(
         F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    m = o.groupBy("u").agg(F.min("v").alias("m"))
-    j = o.join(m, "u")
-    return (
-        j.select(F.col("v").alias("src"), F.col("m").alias("dst"))
-        .unionByName(m.select(F.col("u").alias("src"), F.col("m").alias("dst")))
-    )
+    j = o.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    # both outputs from ONE window pass: a unionByName of two selects
+    # over j would plan the window (and its exchange) twice
+    return j.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("v").alias("src"), F.col("m").alias("dst")),
+                F.struct(F.col("u").alias("src"), F.col("m").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def _digest(e: DataFrame) -> tuple[int, int]:
