@@ -58,7 +58,11 @@ def main() -> None:
     # digest rounds, Python-worker spin-up) well under half the run, so
     # the docs/s number reflects engine throughput, not setup
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", 0)) or max(200, int(200000 * sf))
-    n_entities = max(100, n_docs // 4)
+    # dictionary capped at 37.5k entities: the synthetic 2-3-word name
+    # space holds ~60k distinct norms, and beyond the cap extra corpus
+    # docs re-use the dictionary (Zipf-hotter surfaces — the realistic
+    # shape for corpus >> dictionary anyway)
+    n_entities = max(100, min(n_docs // 4, 37_500))
     corpus = synth_corpus(n_docs=n_docs, n_entities=n_entities, seed=42)
     docs, ents, _, abbr, _ = corpus.to_spark(spark)
     emb = corpus.embeddings_df(spark)
