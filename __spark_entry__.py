@@ -764,6 +764,50 @@ from g order by doc_id
 """
 
 
+def q_corpus_stats(spark, sf_dir):
+    """Per-language corpus profile — the describe-style pass a
+    training-data pipeline runs before and after every filter stage:
+    doc counts, token totals, exact interpolated token-count
+    percentiles. One partial-aggregated groupBy over the scan (exact
+    percentile keeps per-group values on one reducer — fine for a
+    bounded language key space; the unbounded-key variant would switch
+    to percentile_approx, which is what the skew rules require).
+    Percentiles rounded to 4 decimals on both engines: interpolation is
+    k/10-exact for integer token counts, so the only cross-engine
+    delta is ~1e-15 float noise, far from any rounding boundary."""
+    from entity_linking_in_biomedical_spark.functions.text_metrics import token_count
+
+    t = _t(spark, sf_dir, "documents").select(
+        "lang", token_count("text").cast("double").alias("tc")
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tc").cast("long").alias("total_tokens"),
+            F.round(F.avg("tc"), 4).alias("avg_tokens"),
+            F.round(F.expr("percentile(tc, 0.5)"), 4).alias("p50_tokens"),
+            F.round(F.expr("percentile(tc, 0.9)"), 4).alias("p90_tokens"),
+            F.round(F.expr("percentile(tc, 0.99)"), 4).alias("p99_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_CORPUS_STATS = f"""
+with t as (
+  select lang, cast(len({_TOKS}) as double) as tc from documents
+)
+select lang, count(*) as n_docs,
+       cast(sum(tc) as bigint) as total_tokens,
+       round(avg(tc), 4) as avg_tokens,
+       round(quantile_cont(tc, 0.5), 4) as p50_tokens,
+       round(quantile_cont(tc, 0.9), 4) as p90_tokens,
+       round(quantile_cont(tc, 0.99), 4) as p99_tokens
+from t group by lang order by lang
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Train/test n-gram contamination check (the GPT-3/PaLM 13-gram
     decontamination rule, n=8 here so the short synthetic docs produce
@@ -1313,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
         "contamination": q_contamination,
+        "corpus_stats": q_corpus_stats,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1352,6 +1397,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _oracle_pii_redact(),
         "repetition": ORACLE_REPETITION,
         "contamination": ORACLE_CONTAMINATION,
+        "corpus_stats": ORACLE_CORPUS_STATS,
         "ann_brute_force": ORACLE_ANN,
         "ann_lsh": ORACLE_ANN_LSH,
         "ann_ivf": ORACLE_ANN_IVF,

@@ -189,6 +189,7 @@ def main() -> None:
         "pii_redact",
         "repetition",
         "contamination",
+        "corpus_stats",
         "ann_brute_force",
         "ann_lsh",
         "ann_ivf",
