@@ -123,9 +123,17 @@ def run_pipeline(
         p["split"] = True
 
     # ---- stage 1: mentions -------------------------------------------
+    # Persisted stages bucket on the key every downstream join reuses
+    # (``norm`` ties mentions ↔ candidates ↔ scores across stages and
+    # resumed runs — sources/bucketed.py): the stage's one shuffle is
+    # paid at write time, and a resumed 100 TB run re-joins the
+    # snapshots with no Exchange instead of re-shuffling per stage.
     sig_mentions = stage_signature("mentions", p, [])
     mentions = store.get_or_compute(
-        "mentions", sig_mentions, lambda: extract_mentions(documents, abbr_map)
+        "mentions",
+        sig_mentions,
+        lambda: extract_mentions(documents, abbr_map),
+        bucket_by=["norm"],
     )
 
     names = entity_names(entities)
@@ -162,6 +170,7 @@ def run_pipeline(
             surface_keys=surf_keys,
             word_num_hashes=cfg.word_num_hashes,
         ),
+        bucket_by=["norm"],
     )
 
     # ---- stage 3: pairwise scoring -----------------------------------
@@ -211,7 +220,9 @@ def run_pipeline(
         )
 
     sig_me = stage_signature("me_scores", p, [sig_cands])
-    me_scores = store.get_or_compute("me_scores", sig_me, compute_me)
+    me_scores = store.get_or_compute(
+        "me_scores", sig_me, compute_me, bucket_by=["a_norm"]
+    )
 
     def compute_mm() -> DataFrame:
         # mention-mention channel: distinct surface pairs sharing a
@@ -261,7 +272,9 @@ def run_pipeline(
         return scored.select("a_norm", "b_norm", "block_key", "score")
 
     sig_mm = stage_signature("mm_scores", p, [sig_mentions])
-    mm_scores = store.get_or_compute("mm_scores", sig_mm, compute_mm)
+    mm_scores = store.get_or_compute(
+        "mm_scores", sig_mm, compute_mm, bucket_by=["a_norm"]
+    )
 
     # ---- stage 4: transitive clustering ------------------------------
     def compute_assign() -> DataFrame:

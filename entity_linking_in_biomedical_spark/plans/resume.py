@@ -47,21 +47,38 @@ def stage_signature(
 
 class StageStore:
     def __init__(
-        self, spark: SparkSession, out_dir: str | None, eager_timing: bool = False
+        self,
+        spark: SparkSession,
+        out_dir: str | None,
+        eager_timing: bool = False,
+        n_buckets: int = 32,
     ):
         """``eager_timing``: force (count) each stage at commit time and
         record wall seconds in metrics — the bench's per-stage breakdown.
         Off by default: eager materialization adds one job per stage
-        (driver-side fixed cost that hurts scaling efficiency)."""
+        (driver-side fixed cost that hurts scaling efficiency).
+        ``n_buckets``: bucket count for stages committed with
+        ``bucket_by`` keys (see :meth:`commit`); both sides of a
+        co-located join must agree on it. At 10^12 docs size so buckets
+        land 100-500 MB (table_bytes / 256 MB, power of two)."""
         self.spark = spark
         self.out_dir = out_dir
         self.eager_timing = eager_timing
+        self.n_buckets = n_buckets
         self.metrics: list[dict] = []
 
     def _paths(self, stage: str) -> tuple[str, str]:
         assert self.out_dir is not None
         base = os.path.join(self.out_dir, stage)
         return os.path.join(base, "data"), os.path.join(base, "_MANIFEST.json")
+
+    def _catalog_table(self, stage: str) -> str:
+        """Catalog name for a bucketed stage snapshot. The out_dir hash
+        keys the name so concurrent runs (or parallel tests) against
+        different stores never collide on the shared session catalog."""
+        assert self.out_dir is not None
+        tag = hashlib.md5(os.path.abspath(self.out_dir).encode()).hexdigest()[:10]
+        return f"el_stage_{tag}_{stage}"
 
     def committed(self, stage: str, signature: str) -> bool:
         if self.out_dir is None:
@@ -74,16 +91,55 @@ class StageStore:
         return m.get("signature") == signature
 
     def load(self, stage: str) -> DataFrame:
-        dpath, _ = self._paths(stage)
+        """Read a committed snapshot back. Bucketed stages (manifest
+        carries the layout) come back through the catalog so downstream
+        joins/aggs on the bucket keys plan with no Exchange; if this
+        session's catalog lost the table (fresh session, in-memory
+        catalog), the manifest's recorded DDL re-attaches the files.
+        Any layout-level failure degrades to a plain Parquet read —
+        correctness never depends on the catalog."""
+        dpath, mpath = self._paths(stage)
+        try:
+            with open(mpath) as f:
+                m = json.load(f)
+        except OSError:
+            m = {}
+        bucket = m.get("bucket")
+        if bucket:
+            from ..sources.bucketed import register_bucketed
+
+            tbl = self._catalog_table(stage)
+            try:
+                if self.spark.catalog.tableExists(tbl):
+                    return self.spark.table(tbl)
+                return register_bucketed(
+                    self.spark,
+                    tbl,
+                    dpath,
+                    bucket["schema_ddl"],
+                    bucket["keys"],
+                    bucket["n_buckets"],
+                )
+            except Exception:
+                pass  # fall through to the layout-free read
         return self.spark.read.parquet(dpath)
 
     def commit(
-        self, stage: str, signature: str, df: DataFrame, record_metrics: bool = True
+        self,
+        stage: str,
+        signature: str,
+        df: DataFrame,
+        record_metrics: bool = True,
+        bucket_by: list[str] | None = None,
     ) -> DataFrame:
         """Write snapshot, record per-partition metrics, commit manifest,
         return the re-read (physically materialized) DataFrame.
         ``record_metrics=False``: the caller records its own entry (the
-        eager-timing path), so skip this one to avoid duplicates."""
+        eager-timing path), so skip this one to avoid duplicates.
+        ``bucket_by``: hash-bucket + sort the snapshot by these keys
+        (sources/bucketed.py) so every downstream equi-join/groupBy on
+        them — in this run or a resumed one — plans without an Exchange;
+        the stage's one shuffle is paid at write time and amortized."""
         if self.out_dir is None:
             # no persistence requested: lazy localCheckpoint — the first
             # downstream action materializes it; an eager checkpoint +
@@ -102,8 +158,25 @@ class StageStore:
         # new data (write-then-commit invariant across signature changes)
         if os.path.exists(mpath):
             os.remove(mpath)
-        df.write.mode("overwrite").parquet(dpath)
-        out = self.spark.read.parquet(dpath)
+        bucket_meta = None
+        if bucket_by:
+            from ..sources.bucketed import write_bucketed
+
+            tbl = self._catalog_table(stage)
+            write_bucketed(
+                df, tbl, bucket_by, n_buckets=self.n_buckets, path=dpath
+            )
+            out = self.spark.table(tbl)
+            bucket_meta = {
+                "keys": list(bucket_by),
+                "n_buckets": self.n_buckets,
+                "table": tbl,
+                # recorded so a fresh session can re-register the layout
+                "schema_ddl": out._jdf.schema().toDDL(),  # type: ignore[operator]
+            }
+        else:
+            df.write.mode("overwrite").parquet(dpath)
+            out = self.spark.read.parquet(dpath)
         per_part = (
             out.groupBy(F.spark_partition_id().alias("pid"))
             .agg(F.count("*").alias("rows"))
@@ -116,6 +189,8 @@ class StageStore:
             "rows": int(sum(part_rows.values())),
             "partition_rows": part_rows,
         }
+        if bucket_meta:
+            manifest["bucket"] = bucket_meta
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, sort_keys=True)
@@ -130,7 +205,13 @@ class StageStore:
             )
         return out
 
-    def get_or_compute(self, stage: str, signature: str, compute) -> DataFrame:
+    def get_or_compute(
+        self,
+        stage: str,
+        signature: str,
+        compute,
+        bucket_by: list[str] | None = None,
+    ) -> DataFrame:
         if self.committed(stage, signature):
             out = self.load(stage)
             self.metrics.append({"stage": stage, "rows": None, "resumed": True})
@@ -139,13 +220,15 @@ class StageStore:
             import time
 
             t0 = time.time()
-            out = self.commit(stage, signature, compute(), record_metrics=False)
+            out = self.commit(
+                stage, signature, compute(), record_metrics=False, bucket_by=bucket_by
+            )
             rows = out.count()  # force materialization inside the timer
             self.metrics.append(
                 {"stage": stage, "rows": rows, "sec": round(time.time() - t0, 3)}
             )
             return out
-        return self.commit(stage, signature, compute())
+        return self.commit(stage, signature, compute(), bucket_by=bucket_by)
 
 
 class IcebergStageStore(StageStore):
@@ -170,9 +253,15 @@ class IcebergStageStore(StageStore):
     SIG_PROP = "el.stage.signature"
 
     def __init__(
-        self, spark: SparkSession, ref: str, eager_timing: bool = False
+        self,
+        spark: SparkSession,
+        ref: str,
+        eager_timing: bool = False,
+        n_buckets: int = 32,
     ):
-        super().__init__(spark, out_dir=ref, eager_timing=eager_timing)
+        super().__init__(
+            spark, out_dir=ref, eager_timing=eager_timing, n_buckets=n_buckets
+        )
         self.ref = ref
         catalog = ref.split(".", 1)[0]
         impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
@@ -214,15 +303,27 @@ class IcebergStageStore(StageStore):
         return self.spark.read.table(self._table(stage))
 
     def commit(
-        self, stage: str, signature: str, df: DataFrame, record_metrics: bool = True
+        self,
+        stage: str,
+        signature: str,
+        df: DataFrame,
+        record_metrics: bool = True,
+        bucket_by: list[str] | None = None,
     ) -> DataFrame:
         tbl = self._table(stage)
-        (
+        w = (
             df.writeTo(tbl)
             .using("iceberg")
             .tableProperty(self.SIG_PROP, signature)
-            .createOrReplace()  # one atomic snapshot: data + signature
         )
+        if bucket_by:
+            # Iceberg's native bucketing: the hidden bucket(n, col)
+            # partition transform is this catalog's equivalent of the
+            # Parquet store's bucketBy layout (sources/bucketed.py)
+            w = w.partitionedBy(
+                *[F.bucket(self.n_buckets, F.col(k)) for k in bucket_by]
+            )
+        w.createOrReplace()  # one atomic snapshot: data + signature
         out = self.spark.read.table(tbl)
         if record_metrics:  # eager-timing caller counts (and records) itself
             rows = out.count()
@@ -231,7 +332,10 @@ class IcebergStageStore(StageStore):
 
 
 def make_stage_store(
-    spark: SparkSession, out_dir: str | None, eager_timing: bool = False
+    spark: SparkSession,
+    out_dir: str | None,
+    eager_timing: bool = False,
+    n_buckets: int = 32,
 ) -> StageStore:
     """Pick the stage-store backend from the out_dir spec:
 
@@ -248,5 +352,7 @@ def make_stage_store(
                 "runtime is not on this session's classpath (add the "
                 "iceberg-spark-runtime jar via spark.jars.packages)"
             )
-        return IcebergStageStore(spark, ref, eager_timing=eager_timing)
-    return StageStore(spark, out_dir, eager_timing=eager_timing)
+        return IcebergStageStore(
+            spark, ref, eager_timing=eager_timing, n_buckets=n_buckets
+        )
+    return StageStore(spark, out_dir, eager_timing=eager_timing, n_buckets=n_buckets)

@@ -15,9 +15,15 @@ from entity_linking_in_biomedical_spark.sources.bucketed import (
 
 
 @pytest.fixture()
-def bucketed_pair(spark):
+def bucketed_pair(spark, request):
     # managed tables in the session's default warehouse; drop (below)
-    # deletes the files, so the fixture leaves nothing behind
+    # deletes the files, so the fixture leaves nothing behind. Table
+    # names carry a per-test hash so parallel runs against a shared
+    # warehouse/metastore never collide.
+    import hashlib
+
+    tag = hashlib.md5(request.node.nodeid.encode()).hexdigest()[:10]
+    ta, tb = f"bt_a_{tag}", f"bt_b_{tag}"
     a = spark.range(0, 500).select(
         F.concat(F.lit("s"), F.col("id")).alias("norm"),
         (F.col("id") * 2).alias("payload_a"),
@@ -26,11 +32,11 @@ def bucketed_pair(spark):
         F.concat(F.lit("s"), F.col("id")).alias("norm"),
         (F.col("id") * 3).alias("payload_b"),
     )
-    write_bucketed(a, "bt_a", ["norm"], n_buckets=8)
-    write_bucketed(b, "bt_b", ["norm"], n_buckets=8)
-    yield read_bucketed(spark, "bt_a"), read_bucketed(spark, "bt_b")
-    spark.sql("drop table if exists bt_a")
-    spark.sql("drop table if exists bt_b")
+    write_bucketed(a, ta, ["norm"], n_buckets=8)
+    write_bucketed(b, tb, ["norm"], n_buckets=8)
+    yield read_bucketed(spark, ta), read_bucketed(spark, tb)
+    spark.sql(f"drop table if exists {ta}")
+    spark.sql(f"drop table if exists {tb}")
 
 
 def test_bucketed_join_plans_without_exchange(spark, bucketed_pair):

@@ -50,6 +50,55 @@ def test_pipeline_resume_identical_and_skips(spark, corpus, tmp_path):
     assert "me_scores" in recomputed and "assignments" in recomputed
 
 
+def test_pipeline_stage_snapshots_join_exchange_free(spark, corpus, tmp_path):
+    """The stage sinks bucket on the re-join key: a resumed run joins
+    the committed ``candidates``/``mentions`` snapshots on ``norm`` with
+    NO Exchange on either side — the write-time shuffle amortized."""
+    from entity_linking_in_biomedical_spark.plans.resume import make_stage_store
+    from entity_linking_in_biomedical_spark.sources.bucketed import (
+        join_is_exchange_free,
+    )
+
+    docs, ents, _, abbr, _ = corpus.to_spark(spark)
+    out_dir = str(tmp_path / "run")
+    run_pipeline(spark, docs, ents, abbr_map=abbr, out_dir=out_dir)
+
+    store = make_stage_store(spark, out_dir)
+    cands = store.load("candidates")
+    mentions_by_norm = store.load("mentions")
+    assert join_is_exchange_free(cands, mentions_by_norm, ["norm"])
+
+    # the manifest carries the layout for fresh-session re-registration
+    m = json.load(open(os.path.join(out_dir, "candidates", "_MANIFEST.json")))
+    assert m["bucket"]["keys"] == ["norm"]
+    assert m["bucket"]["n_buckets"] == store.n_buckets
+
+    # fresh-catalog path: drop the catalog entries (files are external →
+    # survive), reload — register_bucketed re-attaches the layout from
+    # the manifest DDL and the join still plans shuffle-free
+    for stage in ("candidates", "mentions"):
+        spark.sql(f"drop table if exists {store._catalog_table(stage)}")
+    assert join_is_exchange_free(
+        store.load("candidates"), store.load("mentions"), ["norm"]
+    )
+
+    # windowed top-k over the bucketed me_scores needs no Exchange either
+    # (the assignments stage's per-surface argmax on a resumed run)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    me = store.load("me_scores")
+    w = Window.partitionBy("a_norm").orderBy(F.desc("score"))
+    plan = (
+        me.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_config_change_invalidates(spark, corpus, tmp_path):
     from entity_linking_in_biomedical_spark.plans.pipeline import PipelineConfig
     from entity_linking_in_biomedical_spark.operators.scoring import ScoringConfig
