@@ -44,10 +44,30 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # Min-of-K repeats for the headline + heaviest queries: this host
+    # shows ~2x multi-tenant wall-clock variance between identical runs
+    # (BENCH/BASELINE.md), so a single draw is not comparable across
+    # rounds — the per-query MIN is the only stable estimator. Light
+    # sub-second queries stay single-shot (their noise is absolute ms).
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    heavy = {
+        "er_pipeline",
+        "preprocess",
+        "ngram_jaccard",
+        "doc_clusters_cc",
+        "repetition",
+        "embedding_dedup",
+        "contamination",
+    }
+
     def run(name: str, thunk) -> None:
-        t0 = time.time()
-        force(thunk())
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeats if name in heavy else 1):
+            t0 = time.time()
+            force(thunk())
+            sec = time.time() - t0
+            best = sec if best is None else min(best, sec)
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
 
     # ---- headline: full ER pipeline on a corpus scaled to sf ----------
@@ -61,8 +81,11 @@ def main() -> None:
     # dictionary capped at 37.5k entities: the synthetic 2-3-word name
     # space holds ~60k distinct norms, and beyond the cap extra corpus
     # docs re-use the dictionary (Zipf-hotter surfaces — the realistic
-    # shape for corpus >> dictionary anyway)
-    n_entities = max(100, min(n_docs // 4, 37_500))
+    # shape for corpus >> dictionary anyway). Cap introduced after the
+    # r3 600k-doc run (cap epoch: commit a49db02); env-tunable so
+    # pre-cap large-corpus configurations stay reproducible.
+    entity_cap = int(os.environ.get("SPARK_GRAFT_BENCH_ENTITY_CAP", 37_500))
+    n_entities = max(100, min(n_docs // 4, entity_cap))
     corpus = synth_corpus(n_docs=n_docs, n_entities=n_entities, seed=42)
     docs, ents, _, abbr, _ = corpus.to_spark(spark)
     emb = corpus.embeddings_df(spark)
@@ -100,19 +123,24 @@ def main() -> None:
     # equally at every parallelism level and so depresses scaling
     # ratios); the cluster scaling harness sets it for clean throughput
     stage_timing = os.environ.get("SPARK_GRAFT_BENCH_STAGE_TIMING", "1") != "0"
-    t0 = time.time()
-    res = run_pipeline(
-        spark, docs, ents, embeddings=emb, abbr_map=abbr,
-        eager_stage_timing=stage_timing,
-    )
-    force(res["linked_documents"])
-    er_sec = time.time() - t0
+    er_sec, er_res = None, None
+    for _ in range(repeats):
+        t0 = time.time()
+        res = run_pipeline(
+            spark, docs, ents, embeddings=emb, abbr_map=abbr,
+            eager_stage_timing=stage_timing,
+        )
+        force(res["linked_documents"])
+        sec = time.time() - t0
+        if er_sec is None or sec < er_sec:
+            er_sec, er_res = sec, res
     timings["er_pipeline"] = round(er_sec, 3)
     docs_per_sec = round(n_docs / er_sec, 2)
-    # per-stage breakdown (eager barriers inside the same run; the
-    # remainder vs er_pipeline is the final cluster-attach join + sink)
+    # per-stage breakdown from the min-total run (eager barriers inside
+    # the same run; the remainder vs er_pipeline is the final
+    # cluster-attach join + sink)
     er_stages = {
-        m["stage"]: m["sec"] for m in res["metrics"] if m.get("sec") is not None
+        m["stage"]: m["sec"] for m in er_res["metrics"] if m.get("sec") is not None
     }
     print(f"  er_pipeline: {er_sec:.2f}s ({docs_per_sec} docs/s)", file=sys.stderr)
     for st, sec in er_stages.items():
@@ -139,11 +167,14 @@ def main() -> None:
         if not os.path.exists(pt_path):
             with open(pt_path, "w", encoding="utf-8") as f:
                 f.write("\n".join(synth_pubtator_lines(n_docs=n_pre, n_entities=500)))
-        t0 = time.time()
-        pre = pubtator_to_context(spark, pt_path)
-        force(pre["context"])
-        force(pre["mentions"])
-        pre_sec = time.time() - t0
+        pre_sec = None
+        for _ in range(repeats):
+            t0 = time.time()
+            pre = pubtator_to_context(spark, pt_path)
+            force(pre["context"])
+            force(pre["mentions"])
+            sec = time.time() - t0
+            pre_sec = sec if pre_sec is None else min(pre_sec, sec)
         timings["preprocess"] = round(pre_sec, 3)
         pre_docs_per_sec = round(n_pre / pre_sec, 2)
         print(
@@ -164,6 +195,7 @@ def main() -> None:
                     "sf": sf,
                     "cpus": cpus,
                     "er_corpus_docs": n_docs,
+                    "bench_repeats": repeats,
                 }
             )
         )
@@ -213,6 +245,7 @@ def main() -> None:
                 "er_corpus_docs": n_docs,
                 "preprocess_docs_per_sec": pre_docs_per_sec,
                 "preprocess_corpus_docs": n_pre,
+                "bench_repeats": repeats,
             }
         )
     )
