@@ -66,7 +66,14 @@ def run(cores: int, spinners: int) -> float | None:
 def main() -> None:
     results = {}
     for cores, spinners in ((2, 6), (8, 0)):
-        ts = [t for t in (run(cores, spinners) for _ in range(3)) if t]
+        # `t is not None`, not truthiness: a (theoretical) 0.0s run is a
+        # measurement, while None marks a failed/timed-out run
+        ts = [t for t in (run(cores, spinners) for _ in range(3)) if t is not None]
+        if not ts:
+            sys.exit(
+                f"probe: all 3 runs at local[{cores}] failed or timed out — "
+                f"no envelope measurement possible (see stderr above)"
+            )
         results[cores] = min(ts)
         print(f"local[{cores}] (+{spinners} spinners): {ts} min={min(ts):.2f}")
     eff = results[2] / results[8] / 4

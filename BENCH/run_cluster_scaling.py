@@ -279,12 +279,17 @@ def main() -> None:
     # measures the same unpinned engine as the baseline run, with only
     # the host's busy-core count (frequency state) held constant
     equalize = pin or os.environ.get("SPARK_GRAFT_SCALE_EQUALIZE", "") == "1"
-    # pinned layout: worker cores 0..4N*cores-1, driver reserved above
+    # pinned layout: worker cores 0..4N*cores-1, driver reserved above —
+    # clamped to CPUs that actually exist (8 workers x 4 cores on a
+    # 32-vCPU host would otherwise pin the driver to nonexistent CPUs
+    # 32-35 and taskset would abort the run). When the workers consume
+    # every CPU, the driver shares the top of the worker range instead.
     max_cores = nw_4n * cores
+    host_cpus = os.cpu_count() or max_cores
+    drv_lo = min(max_cores, host_cpus - 1)
+    drv_hi = min(max_cores + 3, host_cpus - 1)
     driver_cpus = (
-        os.environ.get(
-            "SPARK_GRAFT_SCALE_DRIVER_CORES", f"{max_cores}-{max_cores + 3}"
-        )
+        os.environ.get("SPARK_GRAFT_SCALE_DRIVER_CORES", f"{drv_lo}-{drv_hi}")
         if pin
         else None
     )

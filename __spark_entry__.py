@@ -689,7 +689,11 @@ def q_pii_redact(spark, sf_dir):
             (F.col("doc_id") % 10).cast("string"),
             F.lit(", server 10.1.2."),
             (F.col("doc_id") % 255).cast("string"),
-            F.lit(", ssn 123-45-6789."),
+            F.lit(", ssn 123-45-6789, cell (212) 555 019"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(", card 4111-1111-1111-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("."),
         ),
     ).otherwise(F.col("text"))
     t = docs.withColumn("t", planted)
@@ -697,6 +701,8 @@ def q_pii_redact(spark, sf_dir):
         "doc_id",
         pii_count("t", "email").cast("bigint").alias("n_email"),
         pii_count("t", "ssn").cast("bigint").alias("n_ssn"),
+        pii_count("t", "cc").cast("bigint").alias("n_cc"),
+        pii_count("t", "phone_paren").cast("bigint").alias("n_phone_paren"),
         pii_count("t", "phone").cast("bigint").alias("n_phone"),
         pii_count("t", "ipv4").cast("bigint").alias("n_ipv4"),
         F.md5(pii_redact("t")).alias("redacted_md5"),
@@ -711,7 +717,7 @@ def _oracle_pii_redact() -> str:
         red = f"regexp_replace({red}, '{pats[k]}', '{repl[k]}', 'g')"
     counts = ",\n       ".join(
         f"cast(len(regexp_extract_all(t, '{pats[k]}')) as bigint) as n_{k}"
-        for k in ("email", "ssn", "phone", "ipv4")
+        for k in ("email", "ssn", "cc", "phone_paren", "phone", "ipv4")
     )
     return f"""
 with p as (
@@ -720,7 +726,9 @@ with p as (
            text || ' Contact jane.doe+' || cast(doc_id as varchar)
                 || '@example.org or 555-867-530' || cast(doc_id % 10 as varchar)
                 || ', server 10.1.2.' || cast(doc_id % 255 as varchar)
-                || ', ssn 123-45-6789.'
+                || ', ssn 123-45-6789, cell (212) 555 019' || cast(doc_id % 10 as varchar)
+                || ', card 4111-1111-1111-' || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                || '.'
          else text end as t
   from documents
 )

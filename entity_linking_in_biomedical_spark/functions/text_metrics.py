@@ -78,20 +78,27 @@ def fingerprint(col: Column | str) -> Column:
 # repeats, alternation-free bodies, ASCII \b word boundaries — no
 # lookaround, no backreferences. Order matters: emails are redacted
 # before the digit patterns so an address' local part can never be
-# half-eaten by the phone rule.
+# half-eaten by the phone rule, and credit cards before phones so a
+# 4-4-4-4 digit run is never half-eaten as a 3-3-4 phone.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
-    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+    # 16-digit card in 4-4-4-4 groups, dash/space separated or bare
+    # (separator class excludes '.' so IPv4 octets can never feed it)
+    ("cc", r"\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b", "<CC>"),
+    # (212) 555-0147 / (212) 555 0147 paren form
+    ("phone_paren", r"\([0-9]{3}\) ?[0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    # 212-555-0147 / 212.555.0147 / 212 555 0147
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IPV4>"),
 ]
 
 
 def pii_redact(col: Column | str) -> Column:
-    """Replace emails / SSNs / phone numbers / IPv4 addresses with typed
-    placeholders — the standard scrubbing pass before a corpus becomes
-    training data. Pure sequential regexp_replace: JVM-side, codegen,
-    no UDF."""
+    """Replace emails / SSNs / credit cards / phone numbers (dash, dot,
+    space, and paren forms) / IPv4 addresses with typed placeholders —
+    the standard scrubbing pass before a corpus becomes training data.
+    Pure sequential regexp_replace: JVM-side, codegen, no UDF."""
     c = F.col(col) if isinstance(col, str) else col
     for _, pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
@@ -120,17 +127,33 @@ def dup_token_ratio(col: Column | str) -> Column:
 
 
 def top_token_ratio(col: Column | str) -> Column:
-    """Frequency of the most common token over total tokens. O(u·n) per
-    document as a pure column expression — documents are length-bounded
-    upstream (P-rules), so this stays cheap at any corpus size; the
-    100 TB fallback for pathological docs is the same counter in a
-    mapInPandas batch."""
+    """Frequency of the most common token over total tokens, exact at
+    any document length: sort the token array (O(n log n)), then one
+    aggregate() pass finds the longest equal-token run. The previous
+    formulation (per-distinct-token filter counts) was O(u·n) per
+    document — a single pathological 1M-unique-token doc would cost
+    ~10^12 comparisons in one codegen cell; the sorted-run scan is
+    ~2·10^7 for the same doc and needs no length cap or mapInPandas
+    fallback. tokens() drops empty strings, so the '' sentinel in the
+    initial accumulator can never match a real token."""
     toks = tokens(col)
     n = F.size(toks)
-    counts = F.transform(
-        F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda t: t == d))
+    runs = F.aggregate(
+        F.array_sort(toks),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    return F.when(n > 0, F.round(F.array_max(counts) / n, 6)).otherwise(F.lit(0.0))
+    return F.when(n > 0, F.round(runs / n, 6)).otherwise(F.lit(0.0))
 
 
 def dup_2gram_ratio(col: Column | str) -> Column:

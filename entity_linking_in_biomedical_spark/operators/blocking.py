@@ -194,6 +194,50 @@ def surface_blocking_keys(
     ).localCheckpoint(eager=False)
 
 
+def blocking_skew_bound(
+    bands: int = 12,
+    del_max_len: int = 12,
+    del2_max_len: int = 7,
+    word_num_hashes: int = 4,
+    max_key_freq: int = 64,
+) -> int:
+    """Closed-form upper bound on pre-dedup candidate rows per surface
+    — the invariant that makes the explicit ``repartition("norm")`` in
+    :func:`block_candidates` safe. Each surface emits at most
+
+      1 (exact) + 1 + del_max_len (delete-0/1) +
+      del2_max_len·(del2_max_len−1) (delete-2, pre-distinct) +
+      bands (LSH band keys) + 1 + word_num_hashes (word channel)
+
+    keys, and the hot-key cap drops every key matched by more than
+    ``max_key_freq`` entities, so per-surface join fan-out ≤
+    n_keys_max × max_key_freq. The explicit repartition is invisible
+    to AQE skew splitting, so this bound — not AQE — is what prevents
+    a mega-partition; raising ``max_key_freq`` scales the bound
+    linearly, and :func:`block_candidates` (``skew_assert=True``)
+    verifies the observed max against it at run time."""
+    n_keys_max = (
+        1
+        + (1 + del_max_len)
+        + del2_max_len * (del2_max_len - 1)
+        + bands
+        + (1 + word_num_hashes)
+    )
+    return n_keys_max * max_key_freq
+
+
+def max_candidates_per_surface(cands: DataFrame, norm_col: str = "norm") -> int:
+    """Observed max candidate rows for any single surface (one
+    aggregation, one scalar to the driver)."""
+    row = (
+        cands.groupBy(norm_col)
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]
+    )
+    return int(row["mx"] or 0)
+
+
 def block_size_stats(cands: DataFrame) -> dict:
     """Skew metrics over candidate blocks (north rule: per-partition
     lineage + metrics): per-block_key candidate counts -> max / p50 /
@@ -222,6 +266,7 @@ def block_candidates(
     top_k: int = 32,
     surface_keys: DataFrame | None = None,
     word_num_hashes: int = 4,
+    skew_assert: bool = False,
 ) -> DataFrame:
     """mentions(.., norm) × names(cui, norm) -> candidates
     (norm, cui, channel, block_key, has_exact).
@@ -272,6 +317,22 @@ def block_candidates(
             F.col("bk").alias("block_key"),
         )
     )
+    if skew_assert:
+        # runtime guard for the invariant the explicit repartition
+        # below depends on (one extra aggregation job — enable in
+        # tests / canary runs, not the hot path)
+        bound = blocking_skew_bound(
+            bands, del_max_len, del2_max_len, word_num_hashes, max_key_freq
+        )
+        observed = max_candidates_per_surface(cands)
+        if observed > bound:
+            raise AssertionError(
+                f"blocking skew invariant violated: a surface has "
+                f"{observed} pre-dedup candidates > bound {bound} "
+                f"(n_keys_max × max_key_freq) — the explicit "
+                f"repartition('norm') would host a mega-partition "
+                f"invisible to AQE skew splitting"
+            )
     # A6: dedup per (surface, entity) across channels; keep deterministic
     # representatives + an exact-channel flag for the proxy ranking.
     # One exchange for both stages: hash-partitioning on norm alone
@@ -279,7 +340,11 @@ def block_candidates(
     # rule) AND the top-k window's partitionBy(norm) below, so the
     # candidate set is shuffled once instead of twice (measured: the
     # blocking stage was the worst-scaling stage of the cluster bench,
-    # and its extra exchange was pure shuffle-bandwidth cost)
+    # and its extra exchange was pure shuffle-bandwidth cost).
+    # INVARIANT: safe from mega-partitions (AQE cannot split an
+    # explicit repartition) only because per-surface fan-out entering
+    # this exchange is bounded by blocking_skew_bound() — the hot-key
+    # cap upstream is load-bearing; see skew_assert above.
     cands = cands.repartition("norm")
     cands = cands.groupBy("norm", "cui").agg(
         F.min("channel").alias("channel"),

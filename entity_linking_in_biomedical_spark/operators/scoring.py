@@ -55,7 +55,9 @@ def fit_idf(names: DataFrame, ngram: int = 3, vocab_cap: int = 400_000) -> dict[
         names.select("norm", F.explode(F.array_distinct(char_ngrams("norm", ngram))).alias("g"))
         .groupBy("g")
         .agg(F.count("*").alias("df"))
-        .localCheckpoint(eager=False)  # count + collect: aggregate once
+        .localCheckpoint(eager=False)  # lazy barrier: if the limit
+        # probe below overflows the cap, the sorted re-collect reuses
+        # the materialized aggregate instead of recomputing it
     )
     # TakeOrderedAndProject keeps a vocab_cap-sized heap PER TASK and
     # merge-sorts cap*partitions rows on the driver — pure overhead when

@@ -129,3 +129,43 @@ def test_word_channel_catches_token_reorder(spark):
     cfg = PipelineConfig()
     assert sorted(row["ka"]) == sorted(blocking_keys_py("egfr kinase inhibitor", cfg))
     assert sorted(row["kb"]) == sorted(blocking_keys_py("kinase egfr inhibitor", cfg))
+
+
+def test_blocking_skew_invariant_guard(spark, corpus):
+    """The explicit repartition('norm') inside block_candidates is safe
+    from mega-partitions only while per-surface pre-dedup fan-out stays
+    under blocking_skew_bound() (AQE cannot split an explicit
+    repartition). skew_assert=True verifies it at run time; the bound
+    must also hold for the post-dedup output a fortiori."""
+    from entity_linking_in_biomedical_spark.operators.blocking import (
+        blocking_skew_bound,
+        max_candidates_per_surface,
+    )
+    from entity_linking_in_biomedical_spark.operators.mentions import (
+        extract_mentions,
+    )
+
+    docs, ents, _, abbr, _ = corpus.to_spark(spark)
+    mentions = extract_mentions(docs, abbr)
+    names = entity_names(ents)
+    cands = block_candidates(mentions, names, skew_assert=True)  # no raise
+    assert max_candidates_per_surface(cands) <= blocking_skew_bound()
+
+
+def test_blocking_skew_guard_trips_when_bound_shrinks(spark, corpus, monkeypatch):
+    """Wiring check: if a future change broke the fan-out bound (e.g.
+    removing the hot-key cap), the guard raises instead of silently
+    shipping a skewed exchange."""
+    import pytest
+
+    import entity_linking_in_biomedical_spark.operators.blocking as B
+    from entity_linking_in_biomedical_spark.operators.mentions import (
+        extract_mentions,
+    )
+
+    docs, ents, _, abbr, _ = corpus.to_spark(spark)
+    mentions = extract_mentions(docs, abbr)
+    names = B.entity_names(ents)
+    monkeypatch.setattr(B, "blocking_skew_bound", lambda *a, **k: 0)
+    with pytest.raises(AssertionError, match="skew invariant"):
+        B.block_candidates(mentions, names, skew_assert=True)

@@ -95,6 +95,33 @@ def test_pii_redact(spark):
     assert (got[1]["ne"], got[1]["np"], got[1]["ni"], got[1]["ns"]) == (0, 0, 0, 0)
 
 
+def test_pii_redact_cc_and_phone_forms(spark):
+    df = spark.createDataFrame(
+        [
+            # dash / space / bare credit-card forms + paren/space phones
+            ("card 4111-1111-1111-0042 and 4111 1111 1111 0042",),
+            ("bare 4111111111110042 paid",),
+            ("call (212) 555-0147 or (212) 555 0147 or 212 555 0147",),
+            # SSN must not be eaten by the card or phone rules
+            ("ssn 987-65-4321 only",),
+        ],
+        "t string",
+    )
+    got = df.select(
+        pii_redact("t").alias("red"),
+        pii_count("t", "cc").alias("nc"),
+        pii_count("t", "phone_paren").alias("npp"),
+        pii_count("t", "phone").alias("np"),
+        pii_count("t", "ssn").alias("ns"),
+    ).collect()
+    assert got[0]["red"] == "card <CC> and <CC>" and got[0]["nc"] == 2
+    assert got[1]["red"] == "bare <CC> paid" and got[1]["nc"] == 1
+    assert got[2]["red"] == "call <PHONE> or <PHONE> or <PHONE>"
+    assert (got[2]["npp"], got[2]["np"]) == (2, 1)
+    assert got[3]["red"] == "ssn <SSN> only"
+    assert (got[3]["nc"], got[3]["np"], got[3]["ns"]) == (0, 0, 1)
+
+
 def test_repetition_metrics(spark):
     df = spark.createDataFrame(
         [
@@ -118,6 +145,23 @@ def test_repetition_metrics(spark):
     assert got[2]["d2"] == pytest.approx(0.6)
     assert got[3]["d1"] == 0.0 and got[3]["tt"] == 0.0 and got[3]["d2"] == 0.0
     assert got[4]["d1"] == 0.0 and got[4]["tt"] == 1.0 and got[4]["d2"] == 0.0
+
+
+def test_top_token_ratio_adversarial_doc_bounded(spark):
+    """A ~100k-token doc with ~50k distinct tokens: the old O(u·n)
+    per-distinct filter formulation was ~5·10^9 comparisons in one
+    codegen cell; the sorted-run scan completes in seconds and stays
+    exact (most common token planted with a known count)."""
+    import time
+
+    words = [f"w{i}" for i in range(50_000)] + ["hot"] * 50_000
+    # deterministic interleave, no shuffle needed for the metric
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "t string")
+    t0 = time.time()
+    got = df.select(top_token_ratio("t").alias("tt")).collect()[0]["tt"]
+    assert time.time() - t0 < 60  # bounded; old form did not return
+    assert got == pytest.approx(0.5)
 
 
 def test_media_features_plumbing(spark, corpus):
