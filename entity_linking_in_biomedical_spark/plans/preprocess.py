@@ -19,8 +19,11 @@ Injectable part: the reference tokenizes/sentence-splits with stanza
 reproducible deterministically and not present in this container. Both
 are injectable callables with deterministic regex defaults that match
 the corpus conventions (punctuation split off, internal dots kept:
-'0.06' one token, '(' its own token); plug stanza-compatible callables
-in for byte parity with the shipped files.
+'0.06' one token, '(' its own token). For byte parity with the shipped
+files plug in plans/stanza_like.py: its rule+lexicon tokenizer and
+sentencizer reproduce 2,689 of the 3,514 shipped st21pv docs
+byte-exactly (the regex defaults: 708) — see that module's docstring
+for the residual classes that genuinely need the neural model.
 """
 
 from __future__ import annotations

@@ -5,6 +5,15 @@ write/commit/resume path is exercised only when the runtime is present
 (skipif) — what ALWAYS runs is the contract around it: the factory
 routes specs correctly, and an iceberg:// request without the runtime
 fails loudly instead of silently falling back to Parquet.
+
+Offline-vendoring note (checked 2026-08-17): the jar cannot be
+obtained in this sandbox — no copy exists anywhere on the image
+(``find / -name '*iceberg*'`` returns only this repo's files) and the
+network is unreachable (DNS resolution to repo1.maven.org fails,
+curl exit 6), so ``spark.jars.packages``/offline-install are both
+impossible. The two runtime-conditional tests below therefore skip
+here by design; on any host with the jar on the classpath they run
+the full snapshot commit/read-back path unchanged.
 """
 
 import pytest

@@ -116,11 +116,14 @@ def test_pubtator_to_context_end_to_end(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# Stanza-parity fixtures: shipped st21pv docs whose artifacts the regex
-# tokenizer reproduces BYTE-exactly end-to-end (found by
-# tools/find_parity_docs.py — 285 of 3,514 shipped docs qualify; the
-# rest diverge only where stanza's neural tokenization differs from the
-# regex default: hyphen/symbol token grouping and multi-space surfaces).
+# Stanza-parity fixtures: shipped st21pv docs whose artifacts are
+# reproduced BYTE-exactly end-to-end (tools/find_parity_docs.py).
+# Counts over all 3,514 shipped docs (surface-embedding reconstruction):
+#   regex default tokenizer/sentencizer ........  708
+#   stanza_like plugin (rules + mined lexicons) . 2,689
+# The residue is stanza's context-dependent neural segmentation of the
+# SAME chunk spelling (see plans/stanza_like.py's honesty note), which
+# no deterministic per-chunk tokenizer can represent.
 # ---------------------------------------------------------------------------
 
 import os
@@ -179,3 +182,127 @@ def test_shipped_artifact_byte_parity_end_to_end(spark, tmp_path):
         want_ctx, want_txt = shipped[doc_id]
         assert (out / f"{doc_id}.context").read_text() == want_ctx, doc_id
         assert (out / f"{doc_id}.txt").read_text() == want_txt, doc_id
+
+
+# docs the regex tokenizer CANNOT reproduce (glued stanza tokens /
+# lowercase sentence starts) but the stanza_like plugin can
+PLUGIN_PARITY_DOCS = [
+    ("train", "26883265"),
+    ("train", "26424709"),
+    ("train", "27196563"),
+]
+
+
+@pytest.fixture(scope="session")
+def stanza_lexicons():
+    from entity_linking_in_biomedical_spark.plans.stanza_like import mine_lexicons
+
+    return mine_lexicons(REF_ST21PV)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_ST21PV), reason="reference artifacts not present"
+)
+def test_stanza_like_plugin_byte_parity_end_to_end(spark, tmp_path, stanza_lexicons):
+    """The stanza-compatible tokenizer/sentencizer plugin, driven
+    through the full SPARK preprocess plan, reproduces shipped docs the
+    regex default cannot (hyphen compounds kept/split per stanza's
+    observed choices, sentences split before lowercase starts)."""
+    from entity_linking_in_biomedical_spark.plans.stanza_like import (
+        make_tokenizer,
+        stanza_like_sentencizer,
+    )
+
+    tools = _load_parity_tools()
+    seg_lex, tok_lex = stanza_lexicons
+    tokenizer = make_tokenizer(seg_lex, tok_lex)
+    # the regex default genuinely fails these docs (guards fixture rot)
+    from entity_linking_in_biomedical_spark.plans.preprocess import (
+        regex_sentencizer,
+        regex_tokenizer,
+    )
+
+    assert not any(
+        tools.check(d, s, regex_tokenizer, regex_sentencizer)[0]
+        for s, d in PLUGIN_PARITY_DOCS
+    )
+    lines, shipped = [], {}
+    for split, doc_id in PLUGIN_PARITY_DOCS:
+        rec, why = tools.reconstruct(doc_id, split)
+        assert rec is not None, why
+        spans, cuis, want_ctx, want_txt = rec
+        lines.append(f"{doc_id}|t|{spans[0]['text']}")
+        lines.append(f"{doc_id}|a|{spans[1]['text']}")
+        for s, c in zip([s for s in spans if s["kind"] == "mention"], cuis):
+            b = s["offset"]
+            lines.append(
+                f"{doc_id}\t{b}\t{b + len(s['text'])}\t{s['text']}\tX\tT000:{c}"
+            )
+        lines.append("")
+        shipped[doc_id] = (want_ctx, want_txt)
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(lines))
+    out = tmp_path / "processed"
+    pubtator_to_context(
+        spark,
+        str(corpus),
+        out_dir=str(out),
+        tokenizer=tokenizer,
+        sentencizer=stanza_like_sentencizer,
+    )
+    for _, doc_id in PLUGIN_PARITY_DOCS:
+        want_ctx, want_txt = shipped[doc_id]
+        assert (out / f"{doc_id}.context").read_text() == want_ctx, doc_id
+        assert (out / f"{doc_id}.txt").read_text() == want_txt, doc_id
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_ST21PV), reason="reference artifacts not present"
+)
+def test_stanza_like_plugin_aggregate_parity_rate(stanza_lexicons):
+    """Kernel-level (no Spark) aggregate parity over a 400-doc prefix:
+    the plugin must hold its measured rate (313/401 at last full scan;
+    floor 300 leaves slack for rule tweaks without masking a
+    regression). Full-corpus numbers: tools/find_parity_docs.py."""
+    from entity_linking_in_biomedical_spark.plans.stanza_like import (
+        make_tokenizer,
+        stanza_like_sentencizer,
+    )
+
+    tools = _load_parity_tools()
+    seg_lex, tok_lex = stanza_lexicons
+    passing = tools.evaluate(
+        make_tokenizer(seg_lex, tok_lex),
+        stanza_like_sentencizer,
+        "pytest-400",
+        limit=400,
+    )
+    assert len(passing) >= 300
+
+
+def test_stanza_like_tokenizer_raw_text_rules():
+    """Raw-text behavior without lexicons: prose punctuation splits,
+    systematic scientific clusters stay glued."""
+    from entity_linking_in_biomedical_spark.plans.stanza_like import (
+        make_tokenizer,
+        stanza_like_sentencizer,
+    )
+
+    tok = make_tokenizer()
+    toks = lambda s: [t for t, _ in tok(s)]
+    assert toks("the virus, (EBV) spread.") == [
+        "the", "virus", ",", "(", "EBV", ")", "spread", ".",
+    ]
+    assert toks("p<0.05 and n=10") == ["p<0.05", "and", "n=10"]
+    assert toks("Epstein-Barr virus") == ["Epstein-Barr", "virus"]
+    assert toks("1,200 mg/kg at 37°") == ["1,200", "mg/kg", "at", "37°"]
+    assert toks("the patient's E. coli") == ["the", "patient", "'s", "E.", "coli"]
+    # offsets point into the original text
+    assert tok("a (b)") == [("a", 0), ("(", 2), ("b", 3), (")", 4)]
+    # sentencizer: splits before lowercase starts ("low pain...") but
+    # never after an abbreviation dot ("E." initial, "vs.")
+    sents = [s for s, _ in stanza_like_sentencizer("We treated E. coli. low pain was seen. vs. nothing")]
+    assert sents == ["We treated E. coli.", "low pain was seen.", "vs. nothing"]
+    # lexicon override wins over rules
+    tok2 = make_tokenizer({"LC-MS": ("LC", "-MS")}, {"Ca("})
+    assert [t for t, _ in tok2("LC-MS via Ca(")] == ["LC", "-MS", "via", "Ca("]

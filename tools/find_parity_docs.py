@@ -1,27 +1,37 @@
 #!/usr/bin/env python
-"""Find shipped st21pv documents whose `.context`/`.txt` artifacts can be
-reconstructed BYTE-EXACTLY by the engine's regex tokenizer/sentencizer.
+"""Measure byte-exact reconstruction parity against the shipped st21pv
+artifacts, for each tokenizer/sentencizer configuration.
 
 The raw PubTator corpus is not shipped (data/raw/ST21pv holds only PMID
 lists), so end-to-end byte parity is evidenced the inverse way: rebuild
-a PubTator document from the processed artifacts (the `.context` bytes
-depend only on token sequences + mention spans, not original spacing),
-run it through the preprocess plan's per-document kernel, and compare
-bytes. A doc passes iff the regex tokenizer/sentencizer reproduces the
-reference's stanza tokenization for it exactly — the passing set is the
-stanza-parity fixture list for tests/test_preprocess.py.
+a PubTator document from the processed artifacts, run it through the
+preprocess plan's per-document kernel, and compare bytes.
 
-Reconstruction:
-  - sentences = unique block token lists in order of first appearance,
-    title := first sentence, abstract := rest (joined with ' ',
-    abstract base = len(title)+1 — the PubTator offset convention)
-  - mention i (block i, .txt line i): B-tagged token position + the
-    surface's token count from the `.txt` line
+Reconstruction (tokenizer-independent):
+  - sentences = unique block token lists in order of first appearance;
+    sentence text = tokens joined by single spaces, EXCEPT inside a
+    mention span, where the `.txt` surface's ORIGINAL raw spacing is
+    embedded (surfaces are the only place raw spacing survives into
+    the artifacts — this is what makes glued-chunk tokenization
+    observable: the text contains "LC-MS", not "LC -MS");
+  - title := first sentence, abstract := rest joined with ' ',
+    abstract base = len(title)+1 (the PubTator offset convention);
+  - mention offsets = char position of the B-tagged token.
+
+A doc passes iff the configured tokenizer/sentencizer reproduce the
+reference's stanza tokenization byte-exactly. Configurations measured:
+  regex      the preprocess plan's default regex tokenizer/sentencizer
+  rules      plans/stanza_like.py rule tokenizer + stanza-like sentencizer
+  full       rules + lexicons mined from the artifacts (the plugin as a
+             migrating user would deploy it — see stanza_like.py's
+             honesty note on mining from the corpus under test)
+
 Run: python tools/find_parity_docs.py [--limit N]
 """
 
 from __future__ import annotations
 
+import collections
 import os
 import sys
 
@@ -32,45 +42,31 @@ from entity_linking_in_biomedical_spark.plans.preprocess import (
     regex_sentencizer,
     regex_tokenizer,
 )
+from entity_linking_in_biomedical_spark.plans.stanza_like import (
+    make_tokenizer,
+    mine_lexicons,
+    parse_context_file,
+    parse_mention_txt,
+    stanza_like_sentencizer,
+)
 
 REF = "/root/reference/data/processed/st21pv"
 
-
-def parse_context(path: str) -> list[list[tuple[str, str]]]:
-    blocks, cur = [], []
-    for line in open(path, encoding="utf-8").read().split("\n"):
-        if line == "":
-            if cur:
-                blocks.append(cur)
-            cur = []
-        else:
-            tok, tag = line.split("\t")
-            cur.append((tok, tag))
-    if cur:
-        blocks.append(cur)
-    return blocks
-
-
-def parse_txt(path: str) -> list[tuple[str, str]]:
-    out = []
-    for line in open(path, encoding="utf-8").read().split("\n"):
-        if line:
-            cui, _, surf = line.partition("||")
-            out.append((cui, surf))
-    return out
+# tool aliases kept for back-compat with earlier fixture scripts
+parse_context = parse_context_file
+parse_txt = parse_mention_txt
 
 
 def reconstruct(doc_id: str, split: str):
-    """-> (spans, cuis, shipped_context_bytes, shipped_txt_bytes) or a
-    (None, reason) pair when this doc cannot be reconstructed."""
+    """-> ((spans, cuis, shipped_context_bytes, shipped_txt_bytes), None)
+    or (None, reason) when this doc cannot be reconstructed."""
     cpath = os.path.join(REF, split, f"{doc_id}.context")
     tpath = os.path.join(REF, split, f"{doc_id}.txt")
-    blocks = parse_context(cpath)
-    txt = parse_txt(tpath)
+    blocks = parse_context_file(cpath)
+    txt = parse_mention_txt(tpath)
     if len(blocks) != len(txt):
         return None, "block/txt count mismatch"
 
-    # unique sentences in order of first appearance
     sents: list[tuple[str, ...]] = []
     seen: dict[tuple[str, ...], int] = {}
     for b in blocks:
@@ -79,25 +75,8 @@ def reconstruct(doc_id: str, split: str):
             seen[toks] = len(sents)
             sents.append(toks)
 
-    # char layout: title = sentence 0, abstract = rest joined by ' ',
-    # abstract base = len(title)+1 (PubTator offset convention)
-    sent_texts = [" ".join(s) for s in sents]
-    bases = [0]
-    if len(sent_texts) > 1:
-        bases.append(len(sent_texts[0]) + 1)
-        for st in sent_texts[1:-1]:
-            bases.append(bases[-1] + len(st) + 1)
-    title = sent_texts[0]
-    abstract = " ".join(sent_texts[1:])
-
-    def tok_starts(toks: tuple[str, ...]) -> list[int]:
-        starts, pos = [], 0
-        for t in toks:
-            starts.append(pos)
-            pos += len(t) + 1
-        return starts
-
-    mentions = []  # (abs_start, surface, cui)
+    # mentions: (sent_idx, B-token index, token count, surface, cui)
+    ments = []
     for b, (cui, surf) in zip(blocks, txt):
         toks = tuple(t for t, _ in b)
         si = seen[toks]
@@ -105,27 +84,64 @@ def reconstruct(doc_id: str, split: str):
         if len(b_pos) != 1:
             return None, f"{len(b_pos)} B tags in one block"
         j = b_pos[0]
-        stoks = [t for t, _ in regex_tokenizer(surf)]
-        if list(toks[j : j + len(stoks)]) != stoks:
-            return None, "surface tokens do not match block at B position"
-        if " ".join(stoks) != surf:
-            return None, "surface spacing not single-space (txt parity impossible)"
-        mentions.append((bases[si] + tok_starts(toks)[j], surf, cui))
+        target = surf.replace(" ", "")
+        acc, k = "", 0
+        while j + k < len(toks) and len(acc) < len(target):
+            acc += toks[j + k]
+            k += 1
+        if acc != target:
+            return None, "surface does not align with block tokens"
+        ments.append((si, j, k, surf, cui))
 
-    mentions.sort(key=lambda m: m[0])
+    # sentence texts with original surfaces embedded at mention spans
+    per_sent: dict[int, dict[int, tuple[int, str]]] = collections.defaultdict(dict)
+    for si, j, k, surf, cui in ments:
+        prev = per_sent[si].get(j)
+        if prev is not None and prev != (k, surf):
+            return None, "conflicting surfaces at same token position"
+        per_sent[si][j] = (k, surf)
+    sent_texts: list[str] = []
+    tok_pos_all: list[dict[int, int]] = []
+    for si, toks in enumerate(sents):
+        parts: list[str] = []
+        pos, i = 0, 0
+        tok_pos: dict[int, int] = {}
+        while i < len(toks):
+            if parts:
+                parts.append(" ")
+                pos += 1
+            m = per_sent.get(si, {}).get(i)
+            tok_pos[i] = pos
+            if m is not None:
+                k, surf = m
+                parts.append(surf)
+                pos += len(surf)
+                i += k
+            else:
+                parts.append(toks[i])
+                pos += len(toks[i])
+                i += 1
+        sent_texts.append("".join(parts))
+        tok_pos_all.append(tok_pos)
+
+    bases = [0]
+    if len(sent_texts) > 1:
+        bases.append(len(sent_texts[0]) + 1)
+        for st in sent_texts[1:-1]:
+            bases.append(bases[-1] + len(st) + 1)
+    title = sent_texts[0]
+    abstract = " ".join(sent_texts[1:])
+    abs_ments = sorted(
+        (bases[si] + tok_pos_all[si][j], surf, cui) for si, j, k, surf, cui in ments
+    )
     spans = [
         {"kind": "text", "text": title, "media_ref": None, "offset": 0},
-        {
-            "kind": "text",
-            "text": abstract,
-            "media_ref": None,
-            "offset": len(title) + 1,
-        },
+        {"kind": "text", "text": abstract, "media_ref": None, "offset": len(title) + 1},
     ] + [
         {"kind": "mention", "text": s, "media_ref": f"cui://{c}", "offset": o}
-        for o, s, c in mentions
+        for o, s, c in abs_ments
     ]
-    cuis = [c for _, _, c in mentions]
+    cuis = [c for _, _, c in abs_ments]
     return (
         spans,
         cuis,
@@ -143,12 +159,12 @@ def render(res: dict) -> tuple[str, str]:
     return ctx, txt
 
 
-def check(doc_id: str, split: str):
+def check(doc_id: str, split: str, tokenizer, sentencizer):
     rec, why = reconstruct(doc_id, split)
     if rec is None:
         return False, why
     spans, cuis, want_ctx, want_txt = rec
-    res = _doc_blocks(spans, cuis, regex_tokenizer, regex_sentencizer)
+    res = _doc_blocks(spans, cuis, tokenizer, sentencizer)
     got_ctx, got_txt = render(res)
     if got_txt != want_txt:
         return False, "txt bytes differ"
@@ -157,11 +173,8 @@ def check(doc_id: str, split: str):
     return True, "ok"
 
 
-def main() -> None:
-    limit = None
-    if "--limit" in sys.argv:
-        limit = int(sys.argv[sys.argv.index("--limit") + 1])
-    reasons: dict[str, int] = {}
+def evaluate(tokenizer, sentencizer, tag: str, limit=None):
+    reasons: collections.Counter = collections.Counter()
     passing: list[tuple[str, str]] = []
     n = 0
     for split in ("train", "test"):
@@ -170,16 +183,30 @@ def main() -> None:
                 continue
             doc_id = f[: -len(".context")]
             n += 1
-            ok, why = check(doc_id, split)
-            reasons[why] = reasons.get(why, 0) + 1
+            ok, why = check(doc_id, split, tokenizer, sentencizer)
+            reasons[why] += 1
             if ok:
                 passing.append((split, doc_id))
             if limit and n >= limit:
                 break
-    print(f"scanned {n} docs; {len(passing)} byte-exact")
+    print(f"[{tag}] scanned {n} docs; {len(passing)} byte-exact")
     for why, c in sorted(reasons.items(), key=lambda kv: -kv[1]):
         print(f"  {c:5d}  {why}")
-    print("passing:", passing[:40])
+    return passing
+
+
+def main() -> None:
+    limit = None
+    if "--limit" in sys.argv:
+        limit = int(sys.argv[sys.argv.index("--limit") + 1])
+    evaluate(regex_tokenizer, regex_sentencizer, "regex", limit)
+    evaluate(make_tokenizer(), stanza_like_sentencizer, "rules", limit)
+    seg_lex, tok_lex = mine_lexicons(REF)
+    print(f"mined lexicons: {len(seg_lex)} segmentations, {len(tok_lex)} tokens")
+    passing = evaluate(
+        make_tokenizer(seg_lex, tok_lex), stanza_like_sentencizer, "full", limit
+    )
+    print("passing (first 40):", passing[:40])
 
 
 if __name__ == "__main__":
