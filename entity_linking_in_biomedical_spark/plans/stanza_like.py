@@ -93,38 +93,53 @@ def segment_chunk(
     seg_lexicon: dict[str, tuple[str, ...]] | None = None,
     token_lexicon: set[str] | None = None,
 ) -> list[tuple[str, int]]:
-    """One whitespace chunk → [(token, offset-in-chunk)]."""
-    if seg_lexicon is not None:
-        hit = seg_lexicon.get(chunk)
-        if hit is not None:
-            out, pos = [], 0
-            for t in hit:
-                out.append((t, pos))
-                pos += len(t)
-            return out
-    if token_lexicon is not None and chunk in token_lexicon:
-        return [(chunk, 0)]
-    # clitics split BEFORE the keep rules: stanza consistently emits
-    # "'s" as its own token (the rule charset would otherwise keep
-    # "patient's" whole via its apostrophe allowance for O'Brien-style
-    # internal apostrophes)
-    m = _CLITIC_RE.match(chunk)
-    if m:
-        return segment_chunk(m.group(1), seg_lexicon, token_lexicon) + [
-            (m.group(2), m.start(2))
+    """One whitespace chunk → [(token, offset-in-chunk)].
+
+    Iterative (no recursion): a crawled corpus will contain
+    pathological chunks like thousands of repeated brackets, and a
+    per-character recursive peel would blow Python's recursion limit
+    inside the executor UDF."""
+    pre: list[tuple[str, int]] = []
+    post: list[tuple[str, int]] = []  # collected outside-in; reversed at the end
+    base = 0
+    core: list[tuple[str, int]] | None = None
+    while core is None:
+        if seg_lexicon is not None:
+            hit = seg_lexicon.get(chunk)
+            if hit is not None:
+                core, pos = [], base
+                for t in hit:
+                    core.append((t, pos))
+                    pos += len(t)
+                break
+        if token_lexicon is not None and chunk in token_lexicon:
+            core = [(chunk, base)]
+            break
+        # clitics split BEFORE the keep rules: stanza consistently
+        # emits "'s" as its own token (the rule charset would otherwise
+        # keep "patient's" whole via its apostrophe allowance for
+        # O'Brien-style internal apostrophes)
+        m = _CLITIC_RE.match(chunk)
+        if m:
+            post.append((m.group(2), base + m.start(2)))
+            chunk = m.group(1)
+            continue
+        if any(pat.fullmatch(chunk) for pat in KEEP_RULES):
+            core = [(chunk, base)]
+            break
+        if len(chunk) > 1 and chunk[0] in _LEAD_P:
+            pre.append((chunk[0], base))
+            chunk = chunk[1:]
+            base += 1
+            continue
+        if len(chunk) > 1 and chunk[-1] in _TRAIL_P:
+            post.append((chunk[-1], base + len(chunk) - 1))
+            chunk = chunk[:-1]
+            continue
+        core = [
+            (m.group(0), base + m.start()) for m in _FALLBACK_RE.finditer(chunk)
         ]
-    for pat in KEEP_RULES:
-        if pat.fullmatch(chunk):
-            return [(chunk, 0)]
-    if len(chunk) > 1 and chunk[0] in _LEAD_P:
-        return [(chunk[0], 0)] + [
-            (t, o + 1) for t, o in segment_chunk(chunk[1:], seg_lexicon, token_lexicon)
-        ]
-    if len(chunk) > 1 and chunk[-1] in _TRAIL_P:
-        return segment_chunk(chunk[:-1], seg_lexicon, token_lexicon) + [
-            (chunk[-1], len(chunk) - 1)
-        ]
-    return [(m.group(0), m.start()) for m in _FALLBACK_RE.finditer(chunk)]
+    return pre + core + post[::-1]
 
 
 def make_tokenizer(

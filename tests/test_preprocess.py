@@ -306,3 +306,7 @@ def test_stanza_like_tokenizer_raw_text_rules():
     # lexicon override wins over rules
     tok2 = make_tokenizer({"LC-MS": ("LC", "-MS")}, {"Ca("})
     assert [t for t, _ in tok2("LC-MS via Ca(")] == ["LC", "-MS", "via", "Ca("]
+    # pathological crawled-garbage chunk: the peel is iterative, so
+    # thousands of nested brackets segment without recursion
+    deep = tok("(" * 2500 + "x" + ")" * 2500)
+    assert len(deep) == 5001 and deep[2500] == ("x", 2500)
