@@ -50,9 +50,10 @@ def main() -> None:
     # rounds — the per-query MIN is the only stable estimator. Light
     # sub-second queries stay single-shot (their noise is absolute ms).
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    # er_pipeline and preprocess also run min-of-`repeats`, via their
+    # own inline loops below (they thread results/stage metrics out of
+    # the winning run, which run() doesn't model)
     heavy = {
-        "er_pipeline",
-        "preprocess",
         "ngram_jaccard",
         "doc_clusters_cc",
         "repetition",

@@ -83,20 +83,25 @@ def fingerprint(col: Column | str) -> Column:
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
-    # 16-digit card in 4-4-4-4 groups, dash/space separated or bare
-    # (separator class excludes '.' so IPv4 octets can never feed it)
-    ("cc", r"\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b", "<CC>"),
-    # (212) 555-0147 / (212) 555 0147 paren form
+    # 16-digit card in 4-4-4-4 groups, dash-separated or bare. Space
+    # separators are deliberately NOT accepted: scientific prose is
+    # full of space-separated 4-digit runs ("1999 2000 2001 2002" year
+    # series, table rows) that a space form would silently destroy;
+    # '.' is excluded so IPv4 octets can never feed it either.
+    ("cc", r"\b[0-9]{4}-?[0-9]{4}-?[0-9]{4}-?[0-9]{4}\b", "<CC>"),
+    # (212) 555-0147 / (212) 555 0147 — the paren prefix is distinctive
+    # enough to allow a space separator in the tail
     ("phone_paren", r"\([0-9]{3}\) ?[0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
-    # 212-555-0147 / 212.555.0147 / 212 555 0147
-    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    # 212-555-0147 / 212.555.0147; a bare space form ("100 200 3000")
+    # would match measurement triples, so spaces need the paren prefix
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IPV4>"),
 ]
 
 
 def pii_redact(col: Column | str) -> Column:
     """Replace emails / SSNs / credit cards / phone numbers (dash, dot,
-    space, and paren forms) / IPv4 addresses with typed placeholders —
+    and paren forms) / IPv4 addresses with typed placeholders —
     the standard scrubbing pass before a corpus becomes training data.
     Pure sequential regexp_replace: JVM-side, codegen, no UDF."""
     c = F.col(col) if isinstance(col, str) else col

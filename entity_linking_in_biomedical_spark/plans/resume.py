@@ -120,8 +120,22 @@ class StageStore:
                     bucket["keys"],
                     bucket["n_buckets"],
                 )
-            except Exception:
-                pass  # fall through to the layout-free read
+            except Exception as e:
+                # correctness never depends on the catalog, but a
+                # silent fall-through would erase the amortized-shuffle
+                # benefit with nothing observable — surface it in the
+                # run metrics and on stderr before degrading
+                import sys
+
+                self.metrics.append(
+                    {"stage": stage, "bucket_layout": "degraded", "err": repr(e)}
+                )
+                print(
+                    f"stage store: bucketed layout for '{stage}' could not "
+                    f"be (re)attached ({e!r}); reading plain parquet — "
+                    f"downstream joins on {bucket['keys']} will re-shuffle",
+                    file=sys.stderr,
+                )
         return self.spark.read.parquet(dpath)
 
     def commit(

@@ -86,6 +86,11 @@ _CLITIC_RE = re.compile(r"^(.+?)('(?:s|re|m|ve|ll|d))$", re.IGNORECASE)
 _LEAD_P = tuple("([{\"“‘")
 _TRAIL_P = tuple(")]}\"”’.,;:!?")
 _WS = re.compile(r"\S+")
+# chunks longer than this cannot be single tokens (longest mined
+# stanza token on st21pv: 82 chars, longest surface chunk 84); beyond
+# it outer punctuation is peeled in bulk without per-step rule/lexicon
+# checks (see segment_chunk)
+_MAX_TOKEN_LEN = 128
 
 
 def segment_chunk(
@@ -103,6 +108,20 @@ def segment_chunk(
     post: list[tuple[str, int]] = []  # collected outside-in; reversed at the end
     base = 0
     core: list[tuple[str, int]] | None = None
+    # Bulk-peel oversized chunks down to _MAX_TOKEN_LEN before the
+    # per-character loop: each loop iteration runs every KEEP_RULE plus
+    # two lexicon hashes over the remaining chunk, so peeling a
+    # 10k-char punctuation tail one char at a time with full re-checks
+    # would be quadratic. No mined stanza token (longest observed: 82
+    # chars) or rule-glued cluster comes near the bound, so skipping
+    # the checks while the chunk is longer loses nothing.
+    while len(chunk) > _MAX_TOKEN_LEN and chunk[-1] in _TRAIL_P:
+        post.append((chunk[-1], base + len(chunk) - 1))
+        chunk = chunk[:-1]
+    while len(chunk) > _MAX_TOKEN_LEN and chunk[0] in _LEAD_P:
+        pre.append((chunk[0], base))
+        chunk = chunk[1:]
+        base += 1
     while core is None:
         if seg_lexicon is not None:
             hit = seg_lexicon.get(chunk)
@@ -148,7 +167,21 @@ def make_tokenizer(
 ):
     """Build a ``text -> [(token, char_start)]`` callable (the
     preprocess plan's tokenizer contract) from optional mined lexicons.
-    With no lexicons this is the pure rule tokenizer."""
+    With no lexicons this is the pure rule tokenizer.
+
+    Validates that every segmentation entry's tokens concatenate back
+    to its key: offsets are computed cumulatively from token lengths,
+    so an entry like ``{"LC-MS": ("LC", "MS")}`` (separator dropped)
+    would otherwise report "MS" at the position of "-M" and silently
+    corrupt the IOB2 B-position alignment downstream."""
+    if seg_lexicon is not None:
+        for ch, toks in seg_lexicon.items():
+            if "".join(toks) != ch:
+                raise ValueError(
+                    f"segmentation lexicon entry {ch!r} -> {toks!r}: token "
+                    f"concatenation must equal the chunk (offsets are "
+                    f"derived from token lengths)"
+                )
 
     def tokenize(text: str) -> list[tuple[str, int]]:
         out: list[tuple[str, int]] = []
@@ -271,6 +304,11 @@ def mine_lexicons(
                     continue
                 ti, ok, doc_pairs = 0, True, []
                 for ch in surf.split(" "):
+                    if ch == "":
+                        # consecutive/leading/trailing spaces in the
+                        # surface: an empty chunk vacuously "aligns"
+                        # and would plant a junk ''->() lexicon entry
+                        continue
                     acc2, grp = "", []
                     while ti < len(seq) and len(acc2) < len(ch):
                         acc2 += seq[ti]

@@ -307,6 +307,13 @@ def test_stanza_like_tokenizer_raw_text_rules():
     tok2 = make_tokenizer({"LC-MS": ("LC", "-MS")}, {"Ca("})
     assert [t for t, _ in tok2("LC-MS via Ca(")] == ["LC", "-MS", "via", "Ca("]
     # pathological crawled-garbage chunk: the peel is iterative, so
-    # thousands of nested brackets segment without recursion
+    # thousands of nested brackets segment without recursion — and the
+    # >_MAX_TOKEN_LEN bulk peel keeps it linear-time
     deep = tok("(" * 2500 + "x" + ")" * 2500)
     assert len(deep) == 5001 and deep[2500] == ("x", 2500)
+    # a malformed segmentation entry (tokens don't concatenate to the
+    # key) must fail loudly at construction, not corrupt offsets later
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="concatenation"):
+        make_tokenizer({"LC-MS": ("LC", "MS")})

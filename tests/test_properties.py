@@ -87,3 +87,27 @@ def test_jw_bounds_and_symmetry(a, b):
     assert abs(v - jaro_winkler(b, a)) < 1e-12
     if a == b and a:
         assert v == 1.0
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_stanza_like_tokenizer_offset_invariant(text):
+    """For ANY input text: every emitted (token, start) satisfies
+    text[start:start+len(token)] == token, tokens are non-empty,
+    non-overlapping, in order, and cover exactly the non-whitespace
+    characters (nothing dropped, nothing invented) — the contract the
+    IOB2 kernel's B-position alignment depends on."""
+    from entity_linking_in_biomedical_spark.plans.stanza_like import (
+        make_tokenizer,
+    )
+
+    toks = make_tokenizer()(text)
+    prev_end = 0
+    covered = 0
+    for t, start in toks:
+        assert t and not any(c.isspace() for c in t)
+        assert text[start : start + len(t)] == t
+        assert start >= prev_end
+        prev_end = start + len(t)
+        covered += len(t)
+    assert covered == sum(1 for c in text if not c.isspace())

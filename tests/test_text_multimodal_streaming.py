@@ -98,12 +98,15 @@ def test_pii_redact(spark):
 def test_pii_redact_cc_and_phone_forms(spark):
     df = spark.createDataFrame(
         [
-            # dash / space / bare credit-card forms + paren/space phones
-            ("card 4111-1111-1111-0042 and 4111 1111 1111 0042",),
+            # dash / bare credit-card forms + paren-phone forms
+            ("card 4111-1111-1111-0042 paid",),
             ("bare 4111111111110042 paid",),
-            ("call (212) 555-0147 or (212) 555 0147 or 212 555 0147",),
+            ("call (212) 555-0147 or (212) 555 0147 or 212-555-0147",),
             # SSN must not be eaten by the card or phone rules
             ("ssn 987-65-4321 only",),
+            # space-separated digit runs in scientific prose must SURVIVE
+            # (year series / measurement triples are not cards/phones)
+            ("years 1999 2000 2001 2002 and sizes 100 200 3000",),
         ],
         "t string",
     )
@@ -114,12 +117,14 @@ def test_pii_redact_cc_and_phone_forms(spark):
         pii_count("t", "phone").alias("np"),
         pii_count("t", "ssn").alias("ns"),
     ).collect()
-    assert got[0]["red"] == "card <CC> and <CC>" and got[0]["nc"] == 2
+    assert got[0]["red"] == "card <CC> paid" and got[0]["nc"] == 1
     assert got[1]["red"] == "bare <CC> paid" and got[1]["nc"] == 1
     assert got[2]["red"] == "call <PHONE> or <PHONE> or <PHONE>"
     assert (got[2]["npp"], got[2]["np"]) == (2, 1)
     assert got[3]["red"] == "ssn <SSN> only"
     assert (got[3]["nc"], got[3]["np"], got[3]["ns"]) == (0, 0, 1)
+    assert got[4]["red"] == "years 1999 2000 2001 2002 and sizes 100 200 3000"
+    assert (got[4]["nc"], got[4]["npp"], got[4]["np"]) == (0, 0, 0)
 
 
 def test_repetition_metrics(spark):

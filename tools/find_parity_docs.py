@@ -100,6 +100,15 @@ def reconstruct(doc_id: str, split: str):
         if prev is not None and prev != (k, surf):
             return None, "conflicting surfaces at same token position"
         per_sent[si][j] = (k, surf)
+    # overlapping token ranges within a sentence would leave later
+    # mention starts without a rendered char position (KeyError below);
+    # skip such docs with a reason like every other malformed case
+    for si, jk in per_sent.items():
+        end = -1
+        for j in sorted(jk):
+            if j < end:
+                return None, "overlapping mention token ranges"
+            end = j + jk[j][0]
     sent_texts: list[str] = []
     tok_pos_all: list[dict[int, int]] = []
     for si, toks in enumerate(sents):
