@@ -816,6 +816,132 @@ from t group by lang order by lang
 """
 
 
+def q_url_stats(spark, sf_dir):
+    """URL extraction + per-domain profile — the crawl-curation pass
+    that decides which domains to keep/throttle before training.
+    Deterministic URLs are planted into every 5th document (the
+    synthetic corpus carries none), extracted with a Java/RE2-common
+    regex, reduced to domains, and aggregated. All JVM-side: one
+    regexp_extract_all + explode + groupBy, no UDFs; at 100 TB the
+    domain keyspace is the natural partition key and the aggregate is
+    map-side partial."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    planted = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://www.site"),
+            (d % 20).cast("string"),
+            F.lit(".example.org/page/"),
+            d.cast("string"),
+            F.lit(" and http://cdn"),
+            (d % 7).cast("string"),
+            F.lit(".assets.net/img"),
+            d.cast("string"),
+            F.lit(".jpg"),
+        ),
+    ).otherwise(F.col("text"))
+    url_re = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?"
+    urls = (
+        docs.withColumn("t", planted)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(t, '{url_re}', 0)")
+            ).alias("url"),
+        )
+    )
+    return (
+        urls.select(
+            "doc_id",
+            F.regexp_extract("url", "https?://([A-Za-z0-9.-]+)", 1).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("domain")
+    )
+
+
+ORACLE_URL_STATS = """
+with p as (
+  select doc_id,
+         case when doc_id % 5 = 0 then
+           text || ' see https://www.site' || cast(doc_id % 20 as varchar)
+                || '.example.org/page/' || cast(doc_id as varchar)
+                || ' and http://cdn' || cast(doc_id % 7 as varchar)
+                || '.assets.net/img' || cast(doc_id as varchar) || '.jpg'
+         else text end as t
+  from documents
+),
+u as (
+  select doc_id,
+         unnest(regexp_extract_all(t, 'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9./_-]*)?')) as url
+  from p
+)
+select regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) as domain,
+       cast(count(*) as bigint) as n_urls,
+       cast(count(distinct doc_id) as bigint) as n_docs
+from u group by 1 order by 1
+"""
+
+
+def q_vocab_drift(spark, sf_dir):
+    """Vocabulary drift between two corpus snapshots (split by doc_id
+    parity): tokens ranked per split by (count desc, token), top-100
+    kept, inner-joined on token — the distribution-shift check run
+    between crawl snapshots before mixing them into one training set.
+    Fully deterministic (integer counts, total ranking order), so the
+    oracle comparison is exact. Scale shape: one groupBy on (split,
+    token) with map-side partials, a per-split window over 100 rows,
+    and a tiny join."""
+    from pyspark.sql import Window
+
+    from entity_linking_in_biomedical_spark.functions.text_metrics import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    cnt = tok.groupBy("is_a", "tok").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("is_a").orderBy(F.desc("cnt"), F.asc("tok"))
+    top = cnt.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 100)
+    a = top.filter(F.col("is_a")).select(
+        "tok",
+        F.col("rk").cast("long").alias("rank_a"),
+        F.col("cnt").cast("long").alias("cnt_a"),
+    )
+    b = top.filter(~F.col("is_a")).select(
+        "tok",
+        F.col("rk").cast("long").alias("rank_b"),
+        F.col("cnt").cast("long").alias("cnt_b"),
+    )
+    return a.join(b, "tok").orderBy("tok")
+
+
+ORACLE_VOCAB_DRIFT = f"""
+with t as (
+  select doc_id % 2 = 0 as is_a, unnest({_TOKS}) as tok from documents
+),
+c as (select is_a, tok, count(*) as cnt from t group by 1, 2),
+r as (
+  select is_a, tok, cnt,
+         row_number() over (partition by is_a order by cnt desc, tok) as rk
+  from c
+)
+select a.tok as tok,
+       cast(a.rk as bigint) as rank_a, cast(a.cnt as bigint) as cnt_a,
+       cast(b.rk as bigint) as rank_b, cast(b.cnt as bigint) as cnt_b
+from (select * from r where is_a and rk <= 100) a
+join (select * from r where not is_a and rk <= 100) b on a.tok = b.tok
+order by tok
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Train/test n-gram contamination check (the GPT-3/PaLM 13-gram
     decontamination rule, n=8 here so the short synthetic docs produce
@@ -1366,6 +1492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "contamination": q_contamination,
         "corpus_stats": q_corpus_stats,
+        "url_stats": q_url_stats,
+        "vocab_drift": q_vocab_drift,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1406,6 +1534,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition": ORACLE_REPETITION,
         "contamination": ORACLE_CONTAMINATION,
         "corpus_stats": ORACLE_CORPUS_STATS,
+        "url_stats": ORACLE_URL_STATS,
+        "vocab_drift": ORACLE_VOCAB_DRIFT,
         "ann_brute_force": ORACLE_ANN,
         "ann_lsh": ORACLE_ANN_LSH,
         "ann_ivf": ORACLE_ANN_IVF,

@@ -223,6 +223,8 @@ def main() -> None:
         "repetition",
         "contamination",
         "corpus_stats",
+        "url_stats",
+        "vocab_drift",
         "ann_brute_force",
         "ann_lsh",
         "ann_ivf",
