@@ -942,6 +942,76 @@ order by tok
 """
 
 
+def q_dup_passages(spark, sf_dir):
+    """Substring-level duplication profile (operators/dedup.py::
+    duplicate_passage_stats — the Lee-et-al-style duplicated-text
+    fraction + longest duplicated run at 8-token-window granularity).
+    A fixed 12-token passage is planted into every 9th document, so
+    those docs are guaranteed a duplicated run of >= 5 windows on top
+    of any organic small-vocabulary collisions; the DuckDB twin
+    replays the identical md5-window pipeline."""
+    from entity_linking_in_biomedical_spark.operators.dedup import (
+        duplicate_passage_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" the quick brown fox jumps over the lazy dog again and again"),
+        ),
+    ).otherwise(F.col("text"))
+    out = duplicate_passage_stats(
+        docs.withColumn("t", planted), text_col="t", window_k=8
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        "dup_ratio",
+        F.col("max_dup_run").cast("long").alias("max_dup_run"),
+    ).orderBy("doc_id")
+
+
+def _oracle_dup_passages() -> str:
+    toks_t = TOKENS_SQL.format(col="t")
+    return f"""
+with p as (
+  select cast(doc_id as varchar) as doc_id,
+         case when doc_id % 9 = 0 then
+           text || ' the quick brown fox jumps over the lazy dog again and again'
+         else text end as t
+  from documents
+),
+tk as (select doc_id, {toks_t} as toks from p),
+w as (
+  select doc_id, i as pos,
+         md5(array_to_string(list_slice(toks, i, i + 7), ' ')) as w
+  from tk, unnest(generate_series(1, len(toks) - 7)) as u(i)
+),
+dupw as (select w from w group by w having count(*) >= 2),
+d as (select doc_id, pos from w join dupw using (w)),
+r as (
+  select doc_id,
+         pos - row_number() over (partition by doc_id order by pos) as rid
+  from d
+),
+runs as (select doc_id, rid, count(*) as run from r group by 1, 2),
+agg as (
+  select doc_id, sum(run) as ndw, max(run) as mdr from runs group by 1
+),
+tot as (select doc_id, greatest(len(toks) - 7, 0) as nw from tk)
+select tot.doc_id,
+       cast(tot.nw as bigint) as n_windows,
+       cast(coalesce(agg.ndw, 0) as bigint) as n_dup_windows,
+       round(cast(coalesce(agg.ndw, 0) as double) / greatest(tot.nw, 1), 6) as dup_ratio,
+       cast(coalesce(agg.mdr, 0) as bigint) as max_dup_run
+from tot left join agg on tot.doc_id = agg.doc_id
+order by tot.doc_id
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Train/test n-gram contamination check (the GPT-3/PaLM 13-gram
     decontamination rule, n=8 here so the short synthetic docs produce
@@ -1494,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "url_stats": q_url_stats,
         "vocab_drift": q_vocab_drift,
+        "dup_passages": q_dup_passages,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1536,6 +1607,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": ORACLE_CORPUS_STATS,
         "url_stats": ORACLE_URL_STATS,
         "vocab_drift": ORACLE_VOCAB_DRIFT,
+        "dup_passages": _oracle_dup_passages(),
         "ann_brute_force": ORACLE_ANN,
         "ann_lsh": ORACLE_ANN_LSH,
         "ann_ivf": ORACLE_ANN_IVF,

@@ -212,6 +212,7 @@ def main() -> None:
         "exact_dedup",
         "fingerprint_dedup",
         "minhash_dedup",
+        "dup_passages",
         "ngram_jaccard",
         "doc_clusters_cc",
         "simhash_dedup",

@@ -332,3 +332,76 @@ def embedding_near_duplicates(
         .filter(F.col("cosine") >= cosine_threshold)
         .select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def duplicate_passage_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_k: int = 8,
+) -> DataFrame:
+    """Substring-level duplication profile (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" family,
+    at window rather than suffix-array granularity): for every doc,
+    the fraction of its k-token windows that occur MORE THAN ONCE in
+    the corpus (across docs or repeated within one doc), and the
+    longest run of consecutive duplicated windows — a run of r windows
+    is a duplicated passage of r+k-1 tokens.
+
+    -> (doc_id, n_windows, n_dup_windows, dup_ratio, max_dup_run).
+
+    Shape at 10^12 docs: the window explode is the operator family's
+    standard linear cost (~one row per token); duplicated-window
+    detection is ONE groupBy on the window hash (map-side partial);
+    the flag-back is a semi-join on the same hash; run detection is a
+    per-doc window function over only the duplicated positions (the
+    classic pos - row_number() grouping trick), so its input is the
+    duplicated subset, not the corpus. No caps needed — output is one
+    row per document, and no pair explosion exists anywhere. Window
+    hashes are md5 over the space-joined window so the DuckDB oracle
+    reproduces them byte-for-byte."""
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    n = F.size(toks)
+    windows = F.when(
+        n >= window_k,
+        F.transform(
+            F.sequence(F.lit(1), n - window_k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window_k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), windows.alias("ws")
+    ).localCheckpoint(eager=False)
+    wdf = base.select("doc_id", F.posexplode("ws").alias("pos", "w"))
+    dup_w = (
+        wdf.groupBy("w").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    )
+    dups = wdf.join(dup_w.select("w"), "w", "left_semi")
+    run_id = F.col("pos") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    runs = (
+        dups.withColumn("rid", run_id)
+        .groupBy("doc_id", "rid")
+        .agg(F.count("*").alias("run"))
+    )
+    per_doc = runs.groupBy("doc_id").agg(
+        F.sum("run").alias("n_dup_windows"), F.max("run").alias("max_dup_run")
+    )
+    totals = base.select("doc_id", F.size("ws").alias("n_windows"))
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup_windows", F.lit(0))
+                / F.greatest("n_windows", F.lit(1)),
+                6,
+            ).alias("dup_ratio"),
+            F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run"),
+        )
+    )

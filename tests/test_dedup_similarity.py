@@ -378,3 +378,32 @@ def test_ngram_jaccard_no_float_ceil_overshoot(spark):
     rows = ngram_jaccard_pairs(df, jaccard_threshold=0.07).collect()
     assert [(r["a_id"], r["b_id"]) for r in rows] == [("1", "2")]
     assert rows[0]["jaccard"] == pytest.approx(0.07)
+
+
+def test_duplicate_passage_stats_planted(spark):
+    from entity_linking_in_biomedical_spark.operators.dedup import (
+        duplicate_passage_stats,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 toks
+    rows = [
+        ("a", f"unique one two three {shared} tail tokens here"),
+        ("b", f"other prefix words {shared} different ending now"),
+        # fully unique doc: every word appears once in the corpus
+        ("c", "qq ww ee rr tt yy uu ii oo pp aa ss"),
+        # too short for an 8-token window
+        ("d", "just five little words here"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in duplicate_passage_stats(
+            spark.createDataFrame(rows, "doc_id string, text string"), window_k=8
+        ).collect()
+    }
+    # the shared 10-token passage gives 3 consecutive shared windows
+    # (10-8+1) in each carrier doc
+    assert got["a"]["max_dup_run"] == 3 and got["b"]["max_dup_run"] == 3
+    assert got["a"]["n_dup_windows"] == 3
+    assert got["a"]["n_windows"] == 17 - 8 + 1
+    assert got["c"]["n_dup_windows"] == 0 and got["c"]["dup_ratio"] == 0.0
+    assert got["d"]["n_windows"] == 0 and got["d"]["max_dup_run"] == 0
