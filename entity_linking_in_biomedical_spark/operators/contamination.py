@@ -80,3 +80,59 @@ def ngram_contamination(
         "n_overlap",
         F.round(F.col("n_overlap") / F.col("n_test_grams"), 6).alias("contamination"),
     )
+
+
+def stream_contamination(
+    stream_docs: DataFrame,
+    test: DataFrame,
+    n: int = 13,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_id_col: str = "test_id",
+) -> DataFrame:
+    """Online decontamination: flag documents of a STREAMING corpus
+    against a static eval set as they arrive, same contract as
+    :func:`ngram_contamination`.
+
+    Stateless reformulation for streaming semantics: the batch
+    operator's explode + groupBy would be a stateful running aggregate
+    here (unbounded state for a per-doc-complete result), so instead
+    each test doc's distinct gram hashes are kept as ONE sorted array
+    and broadcast-cross-joined against the stream; per (doc, test)
+    overlap is a row-local ``array_intersect``. Append mode, no
+    watermark, any trigger; cost scales as |batch| × |test docs|,
+    which is the regime eval sets live in (thousands of docs). For a
+    test side too big to cross, run the batch operator per micro-batch
+    via ``foreachBatch`` instead (streaming/incremental.py pattern).
+
+    Gram hashing is xxhash64, identical to the batch operator, so the
+    two agree exactly on the same inputs (asserted in tests)."""
+    t = test.select(
+        F.col(test_id_col),
+        F.array_sort(
+            F.transform(
+                word_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g)
+            )
+        ).alias("t_grams"),
+    ).withColumn("n_test_grams", F.size("t_grams"))
+    c = stream_docs.select(
+        F.col(id_col),
+        F.transform(word_ngrams(F.col(text_col), n), lambda g: F.xxhash64(g)).alias(
+            "c_grams"
+        ),
+    )
+    joined = c.crossJoin(F.broadcast(t))
+    n_overlap = F.size(F.array_intersect("c_grams", "t_grams"))
+    return (
+        joined.withColumn("n_overlap", n_overlap)
+        .filter(F.col("n_overlap") >= min_overlap)
+        .select(
+            id_col,
+            test_id_col,
+            "n_overlap",
+            F.round(
+                F.col("n_overlap") / F.greatest("n_test_grams", F.lit(1)), 6
+            ).alias("contamination"),
+        )
+    )

@@ -161,3 +161,50 @@ def test_streaming_minhash_dedup_state_survives_restart(spark, tmp_path):
     assert n4 == 8  # all 8 bands of an exact copy collide
     expect5 = bool(keys["5"] & keys["2"])
     assert flags2["5"][0] == expect5
+
+
+def test_stream_contamination_matches_batch(spark, tmp_path):
+    """Online decontamination (stateless stream-static cross with
+    broadcast test grams) agrees exactly with the batch operator on
+    the same input, running as a real streaming query."""
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        ngram_contamination,
+        stream_contamination,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus_rows = [
+        ("c1", f"intro words {base} trailing text one"),   # contains eval1's window
+        ("c2", "totally different content with no shared grams at all here"),
+        ("c3", f"{base} {base}"),                           # repeated phrase: dedup per doc
+    ]
+    test_rows = [
+        ("eval1", base),
+        ("eval2", "nothing matches this evaluation document words"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id string, text string")
+    test = spark.createDataFrame(test_rows, "test_id string, text string")
+
+    want = {
+        (r["doc_id"], r["test_id"]): (r["n_overlap"], r["contamination"])
+        for r in ngram_contamination(corpus, test, n=8).collect()
+    }
+    assert want, "batch operator must flag the planted overlap"
+
+    src = str(tmp_path / "stream_src")
+    corpus.write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    q = (
+        stream_contamination(stream, test, n=8)
+        .writeStream.format("memory")
+        .queryName("contam_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["test_id"]): (r["n_overlap"], r["contamination"])
+        for r in spark.sql("select * from contam_stream").collect()
+    }
+    assert got == want
