@@ -942,6 +942,89 @@ order by tok
 """
 
 
+def q_filter_funnel(spark, sf_dir):
+    """Quality-filter funnel — the composition query every curation
+    pipeline reports: how many documents survive each cumulative gate
+    (language -> quality score -> repetition -> length). ONE scan, one
+    tiny aggregate: the gates are plain column predicates summed as
+    conditional counts, then unpivoted with stack(); nothing shuffles
+    but five longs. Gate thresholds compare values rounded to 6
+    decimals on both engines, so the DuckDB twin is exact."""
+    from entity_linking_in_biomedical_spark.functions.text_metrics import (
+        dup_token_ratio,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    f1 = lang_id("text") == "en"
+    f2 = quality_score("text") >= 0.5
+    f3 = dup_token_ratio("text") <= 0.3
+    f4 = token_count("text").between(10, 10000)
+    agg = docs.agg(
+        F.count("*").alias("n0"),
+        F.sum(f1.cast("long")).alias("n1"),
+        F.sum((f1 & f2).cast("long")).alias("n2"),
+        F.sum((f1 & f2 & f3).cast("long")).alias("n3"),
+        F.sum((f1 & f2 & f3 & f4).cast("long")).alias("n4"),
+    )
+    return agg.selectExpr(
+        "stack(5,"
+        " 0, 'all', n0,"
+        " 1, 'lang_en', n1,"
+        " 2, 'quality_ge_05', n2,"
+        " 3, 'dup_le_03', n3,"
+        " 4, 'len_10_10k', n4"
+        ") as (stage, gate, n_docs)"
+    ).orderBy("stage")
+
+
+def _oracle_filter_funnel() -> str:
+    return f"""
+with t as (
+  select length(text) as n_chars,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) as alpha,
+         {_TOKS} as toks
+  from documents
+),
+g as (
+  select len(toks) as n,
+         case when len(toks) > 0 then cast(len(list_filter(toks, x -> list_contains({_EN}, x))) as double) / len(toks) else 0.0 end as en,
+         case when len(toks) > 0 then cast(len(list_filter(toks, x -> list_contains({_ES}, x))) as double) / len(toks) else 0.0 end as es,
+         round(
+           0.4 * (case when n_chars >= 200 then 1.0 when n_chars >= 50 then 0.5 else 0.0 end)
+         + 0.4 * (case when n_chars > 0 then cast(alpha as double)/n_chars else 0.0 end)
+         + 0.2 * least((case when len(toks) > 0 then cast(len(list_filter(toks, x -> list_contains({_EN}, x))) as double)/len(toks) else 0.0 end) * 4, 1.0)
+         , 6) as quality,
+         case when len(toks) > 0 then round(1.0 - cast(len(list_distinct(toks)) as double) / len(toks), 6) else 0.0 end as dup
+  from t
+),
+fl as (
+  select (en >= es and en > 0.02) as f1,
+         quality >= 0.5 as f2,
+         dup <= 0.3 as f3,
+         n between 10 and 10000 as f4
+  from g
+),
+a as (
+  select count(*) as n0,
+         sum(case when f1 then 1 else 0 end) as n1,
+         sum(case when f1 and f2 then 1 else 0 end) as n2,
+         sum(case when f1 and f2 and f3 then 1 else 0 end) as n3,
+         sum(case when f1 and f2 and f3 and f4 then 1 else 0 end) as n4
+  from fl
+)
+select * from (
+  select 0 as stage, 'all' as gate, cast(n0 as bigint) as n_docs from a
+  union all select 1, 'lang_en', cast(n1 as bigint) from a
+  union all select 2, 'quality_ge_05', cast(n2 as bigint) from a
+  union all select 3, 'dup_le_03', cast(n3 as bigint) from a
+  union all select 4, 'len_10_10k', cast(n4 as bigint) from a
+) order by stage
+"""
+
+
 def q_dup_passages(spark, sf_dir):
     """Substring-level duplication profile (operators/dedup.py::
     duplicate_passage_stats — the Lee-et-al-style duplicated-text
@@ -1565,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": q_url_stats,
         "vocab_drift": q_vocab_drift,
         "dup_passages": q_dup_passages,
+        "filter_funnel": q_filter_funnel,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1608,6 +1692,7 @@ def oracle_sql() -> dict[str, str]:
         "url_stats": ORACLE_URL_STATS,
         "vocab_drift": ORACLE_VOCAB_DRIFT,
         "dup_passages": _oracle_dup_passages(),
+        "filter_funnel": _oracle_filter_funnel(),
         "ann_brute_force": ORACLE_ANN,
         "ann_lsh": ORACLE_ANN_LSH,
         "ann_ivf": ORACLE_ANN_IVF,

@@ -226,6 +226,7 @@ def main() -> None:
         "corpus_stats",
         "url_stats",
         "vocab_drift",
+        "filter_funnel",
         "ann_brute_force",
         "ann_lsh",
         "ann_ivf",
