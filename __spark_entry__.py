@@ -606,16 +606,31 @@ def q_lang_id(spark, sf_dir):
 
 _EN = "['the','and','of','to','in','is','a','that','for','with']"
 _ES = "['el','la','de','que','y','en','los','del','se','las']"
+# Shared DuckDB fragments over a `toks` (token list) column — the
+# single source for every oracle that gates on language or quality, so
+# the twins cannot drift apart (functions/text_metrics.py lang_id /
+# quality_score are the Spark side of the same formulas).
+_EN_RATIO = (
+    f"case when len(toks) > 0 then cast(len(list_filter(toks, x -> "
+    f"list_contains({_EN}, x))) as double) / len(toks) else 0.0 end"
+)
+_ES_RATIO = (
+    f"case when len(toks) > 0 then cast(len(list_filter(toks, x -> "
+    f"list_contains({_ES}, x))) as double) / len(toks) else 0.0 end"
+)
+# quality over (n_chars, alpha, toks) columns
+_QUALITY_EXPR = f"""round(
+    0.4 * (case when n_chars >= 200 then 1.0 when n_chars >= 50 then 0.5 else 0.0 end)
+  + 0.4 * (case when n_chars > 0 then cast(alpha as double)/n_chars else 0.0 end)
+  + 0.2 * least(({_EN_RATIO}) * 4, 1.0)
+  , 6)"""
 
 ORACLE_LANG_ID = f"""
 with t as (
   select {_TOKS} as toks from documents
 ),
 r as (
-  select
-    case when len(toks) > 0 then cast(len(list_filter(toks, x -> list_contains({_EN}, x))) as double) / len(toks) else 0.0 end as en,
-    case when len(toks) > 0 then cast(len(list_filter(toks, x -> list_contains({_ES}, x))) as double) / len(toks) else 0.0 end as es
-  from t
+  select {_EN_RATIO} as en, {_ES_RATIO} as es from t
 )
 select case when en >= es and en > 0.02 then 'en'
             when es > en and es > 0.02 then 'es'
@@ -644,17 +659,12 @@ def q_quality(spark, sf_dir):
 
 ORACLE_QUALITY = f"""
 with t as (
-  select doc_id, text, length(text) as n,
+  select doc_id, length(text) as n_chars,
          length(regexp_replace(lower(text), '[^a-z]', '', 'g')) as alpha,
          {_TOKS} as toks
   from documents
 )
-select doc_id,
-  round(
-    0.4 * (case when n >= 200 then 1.0 when n >= 50 then 0.5 else 0.0 end)
-  + 0.4 * (case when n > 0 then cast(alpha as double)/n else 0.0 end)
-  + 0.2 * least((case when len(toks) > 0 then cast(len(list_filter(toks, x -> list_contains({_EN}, x))) as double)/len(toks) else 0.0 end) * 4, 1.0)
-  , 6) as quality
+select doc_id, {_QUALITY_EXPR} as quality
 from t order by doc_id
 """
 
@@ -990,13 +1000,9 @@ with t as (
 ),
 g as (
   select len(toks) as n,
-         case when len(toks) > 0 then cast(len(list_filter(toks, x -> list_contains({_EN}, x))) as double) / len(toks) else 0.0 end as en,
-         case when len(toks) > 0 then cast(len(list_filter(toks, x -> list_contains({_ES}, x))) as double) / len(toks) else 0.0 end as es,
-         round(
-           0.4 * (case when n_chars >= 200 then 1.0 when n_chars >= 50 then 0.5 else 0.0 end)
-         + 0.4 * (case when n_chars > 0 then cast(alpha as double)/n_chars else 0.0 end)
-         + 0.2 * least((case when len(toks) > 0 then cast(len(list_filter(toks, x -> list_contains({_EN}, x))) as double)/len(toks) else 0.0 end) * 4, 1.0)
-         , 6) as quality,
+         {_EN_RATIO} as en,
+         {_ES_RATIO} as es,
+         {_QUALITY_EXPR} as quality,
          case when len(toks) > 0 then round(1.0 - cast(len(list_distinct(toks)) as double) / len(toks), 6) else 0.0 end as dup
   from t
 ),

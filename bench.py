@@ -59,6 +59,7 @@ def main() -> None:
         "repetition",
         "embedding_dedup",
         "contamination",
+        "dup_passages",
     }
 
     def run(name: str, thunk) -> None:

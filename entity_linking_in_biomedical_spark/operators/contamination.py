@@ -108,6 +108,12 @@ def stream_contamination(
 
     Gram hashing is xxhash64, identical to the batch operator, so the
     two agree exactly on the same inputs (asserted in tests)."""
+    # clamp to >= 1: the batch operator's inner join on gram hash can
+    # only produce pairs with at least one shared gram, so min_overlap=0
+    # already behaves as 1 there; without the clamp the cross-join form
+    # would emit every zero-overlap (doc, test) pair — |corpus|x|test|
+    # rows the batch operator never produces
+    min_overlap = max(1, min_overlap)
     t = test.select(
         F.col(test_id_col),
         F.array_sort(
