@@ -110,3 +110,46 @@ def test_scoring_single_python_boundary(spark, corpus):
     # and never the row-at-a-time BatchEvalPython
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_round4_queries_stay_jvm_side(spark):
+    """The round-4 LLM-pipeline queries (dup_passages, filter_funnel,
+    url_stats, vocab_drift) are pure column-expression plans: zero
+    Python/Arrow boundaries, column-pruned scans, and map-side partial
+    aggregation before every shuffle."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("dup_passages", "filter_funnel", "url_stats", "vocab_drift"):
+        plan = plan_of(qs[name](spark, sf))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+        # the documents scan reads only what the query projects — never
+        # the unused source/n_chars payload columns (dup_passages'
+        # scan hides behind its localCheckpoint barrier, so the
+        # pruning check applies only where a scan is visible)
+        schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert schema_lines or "ExistingRDD" in plan or "LogicalRDD" in plan, name
+        assert all("source" not in l for l in schema_lines), name
+        assert "partial" in plan, name
+
+
+def test_filter_funnel_single_scan_single_aggregate(spark):
+    """All five funnel gates fold into ONE scan + ONE global aggregate
+    (five conditional sums), not five passes over the corpus."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["filter_funnel"](spark, "/root/testdata/sf0.001"))
+    # exactly one scan node in the plan tree (formatted output repeats
+    # each node once in the tree and once in the detail section, so
+    # count tree lines, not substring occurrences)
+    tree_scans = [
+        l for l in plan.splitlines() if "Scan parquet" in l and "+-" in l
+    ]
+    assert len(tree_scans) == 1
