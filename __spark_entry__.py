@@ -184,11 +184,18 @@ group by o_orderpriority order by o_orderpriority
 
 def q_anti_join(spark, sf_dir):
     """P7: anti-join — customers with no orders (gold-exclusion shape,
-    dataset.py:102)."""
-    cust = _t(spark, sf_dir, "customer")
+    dataset.py:102). Every customer in the generated tables has orders,
+    so order-less customers are PLANTED in-query (mirror of the low
+    custkeys with negated ids — o_custkey is always positive) to keep
+    the oracle's hash check non-vacuous at any sf."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    planted = cust.filter(F.col("c_custkey") <= 5).select(
+        (-F.col("c_custkey")).alias("c_custkey"), "c_nationkey"
+    )
     orders = _t(spark, sf_dir, "orders")
     return (
-        cust.join(
+        cust.unionByName(planted)
+        .join(
             orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
         )
         .groupBy("c_nationkey")
@@ -198,8 +205,13 @@ def q_anti_join(spark, sf_dir):
 
 
 ORACLE_ANTI = """
+with cust as (
+  select c_custkey, c_nationkey from customer
+  union all
+  select -c_custkey, c_nationkey from customer where c_custkey <= 5
+)
 select c_nationkey, cast(count(*) as bigint) as n_custs
-from customer where c_custkey not in (select o_custkey from orders)
+from cust where c_custkey not in (select o_custkey from orders)
 group by c_nationkey order by c_nationkey
 """
 
@@ -446,7 +458,15 @@ select o_custkey, o_orderkey from (
 
 
 def q_exact_dedup(spark, sf_dir):
-    return exact_duplicates(_t(spark, sf_dir, "documents")).select(
+    """Exact content-hash dedup. The generated documents are all
+    distinct, so byte-identical copies are PLANTED in-query (every 7th
+    doc re-emitted under doc_id+1000000) — without them the hash check
+    passes vacuously on an empty result."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return exact_duplicates(docs.unionByName(planted)).select(
         "text_hash",
         F.col("dup_count").cast("bigint").alias("dup_count"),
         F.concat_ws(",", "doc_ids").alias("doc_ids"),
@@ -454,9 +474,14 @@ def q_exact_dedup(spark, sf_dir):
 
 
 ORACLE_EXACT_DEDUP = """
+with d as (
+  select doc_id, text from documents
+  union all
+  select doc_id + 1000000, text from documents where doc_id % 7 = 0
+)
 select md5(text) as text_hash, cast(count(*) as bigint) as dup_count,
        array_to_string(list_sort(list(cast(doc_id as varchar))), ',') as doc_ids
-from documents group by md5(text) having count(*) > 1 order by text_hash
+from d group by md5(text) having count(*) > 1 order by text_hash
 """
 
 
@@ -1101,6 +1126,87 @@ order by tot.doc_id
 """
 
 
+def q_dedup_passages_apply(spark, sf_dir):
+    """Passage-REMOVAL corpus transform (operators/dedup.py::
+    remove_duplicate_passages — the Lee-et-al ExactSubstr-style rewrite
+    the profiling query only measures): duplicated 8-token windows keep
+    their global first occurrence (min (doc_id, pos)) and every token
+    covered by any other occurrence is dropped. Same planted-boilerplate
+    idiom as q_dup_passages so the transform has real passages to
+    remove; the DuckDB twin replays the identical md5-window keep-first
+    rule and must reproduce the surviving text byte-for-byte."""
+    from entity_linking_in_biomedical_spark.operators.dedup import (
+        remove_duplicate_passages,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" the quick brown fox jumps over the lazy dog again and again"),
+        ),
+    ).otherwise(F.col("text"))
+    out = remove_duplicate_passages(
+        docs.withColumn("t", planted), text_col="t", window_k=8
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        "cleaned_text",
+    ).orderBy("doc_id")
+
+
+def _oracle_dedup_passages_apply() -> str:
+    toks_t = TOKENS_SQL.format(col="t")
+    return f"""
+with p as (
+  select cast(doc_id as varchar) as doc_id,
+         case when doc_id % 9 = 0 then
+           text || ' the quick brown fox jumps over the lazy dog again and again'
+         else text end as t
+  from documents
+),
+tk as (select doc_id, {toks_t} as toks from p),
+w as (
+  select doc_id, i as pos,
+         md5(array_to_string(list_slice(toks, i, i + 7), ' ')) as w
+  from tk, unnest(generate_series(1, greatest(len(toks) - 7, 0))) as u(i)
+),
+fw as (
+  select doc_id, pos,
+         count(*) over (partition by w) as c,
+         row_number() over (partition by w order by doc_id, pos) as rn
+  from w
+),
+drops as (
+  select distinct doc_id, ti
+  from fw, unnest(generate_series(pos, pos + 7)) as g(ti)
+  where c >= 2 and rn > 1
+),
+tokrows as (
+  select doc_id, i as ti, toks[i] as tok
+  from tk, unnest(generate_series(1, len(toks))) as u(i)
+),
+kept as (
+  select tokrows.doc_id, ti, tok from tokrows
+  anti join drops using (doc_id, ti)
+),
+re as (
+  select doc_id, count(*) as n_kept,
+         string_agg(tok, ' ' order by ti) as cleaned_text
+  from kept group by doc_id
+)
+select tk.doc_id,
+       cast(len(toks) as bigint) as n_tokens,
+       cast(len(toks) - coalesce(re.n_kept, 0) as bigint) as n_removed,
+       coalesce(re.cleaned_text, '') as cleaned_text
+from tk left join re on tk.doc_id = re.doc_id
+order by tk.doc_id
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Train/test n-gram contamination check (the GPT-3/PaLM 13-gram
     decontamination rule, n=8 here so the short synthetic docs produce
@@ -1654,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_stats": q_url_stats,
         "vocab_drift": q_vocab_drift,
         "dup_passages": q_dup_passages,
+        "dedup_passages_apply": q_dedup_passages_apply,
         "filter_funnel": q_filter_funnel,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
@@ -1698,6 +1805,7 @@ def oracle_sql() -> dict[str, str]:
         "url_stats": ORACLE_URL_STATS,
         "vocab_drift": ORACLE_VOCAB_DRIFT,
         "dup_passages": _oracle_dup_passages(),
+        "dedup_passages_apply": _oracle_dedup_passages_apply(),
         "filter_funnel": _oracle_filter_funnel(),
         "ann_brute_force": ORACLE_ANN,
         "ann_lsh": ORACLE_ANN_LSH,

@@ -334,6 +334,97 @@ def embedding_near_duplicates(
     )
 
 
+def remove_duplicate_passages(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_k: int = 8,
+) -> DataFrame:
+    """The passage-removal corpus transform (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    ExactSubstr at k-token-window granularity): every k-token window
+    that occurs more than once in the corpus keeps exactly its FIRST
+    occurrence (global min (doc_id, pos) for that window hash) and
+    every token covered by any other occurrence is dropped; surviving
+    tokens are re-joined in order. Doc-level dedup misses boilerplate
+    shared across otherwise-distinct documents — this is the transform
+    a training-data curation run actually executes.
+
+    -> (doc_id, n_tokens, n_removed, cleaned_text), one row per input
+    doc (docs shorter than ``window_k`` tokens pass through intact).
+
+    Shape at 10^12 docs — linear end to end, no pair explosion:
+      1. window explode: ~one row per token (same as the profiling op);
+      2. duplicated-window detection + global first occurrence: ONE
+         map-side-partial groupBy on the window hash (count + min
+         struct(doc_id, pos) in the same aggregate);
+      3. removal flags: an equi-join back on the hash (only hashes with
+         count >= 2 survive the broadcast-eligible right side filter);
+      4. covered-token positions: a k-wide sequence explode over
+         *removed occurrences only*, then distinct per (doc, position);
+      5. rebuild: token explode, LEFT ANTI join on (doc, position), one
+         groupBy(doc_id) reassembly — the single corpus-wide shuffle a
+         rewrite transform cannot avoid.
+    Positions are 1-based on both engines; the keep-first rule orders
+    (doc_id string asc, pos asc) identically in Spark's struct
+    comparison and the DuckDB twin's ROW_NUMBER, so the surviving text
+    is byte-reproducible cross-engine.
+    """
+    k = window_k
+    toks_e = tokens(text_col)
+    base = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), toks_e.alias("toks")
+    ).localCheckpoint(eager=False)
+    n = F.size("toks")
+    windows = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wdf = base.select(
+        "doc_id", F.posexplode(windows).alias("p", "w")
+    ).select("doc_id", (F.col("p") + 1).alias("pos"), "w")
+    firsts = (
+        wdf.groupBy("w")
+        .agg(F.count("*").alias("c"), F.min(F.struct("doc_id", "pos")).alias("first"))
+        .filter(F.col("c") >= 2)
+        .select("w", "first")
+    )
+    removals = wdf.join(firsts, "w").filter(
+        ~(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("pos") == F.col("first.pos"))
+        )
+    )
+    drops = removals.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("ti")
+    ).dropDuplicates(["doc_id", "ti"])
+    tokrows = base.select("doc_id", F.posexplode("toks").alias("p", "tok")).select(
+        "doc_id", (F.col("p") + 1).alias("ti"), "tok"
+    )
+    kept = tokrows.join(drops, ["doc_id", "ti"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ti", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return base.select("doc_id", F.size("toks").alias("n_tokens")).join(
+        rebuilt, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
 def duplicate_passage_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

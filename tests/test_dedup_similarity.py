@@ -407,3 +407,35 @@ def test_duplicate_passage_stats_planted(spark):
     assert got["a"]["n_windows"] == 17 - 8 + 1
     assert got["c"]["n_dup_windows"] == 0 and got["c"]["dup_ratio"] == 0.0
     assert got["d"]["n_windows"] == 0 and got["d"]["max_dup_run"] == 0
+
+
+def test_remove_duplicate_passages_planted(spark):
+    from entity_linking_in_biomedical_spark.operators.dedup import (
+        remove_duplicate_passages,
+    )
+
+    rows = [
+        # internal repetition: "p q r" repeated 3x; keep-first retains
+        # only the first period, the rest is covered by removed windows
+        ("d0", "p q r p q r p q r"),
+        # cross-doc shared passage: d1 (smaller doc_id) is the global
+        # first occurrence and survives intact; d2 loses the passage
+        ("d1", "one two three four five alpha"),
+        ("d2", "zzz one two three four five beta"),
+        # shorter than the window: passes through untouched
+        ("d3", "tiny doc"),
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_passages(
+            spark.createDataFrame(rows, "doc_id string, text string"), window_k=3
+        ).collect()
+    }
+    assert got["d0"]["cleaned_text"] == "p q r"
+    assert got["d0"]["n_tokens"] == 9 and got["d0"]["n_removed"] == 6
+    assert got["d1"]["cleaned_text"] == "one two three four five alpha"
+    assert got["d1"]["n_removed"] == 0
+    assert got["d2"]["cleaned_text"] == "zzz beta"
+    assert got["d2"]["n_tokens"] == 7 and got["d2"]["n_removed"] == 5
+    assert got["d3"]["cleaned_text"] == "tiny doc"
+    assert got["d3"]["n_removed"] == 0

@@ -73,6 +73,15 @@ def test_query_runs_and_matches_oracle(spark, duck, name):
     assert a == b, f"{name}: value mismatch, e.g. {mismatch}"
 
 
+@pytest.mark.parametrize("name", ["anti_join", "exact_dedup"])
+def test_planted_phenomena_not_vacuous(spark, name):
+    """anti_join and exact_dedup plant their phenomena in-query (round-5
+    fix: both returned 0 rows at the driver's sf, so their hash checks
+    proved only that two engines agree on the empty set). Guard the
+    planting: a 0-row result here means the oracle pass is vacuous."""
+    assert QUERIES[name](spark, SF).count() > 0
+
+
 def test_er_golden_matches_fresh_oracle():
     """Drift guard: the frozen er_golden.py rows must equal a fresh run
     of the single-node pandas oracle (tools/gen_er_golden.py logic). If
