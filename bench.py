@@ -62,9 +62,15 @@ def main() -> None:
         "dup_passages",
     }
 
+    # per-query repeat counts recorded in the output JSON so readers can
+    # tell which entries are min-of-K (noise-resistant) vs single-draw
+    repeats_map: dict[str, int] = {}
+
     def run(name: str, thunk) -> None:
         best = None
-        for _ in range(repeats if name in heavy else 1):
+        k = repeats if name in heavy else 1
+        repeats_map[name] = k
+        for _ in range(k):
             t0 = time.time()
             force(thunk())
             sec = time.time() - t0
@@ -137,6 +143,7 @@ def main() -> None:
         if er_sec is None or sec < er_sec:
             er_sec, er_res = sec, res
     timings["er_pipeline"] = round(er_sec, 3)
+    repeats_map["er_pipeline"] = repeats
     docs_per_sec = round(n_docs / er_sec, 2)
     # per-stage breakdown from the min-total run (eager barriers inside
     # the same run; the remainder vs er_pipeline is the final
@@ -178,6 +185,7 @@ def main() -> None:
             sec = time.time() - t0
             pre_sec = sec if pre_sec is None else min(pre_sec, sec)
         timings["preprocess"] = round(pre_sec, 3)
+        repeats_map["preprocess"] = repeats
         pre_docs_per_sec = round(n_pre / pre_sec, 2)
         print(
             f"  preprocess: {pre_sec:.2f}s ({pre_docs_per_sec} docs/s, {n_pre} docs)",
@@ -198,6 +206,7 @@ def main() -> None:
                     "cpus": cpus,
                     "er_corpus_docs": n_docs,
                     "bench_repeats": repeats,
+                    "repeats": repeats_map,
                 }
             )
         )
@@ -252,6 +261,7 @@ def main() -> None:
                 "preprocess_docs_per_sec": pre_docs_per_sec,
                 "preprocess_corpus_docs": n_pre,
                 "bench_repeats": repeats,
+                "repeats": repeats_map,
             }
         )
     )

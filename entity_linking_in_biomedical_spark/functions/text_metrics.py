@@ -83,12 +83,24 @@ def fingerprint(col: Column | str) -> Column:
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
-    # 16-digit card in 4-4-4-4 groups, dash-separated or bare. Space
-    # separators are deliberately NOT accepted: scientific prose is
-    # full of space-separated 4-digit runs ("1999 2000 2001 2002" year
-    # series, table rows) that a space form would silently destroy;
-    # '.' is excluded so IPv4 octets can never feed it either.
-    ("cc", r"\b[0-9]{4}-?[0-9]{4}-?[0-9]{4}-?[0-9]{4}\b", "<CC>"),
+    # 16-digit card: fully-dashed 4-4-4-4 or fully bare, first digit
+    # restricted to the major-network IIN range 2-6 (Mastercard 2/5,
+    # Amex 3, Visa 4, Discover 6). Space separators are deliberately
+    # NOT accepted: scientific prose is full of space-separated 4-digit
+    # runs ("1999 2000 2001 2002" year series, table rows) that a space
+    # form would silently destroy; '.' is excluded so IPv4 octets can
+    # never feed it; mixed-separator runs (4111-11111111-1111) and
+    # bare 16-digit identifiers outside the IIN range (accession
+    # numbers starting 0/1/7/8/9) survive by construction. Bare
+    # in-range 16-digit runs are still redacted without a Luhn check —
+    # a 16-digit non-card ID starting 2-6 is the residual FP class,
+    # accepted because regexp can't checksum and recall on real cards
+    # matters more here.
+    (
+        "cc",
+        r"\b(?:[2-6][0-9]{3}-[0-9]{4}-[0-9]{4}-[0-9]{4}|[2-6][0-9]{15})\b",
+        "<CC>",
+    ),
     # (212) 555-0147 / (212) 555 0147 — the paren prefix is distinctive
     # enough to allow a space separator in the tail
     ("phone_paren", r"\([0-9]{3}\) ?[0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),

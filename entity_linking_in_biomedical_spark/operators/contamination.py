@@ -46,6 +46,7 @@ def ngram_contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     test_id_col: str = "test_id",
+    broadcast_test: bool = True,
 ) -> DataFrame:
     """Flag (corpus doc, test doc) pairs sharing >= min_overlap distinct
     word n-grams.
@@ -56,7 +57,12 @@ def ngram_contamination(
     The test side is assumed broadcastable (eval sets are); each side's
     grams are de-duplicated per document BEFORE the join so a repeated
     phrase cannot double-count, and grams are joined as xxhash64 longs.
+    ``broadcast_test=False`` drops the broadcast hints for a test side
+    too big for executor memory — the gram join then shuffles BOTH
+    sides on the 8-byte hash, which is the correct (and only) plan in
+    that regime; results are identical.
     """
+    maybe_b = F.broadcast if broadcast_test else (lambda df: df)
     # word_ngrams de-duplicates per document (array_distinct before the
     # explode), so neither side needs a .distinct() — the corpus side
     # reaches the join with zero shuffles
@@ -69,17 +75,67 @@ def ngram_contamination(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
     ).select(id_col, F.xxhash64("gram").alias("g"))
     overlaps = (
-        c_grams.join(F.broadcast(t_grams), "g")
+        c_grams.join(maybe_b(t_grams), "g")
         .groupBy(id_col, test_id_col)
         .agg(F.count("*").alias("n_overlap"))
         .filter(F.col("n_overlap") >= min_overlap)
     )
-    return overlaps.join(F.broadcast(t_sizes), test_id_col).select(
+    return overlaps.join(maybe_b(t_sizes), test_id_col).select(
         id_col,
         test_id_col,
         "n_overlap",
         F.round(F.col("n_overlap") / F.col("n_test_grams"), 6).alias("contamination"),
     )
+
+
+# Broadcast budget for the streaming cross-join form: total distinct
+# test-side gram hashes (8 bytes each + array overhead). 10M longs is
+# ~100 MB broadcast — near the practical executor-memory ceiling; real
+# eval sets (thousands of docs × hundreds of grams) sit 100-1000× below.
+DEFAULT_MAX_BROADCAST_GRAMS = 10_000_000
+
+
+def contamination_foreach_batch(
+    test: DataFrame,
+    sink,
+    n: int = 13,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_id_col: str = "test_id",
+    broadcast_test: bool = False,
+):
+    """The big-eval-set path :func:`stream_contamination` cannot take:
+    a ``foreachBatch`` callback that runs the BATCH operator on each
+    micro-batch, so the test side is never folded into per-row arrays
+    or broadcast-crossed — with ``broadcast_test=False`` (the default
+    here, since this path exists for oversized test sides) the per-batch
+    gram join shuffles both sides on the 8-byte hash.
+
+    ``sink(result_df, batch_id)`` receives each micro-batch's flagged
+    pairs (same schema as the batch operator). Wire it as::
+
+        stream.writeStream.foreachBatch(
+            contamination_foreach_batch(test, sink, n=13)
+        ).start()
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            ngram_contamination(
+                batch_df,
+                test,
+                n=n,
+                min_overlap=min_overlap,
+                id_col=id_col,
+                text_col=text_col,
+                test_id_col=test_id_col,
+                broadcast_test=broadcast_test,
+            ),
+            batch_id,
+        )
+
+    return _apply
 
 
 def stream_contamination(
@@ -90,6 +146,7 @@ def stream_contamination(
     id_col: str = "doc_id",
     text_col: str = "text",
     test_id_col: str = "test_id",
+    max_broadcast_grams: int | None = DEFAULT_MAX_BROADCAST_GRAMS,
 ) -> DataFrame:
     """Online decontamination: flag documents of a STREAMING corpus
     against a static eval set as they arrive, same contract as
@@ -107,7 +164,32 @@ def stream_contamination(
     via ``foreachBatch`` instead (streaming/incremental.py pattern).
 
     Gram hashing is xxhash64, identical to the batch operator, so the
-    two agree exactly on the same inputs (asserted in tests)."""
+    two agree exactly on the same inputs (asserted in tests).
+
+    ``max_broadcast_grams`` bounds the broadcast: the static test side
+    is counted ONCE at stream-construction time (one tiny batch job),
+    and a total distinct-gram count above the budget raises
+    ``ValueError`` naming the ``contamination_foreach_batch`` fallback
+    — instead of silently OOMing executors mid-stream. ``None``
+    disables the guard."""
+    if max_broadcast_grams is not None:
+        total_grams = (
+            test.select(
+                F.size(word_ngrams(F.col(text_col), n)).alias("n_grams")
+            )
+            .agg(F.sum("n_grams").alias("total"))
+            .collect()[0]["total"]
+            or 0
+        )
+        if total_grams > max_broadcast_grams:
+            raise ValueError(
+                f"stream_contamination: test side has {total_grams} distinct "
+                f"grams (> max_broadcast_grams={max_broadcast_grams}); the "
+                "broadcast-cross-join form would risk executor OOM. Use "
+                "contamination_foreach_batch(test, sink, ...) with "
+                "writeStream.foreachBatch to run the shuffling batch operator "
+                "per micro-batch, or raise max_broadcast_grams explicitly."
+            )
     # clamp to >= 1: the batch operator's inner join on gram hash can
     # only produce pairs with at least one shared gram, so min_overlap=0
     # already behaves as 1 there; without the clamp the cross-join form

@@ -86,8 +86,14 @@ class StageStore:
         _, mpath = self._paths(stage)
         if not os.path.exists(mpath):
             return False
-        with open(mpath) as f:
-            m = json.load(f)
+        try:
+            with open(mpath) as f:
+                m = json.load(f)
+        except (OSError, ValueError):
+            # a corrupt/truncated manifest (tampering, partial copy of a
+            # user-supplied out_dir) means the stage is not trustworthy:
+            # treat as uncommitted and recompute, mirroring load()
+            return False
         return m.get("signature") == signature
 
     def load(self, stage: str) -> DataFrame:
@@ -102,7 +108,7 @@ class StageStore:
         try:
             with open(mpath) as f:
                 m = json.load(f)
-        except OSError:
+        except (OSError, ValueError):
             m = {}
         bucket = m.get("bucket")
         if bucket:

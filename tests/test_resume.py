@@ -30,6 +30,23 @@ def test_stage_store_roundtrip(spark, tmp_path):
     assert m["rows"] == 2 and sum(m["partition_rows"].values()) == 2
 
 
+def test_corrupt_manifest_treated_as_uncommitted(spark, tmp_path):
+    """A truncated/corrupt _MANIFEST.json (external tampering, partial
+    copy of a user-supplied out_dir) must read as NOT committed — the
+    stage recomputes instead of the pipeline crashing — and load() must
+    degrade to a plain parquet read of whatever data exists."""
+    store = StageStore(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    sig = stage_signature("s1", {"p": 1}, [])
+    store.commit("s1", sig, df)
+    assert store.committed("s1", sig)
+
+    mpath = tmp_path / "s1" / "_MANIFEST.json"
+    mpath.write_text('{"signature": "tru')  # truncated mid-write
+    assert not store.committed("s1", sig)
+    assert store.load("s1").count() == 2  # data files still readable
+
+
 def test_pipeline_resume_identical_and_skips(spark, corpus, tmp_path):
     docs, ents, _, abbr, _ = corpus.to_spark(spark)
     emb = corpus.embeddings_df(spark)

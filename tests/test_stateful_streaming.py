@@ -208,3 +208,81 @@ def test_stream_contamination_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from contam_stream").collect()
     }
     assert got == want
+
+
+def test_stream_contamination_broadcast_guard(spark, tmp_path):
+    """A test side whose distinct-gram total exceeds the broadcast
+    budget must raise at stream-construction time (not OOM mid-stream),
+    and the error must name the foreachBatch fallback."""
+    import pytest
+
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        stream_contamination,
+    )
+
+    test = spark.createDataFrame(
+        [("eval1", " ".join(f"w{i}" for i in range(40)))],
+        "test_id string, text string",
+    )
+    src = str(tmp_path / "guard_src")
+    spark.createDataFrame(
+        [("c1", "some text")], "doc_id string, text string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id string, text string").parquet(src)
+
+    # 40 tokens, n=8 -> 33 distinct grams; budget of 10 trips the guard
+    with pytest.raises(ValueError, match="contamination_foreach_batch"):
+        stream_contamination(stream, test, n=8, max_broadcast_grams=10)
+
+    # same budget, guard disabled: construction succeeds
+    stream_contamination(stream, test, n=8, max_broadcast_grams=None)
+
+
+def test_contamination_foreach_batch_matches_batch(spark, tmp_path):
+    """The foreachBatch fallback (shuffling batch operator per
+    micro-batch, no broadcast) agrees exactly with the batch operator
+    over all micro-batches of a real streaming query."""
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        contamination_foreach_batch,
+        ngram_contamination,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus_rows = [
+        ("c1", f"intro words {base} trailing text one"),
+        ("c2", "totally different content with no shared grams at all here"),
+        ("c3", f"{base} {base}"),
+    ]
+    test_rows = [
+        ("eval1", base),
+        ("eval2", "nothing matches this evaluation document words"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id string, text string")
+    test = spark.createDataFrame(test_rows, "test_id string, text string")
+
+    want = {
+        (r["doc_id"], r["test_id"]): (r["n_overlap"], r["contamination"])
+        for r in ngram_contamination(corpus, test, n=8).collect()
+    }
+    assert want
+
+    src = str(tmp_path / "fb_src")
+    corpus.write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+
+    got = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            got[(r["doc_id"], r["test_id"])] = (r["n_overlap"], r["contamination"])
+
+    q = (
+        stream.writeStream.foreachBatch(
+            contamination_foreach_batch(test, sink, n=8)
+        )
+        .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == want

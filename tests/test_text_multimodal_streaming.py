@@ -127,6 +127,32 @@ def test_pii_redact_cc_and_phone_forms(spark):
     assert (got[4]["nc"], got[4]["npp"], got[4]["np"]) == (0, 0, 0)
 
 
+def test_pii_cc_false_positive_classes_survive(spark):
+    """Non-card 16-digit runs must survive redaction: bare identifiers
+    outside the 2-6 IIN range (sequence accessions, sample IDs) and
+    mixed-separator digit runs. In-range forms must still redact."""
+    df = spark.createDataFrame(
+        [
+            # bare 16-digit accession starting with 1: NOT a card IIN
+            ("run 1000000123456789 archived",),
+            # bare 16-digit id starting with 9: NOT a card IIN
+            ("sample 9876543210987654 stored",),
+            # mixed separators: not a consistent card form
+            ("odd 4111-11111111-1111 run",),
+            # in-range dashed and bare forms still redact
+            ("mc 5500-0000-0000-0004 and visa 4111111111110042",),
+        ],
+        "t string",
+    )
+    got = df.select(
+        pii_redact("t").alias("red"), pii_count("t", "cc").alias("nc")
+    ).collect()
+    assert got[0]["red"] == "run 1000000123456789 archived" and got[0]["nc"] == 0
+    assert got[1]["red"] == "sample 9876543210987654 stored" and got[1]["nc"] == 0
+    assert got[2]["red"] == "odd 4111-11111111-1111 run" and got[2]["nc"] == 0
+    assert got[3]["red"] == "mc <CC> and visa <CC>" and got[3]["nc"] == 2
+
+
 def test_repetition_metrics(spark):
     df = spark.createDataFrame(
         [
@@ -165,7 +191,11 @@ def test_top_token_ratio_adversarial_doc_bounded(spark):
     df = spark.createDataFrame([(text,)], "t string")
     t0 = time.time()
     got = df.select(top_token_ratio("t").alias("tt")).collect()[0]["tt"]
-    assert time.time() - t0 < 60  # bounded; old form did not return
+    # smoke threshold only (host-speed dependent): the old O(u·n) form
+    # effectively never returned on this input, so any completion well
+    # under an O(u·n) timescale plus the exactness assert distinguishes
+    # the implementations; generous bound to avoid flaking on loaded CI
+    assert time.time() - t0 < 300
     assert got == pytest.approx(0.5)
 
 
