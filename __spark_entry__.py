@@ -1236,8 +1236,10 @@ def q_contamination(spark, sf_dir):
 # distinct 8-grams, >= 2 overlap rule. Grams compare as exact strings
 # here vs xxhash64 longs in Spark — agreement also certifies the hash
 # join is collision-free on this data.
-ORACLE_CONTAMINATION = f"""
-with tok as (
+# shared CTE chain: planted test set -> per-side distinct 8-grams ->
+# flagged (doc, test) overlaps; consumed by the detection oracle AND
+# the removal-transform oracle below
+_CONTAM_CTES = f"""tok as (
   select doc_id, {_TOKS} as l from documents
 ), t as (
   select 't' || cast(doc_id as varchar) as test_id,
@@ -1259,11 +1261,174 @@ with tok as (
   select cg.doc_id, tg.test_id, count(*) as n_overlap
   from cg join tg using (gram)
   group by 1, 2 having count(*) >= 2
-)
+)"""
+
+ORACLE_CONTAMINATION = f"""
+with {_CONTAM_CTES}
 select ov.doc_id, ov.test_id, n_overlap,
        round(cast(n_overlap as double) / n_test_grams, 6) as contamination
 from ov join ts using (test_id)
 order by doc_id, test_id
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """The removal transform over the contamination check: the corpus
+    minus every doc flagged against the planted eval set (same test
+    construction as `contamination`) — one left-anti join on doc id,
+    corpus-side plan unchanged (test grams broadcast, single scan)."""
+    from entity_linking_in_biomedical_spark.functions.text_metrics import tokens
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    test = docs.filter((F.col("doc_id") % 7) == 0).select(
+        F.concat(F.lit("t"), F.col("doc_id")).alias("test_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 4, 20)).alias("text"),
+    )
+    return (
+        decontaminate(docs.select("doc_id", "text", "n_chars"), test, n=8, min_overlap=2)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+with {_CONTAM_CTES}
+select doc_id, n_chars from documents
+where doc_id not in (select doc_id from ov)
+order by doc_id
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering + canonical selection: MinHash/LSH pairs ->
+    transitive closure -> keep-min canonical per cluster, one row per
+    input doc. The transform that "dedup the corpus" actually means —
+    pairwise flags under-remove on non-transitive chains. Oracle:
+    the minhash-pair twin + recursive-CTE min-label closure over ALL
+    docs (singletons label themselves)."""
+    from entity_linking_in_biomedical_spark.operators.dedup import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        near_dup_clusters(docs, jaccard_threshold=0.5)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "dup_cluster_id",
+            F.col("is_canonical").cast("bigint").alias("is_canonical"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_dedup_clusters(thr=0.5) -> str:
+    inner = _oracle_minhash_dedup(thr=thr)
+    return f"""
+with recursive pairs as ({inner}),
+und as (
+  select a_id as a, b_id as b from pairs
+  union all select b_id as a, a_id as b from pairs
+),
+cc(n, m) as (
+  select a, a from und
+  union
+  select und.b, cc.m from cc join und on und.a = cc.n where cc.m < und.b
+),
+lbl as (select n, min(m) as cluster_id from cc group by n),
+alln as (select cast(doc_id as varchar) as n from documents),
+asg as (
+  select alln.n, coalesce(lbl.cluster_id, alln.n) as cluster_id
+  from alln left join lbl on lbl.n = alln.n
+),
+sizes as (
+  select cluster_id, cast(count(*) as bigint) as cluster_size
+  from asg group by cluster_id
+)
+select cast(asg.n as bigint) as doc_id, asg.cluster_id as dup_cluster_id,
+       cast(asg.n = asg.cluster_id as bigint) as is_canonical,
+       sizes.cluster_size
+from asg join sizes using (cluster_id)
+order by doc_id
+"""
+
+
+# mixture for the stratified-sample query: covers a fractional rate, a
+# coarse rate, a keep-all stratum (predicate folds to true), a heavy
+# down-sample, and an UNLISTED stratum (fr) that must be dropped
+_MIX_RATES = {"en": 0.5, "es": 0.25, "de": 1.0, "zh": 0.1}
+_MIX_SEED = "mix"
+_SPLIT_FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SEED = "split"
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic domain-mixture sampling (operators/sampling.py):
+    per-stratum Bernoulli keep via md5 hex threshold — membership is a
+    pure function of (seed, doc_id), so the DuckDB twin replaying the
+    same md5 rule selects the identical rows."""
+    from entity_linking_in_biomedical_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, _MIX_RATES, stratum_col="lang", seed=_MIX_SEED)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_stratified_sample() -> str:
+    from entity_linking_in_biomedical_spark.operators.sampling import rate_threshold
+
+    def clause(stratum: str, rate: float) -> str:
+        if rate >= 1.0:
+            return f"(lang = '{stratum}')"
+        return (
+            f"(lang = '{stratum}' and "
+            f"substr(md5('{_MIX_SEED}:' || cast(doc_id as varchar)), 1, 12)"
+            f" < '{rate_threshold(rate)}')"
+        )
+
+    preds = "\n   or ".join(clause(s, r) for s, r in _MIX_RATES.items())
+    return f"""
+select doc_id, lang from documents
+where {preds}
+order by doc_id
+"""
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic doc-level train/val/test assignment: the md5 hash
+    line cut at cumulative fractions — leakage-safe (all derivatives of
+    a doc land in one split) and retry/engine-stable, unlike
+    randomSplit whose draw depends on partition layout."""
+    from entity_linking_in_biomedical_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, _SPLIT_FRACS, seed=_SPLIT_SEED)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_hash_split() -> str:
+    from entity_linking_in_biomedical_spark.operators.sampling import rate_threshold
+
+    h = f"substr(md5('{_SPLIT_SEED}:' || cast(doc_id as varchar)), 1, 12)"
+    names = list(_SPLIT_FRACS)
+    whens, cum = [], 0.0
+    for name in names[:-1]:
+        cum += _SPLIT_FRACS[name]
+        whens.append(f"when {h} < '{rate_threshold(cum)}' then '{name}'")
+    case = "case " + " ".join(whens) + f" else '{names[-1]}' end"
+    return f"""
+select doc_id, {case} as split from documents
+order by doc_id
 """
 
 
@@ -1756,6 +1921,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
         "contamination": q_contamination,
+        "decontaminate": q_decontaminate,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "hash_split": q_hash_split,
         "corpus_stats": q_corpus_stats,
         "url_stats": q_url_stats,
         "vocab_drift": q_vocab_drift,
@@ -1801,6 +1970,10 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _oracle_pii_redact(),
         "repetition": ORACLE_REPETITION,
         "contamination": ORACLE_CONTAMINATION,
+        "decontaminate": ORACLE_DECONTAMINATE,
+        "dedup_clusters": _oracle_dedup_clusters(),
+        "stratified_sample": _oracle_stratified_sample(),
+        "hash_split": _oracle_hash_split(),
         "corpus_stats": ORACLE_CORPUS_STATS,
         "url_stats": ORACLE_URL_STATS,
         "vocab_drift": ORACLE_VOCAB_DRIFT,

@@ -56,10 +56,12 @@ def main() -> None:
     heavy = {
         "ngram_jaccard",
         "doc_clusters_cc",
+        "dedup_clusters",
         "repetition",
         "embedding_dedup",
         "contamination",
         "dup_passages",
+        "dedup_passages_apply",
     }
 
     # per-query repeat counts recorded in the output JSON so readers can
@@ -223,8 +225,10 @@ def main() -> None:
         "fingerprint_dedup",
         "minhash_dedup",
         "dup_passages",
+        "dedup_passages_apply",
         "ngram_jaccard",
         "doc_clusters_cc",
+        "dedup_clusters",
         "simhash_dedup",
         "lang_id",
         "token_count",
@@ -233,6 +237,9 @@ def main() -> None:
         "pii_redact",
         "repetition",
         "contamination",
+        "decontaminate",
+        "stratified_sample",
+        "hash_split",
         "corpus_stats",
         "url_stats",
         "vocab_drift",

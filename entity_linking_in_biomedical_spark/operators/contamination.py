@@ -88,6 +88,37 @@ def ngram_contamination(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    test: DataFrame,
+    n: int = 13,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    test_id_col: str = "test_id",
+) -> DataFrame:
+    """The removal transform over :func:`ngram_contamination`: the
+    corpus minus every document flagged against ANY test doc — what a
+    decontamination pass actually ships (GPT-3 appendix C drops the
+    overlapping training documents, not just reports them).
+
+    One left-anti join on doc id against the flagged set; the flag
+    computation keeps the batch operator's shape (test grams broadcast,
+    zero corpus-side pre-join shuffles), so the whole transform is a
+    single corpus scan + map-side join + the bounded flag aggregation.
+    """
+    flagged = ngram_contamination(
+        corpus,
+        test,
+        n=n,
+        min_overlap=min_overlap,
+        id_col=id_col,
+        text_col=text_col,
+        test_id_col=test_id_col,
+    ).select(id_col).distinct()
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 # Broadcast budget for the streaming cross-join form: total distinct
 # test-side gram hashes (8 bytes each + array overhead). 10M longs is
 # ~100 MB broadcast — near the practical executor-memory ceiling; real

@@ -496,3 +496,76 @@ def duplicate_passage_stats(
             F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run"),
         )
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = MINHASH_DEDUP_NUM_HASHES,
+    bands: int = MINHASH_DEDUP_BANDS,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = MINHASH_DEDUP_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup CLUSTERING + canonical selection: the corpus transform
+    that follows pair detection in a curation run. MinHash/LSH pairs
+    (:func:`minhash_near_duplicates`) -> transitive closure (connected
+    components, operators/clustering.py window form) -> keep-min
+    canonical per cluster. Pairwise flags alone under-remove: if A~B
+    and B~C but A!~C, dropping one side of each pair can still keep
+    two of {A,B,C}; the closure + one-canonical-per-cluster rule is
+    what "dedup the corpus" actually means (Lee et al. 2022 §4 apply
+    the same transitive grouping before removal).
+
+    -> one row per INPUT doc: (doc_id string, dup_cluster_id string,
+    is_canonical, cluster_size). Docs in no pair are their own
+    singleton cluster. Filtering is_canonical gives the cleaned corpus.
+
+    Scale shape: pair generation is the bucketed LSH op (capped
+    buckets, id-only joins); CC runs on the pair graph only —
+    |near-dup edges|, typically orders below |corpus| — with isolated
+    docs attached by one anti-join, never entering the iteration.
+    Cluster ids are lexicographic-min over the string doc ids
+    (consistent across engines; numeric order is NOT implied).
+    """
+    pairs = minhash_near_duplicates(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        num_hashes=num_hashes,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket=max_bucket,
+    )
+    from .clustering import connected_components
+
+    edges = pairs.select(
+        F.col("a_id").cast("string").alias("src"),
+        F.col("b_id").cast("string").alias("dst"),
+    )
+    nodes = docs.select(F.col(id_col).cast("string").alias("node"))
+    assign, _ = connected_components(edges, nodes=nodes)
+    sizes = assign.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return assign.join(sizes, "cluster_id").select(
+        F.col("node").alias("doc_id"),
+        F.col("cluster_id").alias("dup_cluster_id"),
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+        "cluster_size",
+    )
+
+
+def drop_near_duplicates(docs: DataFrame, id_col: str = "doc_id", **kw) -> DataFrame:
+    """Cleaned corpus: only each near-dup cluster's canonical doc
+    survives (keep-min rule over :func:`near_dup_clusters`)."""
+    keep = (
+        near_dup_clusters(docs, id_col=id_col, **kw)
+        .filter("is_canonical")
+        .select(F.col("doc_id").alias("__keep_id"))
+    )
+    return docs.join(
+        keep, docs[id_col].cast("string") == F.col("__keep_id"), "left_semi"
+    )

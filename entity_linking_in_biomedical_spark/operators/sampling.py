@@ -1,0 +1,100 @@
+"""Deterministic corpus sampling: the domain/language mixture and
+train/val/test split steps of a training-data pipeline.
+
+Membership is a pure function of (seed, key) — the first 12 hex chars
+of ``md5(seed || ':' || key)`` compared against a rate-derived hex
+threshold — NOT Spark's ``sample()``/``randomSplit()``, whose draws
+depend on partition layout and task retries. At 100 TB this matters
+three ways:
+
+- one codegen'd filter on the scan, no shuffle, no RNG state;
+- a resumed/retried run (or a different engine replaying the rule —
+  the DuckDB oracle does) selects byte-identical rows;
+- fixed-width lowercase-hex string comparison equals numeric
+  comparison, so the rule is expressible in any engine with md5().
+
+The mixture itself (per-stratum keep rates) is the knob a curation run
+turns to hit a target domain/language composition (the Pile/DoReMi
+reweighting step); the split operator is the standard leakage-safe
+doc-level train/val/test assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 12 hex chars = 48 bits of the md5: rate granularity 2^-48 (~3.6e-15),
+# far below any meaningful sampling-rate precision, while staying well
+# inside exact float/int arithmetic for the threshold computation.
+HEX_W = 16**12
+
+
+def rate_threshold(rate: float) -> str:
+    """Lowercase 12-hex threshold t such that P[hash12 < t] == rate
+    (up to 2^-48). Caller handles rate<=0 / rate>=1 short-circuits."""
+    if not 0.0 < rate < 1.0:
+        raise ValueError(f"rate must be in (0,1) for a threshold, got {rate}")
+    return format(int(rate * HEX_W), "012x")
+
+
+def _hash12(key: Column, seed: str) -> Column:
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(seed), key.cast("string"))), 1, 12
+    )
+
+
+def hash_bernoulli(key: Column, rate: float, seed: str = "") -> Column:
+    """Boolean keep-predicate: deterministic Bernoulli(rate) on the key."""
+    if rate <= 0.0:
+        return F.lit(False)
+    if rate >= 1.0:
+        return F.lit(True)
+    return _hash12(key, seed) < F.lit(rate_threshold(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample — rows of strata not
+    named in ``rates`` are dropped (the mixture is explicit: an unlisted
+    domain silently kept at rate 1.0 would corrupt the composition).
+    Plans as a single codegen'd CASE filter on the scan."""
+    pred: Column = F.lit(False)
+    s = F.col(stratum_col)
+    for stratum, rate in rates.items():
+        pred = F.when(s == stratum, hash_bernoulli(F.col(key_col), rate, seed)).otherwise(pred)
+    return df.filter(pred)
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic doc-level train/val/test assignment: the hash line
+    [0,1) is cut at the cumulative fractions, in the dict's order; the
+    last named split absorbs any remainder so every row is assigned.
+    Doc-level hashing (not row/shard-level) is what prevents split
+    leakage of near-identical rows derived from one document."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    h = _hash12(F.col(key_col), seed)
+    names = list(fractions)
+    expr: Column = F.lit(names[-1])  # remainder -> last split
+    cum = 0.0
+    # build the CASE from the last boundary backwards so earlier splits
+    # take precedence: when h < t1 then s1 when h < t2 then s2 ... else last
+    boundaries: list[tuple[str, str]] = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        boundaries.append((name, rate_threshold(min(cum, 1.0 - 2**-48))))
+    for name, thr in reversed(boundaries):
+        expr = F.when(h < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

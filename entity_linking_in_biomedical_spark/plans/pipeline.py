@@ -139,7 +139,13 @@ def run_pipeline(
     names = entity_names(entities)
 
     # the surface keying frame is shared by blocking (stage 2) and the
-    # mention-mention channel (stage 3b) — one keying pass for the job
+    # mention-mention channel (stage 3b) — one keying pass for the job.
+    # Single evaluation is STRUCTURAL, not best-effort: the lazy
+    # localCheckpoint inside surface_blocking_keys truncates the lineage
+    # to one shared RDD at construction, so this lambda closing over it
+    # and compute_mm's three references (hot cap + both self-join sides)
+    # all plan as Scan ExistingRDD — verified by
+    # test_plans.py::test_surface_keys_shared_frame_single_evaluated
     surf_keys = surface_blocking_keys(
         mentions,
         ns=cfg.block_ngrams,

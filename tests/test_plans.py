@@ -153,3 +153,39 @@ def test_filter_funnel_single_scan_single_aggregate(spark):
         l for l in plan.splitlines() if "Scan parquet" in l and "+-" in l
     ]
     assert len(tree_scans) == 1
+
+
+def test_surface_keys_shared_frame_single_evaluated(spark, corpus):
+    """The surf_keys frame shared by the blocking join (stage 2) and the
+    mention-mention self-join (stage 3b) must be computed ONCE per job:
+    surface_blocking_keys ends in a lazy localCheckpoint, which truncates
+    the lineage to a shared RDD at construction time — so every consumer
+    plans as 'Scan ExistingRDD' and the keying projection (md5 minhash
+    explode, the stage's most expensive expression) structurally cannot
+    be re-derived by the candidates stage, the mm hot-key cap, or either
+    side of the mm self-join."""
+    from entity_linking_in_biomedical_spark.operators.blocking import (
+        surface_blocking_keys,
+    )
+    from entity_linking_in_biomedical_spark.operators.mentions import extract_mentions
+
+    docs, *_ = corpus.to_spark(spark)
+    surf_keys = surface_blocking_keys(extract_mentions(docs))
+
+    # the frame itself: lineage already truncated, no explode/md5 left
+    own = plan_of(surf_keys)
+    assert "ExistingRDD" in own
+    assert "explode" not in own.lower() and "md5" not in own.lower()
+
+    # an mm-shaped consumer (hot-key cap + self-join on bk): both sides
+    # and the cap read the checkpointed RDD, nothing re-keys
+    hot = surf_keys.groupBy("bk").count().filter(F.col("count") > 64).select("bk")
+    pairs = (
+        surf_keys.join(F.broadcast(hot), "bk", "left_anti")
+        .alias("x")
+        .join(surf_keys.alias("y"), "bk")
+        .filter(F.col("x.norm") < F.col("y.norm"))
+    )
+    consumer = plan_of(pairs)
+    assert "ExistingRDD" in consumer
+    assert "explode" not in consumer.lower() and "md5" not in consumer.lower()

@@ -1,0 +1,157 @@
+"""Deterministic sampling / splitting operators (operators/sampling.py)
+and the near-dup cluster + decontamination corpus transforms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_linking_in_biomedical_spark.operators.sampling import (
+    hash_bernoulli,
+    hash_split,
+    rate_threshold,
+    stratified_sample,
+)
+
+
+def test_rate_threshold_monotone_and_bounds():
+    assert rate_threshold(0.5) == "800000000000"
+    assert rate_threshold(0.25) < rate_threshold(0.5) < rate_threshold(0.9)
+    assert len(rate_threshold(0.001)) == 12
+    for bad in (0.0, 1.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            rate_threshold(bad)
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "es")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    rates = {"en": 0.5, "es": 1.0}  # fr unlisted -> dropped entirely
+    s1 = stratified_sample(docs, rates)
+    s2 = stratified_sample(docs, rates)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    ids2 = sorted(r["doc_id"] for r in s2.collect())
+    assert ids1 == ids2, "membership must be a pure function of the key"
+
+    by_lang = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "fr" not in by_lang
+    assert by_lang["es"] == 667  # rate 1.0 keeps every es row
+    # rate 0.5 over 667 en rows: binomial, expect ~334 +/- 5 sigma
+    assert 250 <= by_lang.get("en", 0) <= 420
+
+    # rate 0 drops the stratum completely
+    none = stratified_sample(docs, {"en": 0.0})
+    assert none.count() == 0
+
+
+def test_hash_bernoulli_rate_accuracy(spark):
+    df = spark.range(20000)
+    kept = df.filter(hash_bernoulli(F.col("id"), 0.1, seed="t")).count()
+    assert 1700 <= kept <= 2300  # 2000 expected, +/- ~7 sigma
+
+
+def test_hash_split_partition_properties(spark):
+    docs = spark.range(5000).select(F.col("id").alias("doc_id"))
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # total coverage, no row unassigned
+    assert sum(counts.values()) == 5000
+    assert set(counts) == {"train", "val", "test"}
+    assert 3800 <= counts["train"] <= 4200
+    assert 380 <= counts["val"] <= 620 and 380 <= counts["test"] <= 620
+
+    # deterministic: identical assignment on re-run
+    again = {r["doc_id"]: r["split"] for r in hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_sampling_plans_stay_jvm_side(spark):
+    """Both operators must plan as a single codegen'd filter/project on
+    the scan: no Python eval, no shuffle, no extra scan."""
+    import contextlib
+    import io
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    for df in (
+        stratified_sample(docs, {"en": 0.5}),
+        hash_split(docs, {"train": 0.9, "test": 0.1}),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "EvalPython" not in plan
+        assert "Exchange" not in plan
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    """A~B and B~C (but A,C still similar enough here) must land in ONE
+    cluster with the min id canonical; unrelated docs stay singletons;
+    drop_near_duplicates keeps exactly the canonicals."""
+    from entity_linking_in_biomedical_spark.operators.dedup import (
+        drop_near_duplicates,
+        near_dup_clusters,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    variant1 = base.replace("tok7", "changed7")
+    variant2 = base.replace("tok7", "changed7").replace("tok13", "changed13")
+    rows = [
+        (1, base),
+        (2, variant1),
+        (3, variant2),
+        (4, " ".join(f"other{i}" for i in range(40))),
+        (5, "completely different tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: (r["dup_cluster_id"], r["is_canonical"], r["cluster_size"])
+        for r in near_dup_clusters(docs, jaccard_threshold=0.5).collect()
+    }
+    assert len(out) == 5, "one row per input doc"
+    assert out["1"] == ("1", True, 3)
+    assert out["2"] == ("1", False, 3)
+    assert out["3"] == ("1", False, 3)
+    assert out["4"] == ("4", True, 1)
+    assert out["5"] == ("5", True, 1)
+
+    survivors = sorted(
+        r["doc_id"] for r in drop_near_duplicates(docs, jaccard_threshold=0.5).collect()
+    )
+    assert survivors == [1, 4, 5]
+
+
+def test_decontaminate_removes_flagged_docs(spark):
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        decontaminate,
+        ngram_contamination,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [
+            ("c1", f"prefix {base} suffix"),
+            ("c2", "unrelated content having zero overlapping grams whatsoever"),
+            ("c3", f"{base} again"),
+        ],
+        "doc_id string, text string",
+    )
+    test = spark.createDataFrame([("e1", base)], "test_id string, text string")
+
+    flagged = {
+        r["doc_id"] for r in ngram_contamination(corpus, test, n=8).collect()
+    }
+    assert flagged, "planted overlap must flag"
+    clean = {r["doc_id"] for r in decontaminate(corpus, test, n=8).collect()}
+    assert clean == {"c1", "c2", "c3"} - flagged
