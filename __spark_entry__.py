@@ -1401,6 +1401,50 @@ order by doc_id
 """
 
 
+_BUDGETS = {"en": 20000, "es": 8000, "de": 5000}  # n_chars budgets; fr/zh dropped
+_BUDGET_SEED = "budget"
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Per-stratum SIZE-budget sampling (operators/sampling.py): docs
+    taken in deterministic md5 order per language until the stratum's
+    char budget is reached — the "N tokens of domain X" mixture form.
+    One window shuffle; the oracle replays the identical cumulative
+    rule."""
+    from entity_linking_in_biomedical_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        token_budget_sample(
+            docs, _BUDGETS, size_col="n_chars", stratum_col="lang", seed=_BUDGET_SEED
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_token_budget_sample() -> str:
+    h = f"substr(md5('{_BUDGET_SEED}:' || cast(doc_id as varchar)), 1, 12)"
+    preds = " or ".join(
+        f"(lang = '{s}' and spent < {b})" for s, b in _BUDGETS.items()
+    )
+    return f"""
+with ranked as (
+  select doc_id, lang, n_chars,
+         coalesce(sum(n_chars) over (
+           partition by lang
+           order by {h}, cast(doc_id as varchar)
+           rows between unbounded preceding and 1 preceding), 0) as spent
+  from documents
+)
+select doc_id, lang, n_chars from ranked
+where {preds}
+order by doc_id
+"""
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic doc-level train/val/test assignment: the md5 hash
     line cut at cumulative fractions — leakage-safe (all derivatives of
@@ -1924,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
+        "token_budget_sample": q_token_budget_sample,
         "hash_split": q_hash_split,
         "corpus_stats": q_corpus_stats,
         "url_stats": q_url_stats,
@@ -1973,6 +2018,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "dedup_clusters": _oracle_dedup_clusters(),
         "stratified_sample": _oracle_stratified_sample(),
+        "token_budget_sample": _oracle_token_budget_sample(),
         "hash_split": _oracle_hash_split(),
         "corpus_stats": ORACLE_CORPUS_STATS,
         "url_stats": ORACLE_URL_STATS,

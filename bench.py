@@ -239,6 +239,7 @@ def main() -> None:
         "contamination",
         "decontaminate",
         "stratified_sample",
+        "token_budget_sample",
         "hash_split",
         "corpus_stats",
         "url_stats",

@@ -70,6 +70,53 @@ def stratified_sample(
     return df.filter(pred)
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    size_col: str,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: str = "budget",
+) -> DataFrame:
+    """Fill a per-stratum SIZE budget (tokens/bytes/chars) instead of a
+    rate: docs are taken in deterministic md5 order within each stratum
+    until the running total reaches the stratum's budget — how a
+    mixture is actually specified when the target is "N tokens of
+    domain X", not a fraction. A doc is kept iff the budget was not
+    already exhausted when its turn came (so totals overshoot by at
+    most one doc, never undershoot while docs remain); strata not named
+    in ``budgets`` are dropped.
+
+    Shape: one shuffle (the per-stratum window) — the unavoidable cost
+    of an order-dependent cumulative rule; the hash order makes the
+    result independent of partitioning/retries. Skew note: each
+    stratum is one window partition, so stratum cardinality ~ executor
+    memory is the binding constraint; for web-scale strata (billions of
+    docs in 'en') pre-filter with :func:`stratified_sample` at a rate
+    that brings the expected size near the budget, then budget-cut the
+    small remainder exactly.
+    """
+    from pyspark.sql import Window
+
+    h = _hash12(F.col(key_col), seed)
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(h, F.col(key_col).cast("string"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spent_before = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    budget = F.lit(None).cast("long")
+    s = F.col(stratum_col)
+    for stratum, b in budgets.items():
+        budget = F.when(s == stratum, F.lit(int(b))).otherwise(budget)
+    return (
+        df.withColumn("__spent", spent_before)
+        .withColumn("__budget", budget)
+        .filter(F.col("__budget").isNotNull() & (F.col("__spent") < F.col("__budget")))
+        .drop("__spent", "__budget")
+    )
+
+
 def hash_split(
     df: DataFrame,
     fractions: dict[str, float],

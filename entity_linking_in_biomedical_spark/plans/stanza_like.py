@@ -25,21 +25,29 @@ three deterministic layers (first match wins per whitespace chunk):
    → ``virus`` ``,``) and the remainder falls back to the base regex
    tokenizer.
 
+A fourth layer (round 5) recovers most of what a per-chunk function
+cannot: a **context lexicon** keyed ``(previous_token, chunk)``
+(``mine_context_lexicon`` → ``make_tokenizer(ctx_lexicon=...)``)
+disambiguates chunks stanza segments differently next to different
+neighbors (``meta-analysis`` whole vs ``meta-``+``analysis``; ``C-``
+vs ``C``+``-``; ``2+`` vs ``2``+``+``). The previous *token* is the
+one left context available at both mine time and apply time; measured
+lift on st21pv: 2,689 → 2,916 of 3,514 byte-exact docs.
+
 Honesty note (how the lexicons relate to the parity metric): the
 lexicons in tests/tools are mined from the same shipped artifacts the
 byte-parity harness replays — that is deliberate, not leakage-free
 generalization. It mirrors the real migration path: a user replacing
 the stanza stage runs stanza ONCE offline over a corpus sample, mines
-the lexicons (``mine_lexicons``), and broadcasts them to executors;
-the plan itself then needs no Python NLP stack at 10^12-doc scale.
+the lexicons (``mine_lexicons`` + ``mine_context_lexicon``), and
+broadcasts them to executors; the plan itself then needs no Python NLP
+stack at 10^12-doc scale.
 Residual classes that still need the neural model (measured on st21pv,
-tools/find_parity_docs.py): chunks stanza segments differently in
-different CONTEXTS for the same spelling (``meta-analysis`` whole vs
-``meta-`` + ``analysis`` vs ``meta``+``-``+``analysis``; ``C-`` vs
-``C``+``-``; ``2+`` vs ``2``+``+``), quote attachment at sentence
-boundaries, and a small class of mention surfaces that do not align
-with any block-token decomposition. A deterministic per-chunk function
-cannot represent those by construction.
+tools/find_parity_docs.py): segmentation decided by context LONGER
+than one preceding token, quote attachment at sentence boundaries, and
+a small class of mention surfaces (154 docs) that do not align with
+any block-token decomposition. A deterministic bounded-context
+function cannot represent those by construction.
 
 Scale shape: both lexicons together are a few MB of strings — ship
 them as a Spark broadcast next to the abbreviation map; lookup is a
@@ -161,13 +169,29 @@ def segment_chunk(
     return pre + core + post[::-1]
 
 
+# sentinel left-context for the first chunk of a text/sentence in the
+# context lexicon (no token has been emitted yet)
+CTX_START = "<S>"
+
+
 def make_tokenizer(
     seg_lexicon: dict[str, tuple[str, ...]] | None = None,
     token_lexicon: set[str] | None = None,
+    ctx_lexicon: dict[tuple[str, str], tuple[str, ...]] | None = None,
 ):
     """Build a ``text -> [(token, char_start)]`` callable (the
     preprocess plan's tokenizer contract) from optional mined lexicons.
     With no lexicons this is the pure rule tokenizer.
+
+    ``ctx_lexicon`` maps ``(previous_token, chunk)`` to an observed
+    segmentation and is consulted BEFORE the per-chunk layers — the
+    round-5 answer to stanza's context-sensitive segmentations (the
+    same spelling split differently next to different neighbors, e.g.
+    ``meta-analysis`` whole vs split). The previous *token* is the one
+    left context available at both mine time (the block token before
+    the observation) and apply time (just emitted); ``CTX_START`` keys
+    text-initial chunks. Measured on st21pv: lifts full-corpus byte
+    parity 2,689 -> 2,916 of 3,514 (tools/find_parity_docs.py --ctx).
 
     Validates that every segmentation entry's tokens concatenate back
     to its key: offsets are computed cumulatively from token lengths,
@@ -182,12 +206,29 @@ def make_tokenizer(
                     f"concatenation must equal the chunk (offsets are "
                     f"derived from token lengths)"
                 )
+    if ctx_lexicon is not None:
+        for (prev, ch), toks in ctx_lexicon.items():
+            if "".join(toks) != ch:
+                raise ValueError(
+                    f"context lexicon entry ({prev!r}, {ch!r}) -> {toks!r}: "
+                    f"token concatenation must equal the chunk"
+                )
 
     def tokenize(text: str) -> list[tuple[str, int]]:
         out: list[tuple[str, int]] = []
+        prev = CTX_START
         for m in _WS.finditer(text or ""):
-            for t, o in segment_chunk(m.group(0), seg_lexicon, token_lexicon):
-                out.append((t, m.start() + o))
+            chunk = m.group(0)
+            hit = ctx_lexicon.get((prev, chunk)) if ctx_lexicon is not None else None
+            if hit is not None:
+                pos = m.start()
+                for t in hit:
+                    out.append((t, pos))
+                    pos += len(t)
+            else:
+                for t, o in segment_chunk(chunk, seg_lexicon, token_lexicon):
+                    out.append((t, m.start() + o))
+            prev = out[-1][0] if out else CTX_START
         return out
 
     return tokenize
@@ -257,20 +298,15 @@ def parse_mention_txt(path: str) -> list[tuple[str, str]]:
     return out
 
 
-def mine_lexicons(
-    context_dir: str, splits: tuple[str, ...] = ("train", "test")
-) -> tuple[dict[str, tuple[str, ...]], set[str]]:
-    """Mine (segmentation lexicon, token-identity lexicon) from a
-    directory of stanza-processed ``<split>/<doc>.context`` +
-    ``<doc>.txt`` artifacts (the reference's processed-corpus layout).
-
-    Segmentation pairs come from mention surfaces: a surface keeps raw
-    spacing, and its block tokens starting at the B position are its
-    stanza segmentation; aligning surface chunks against consecutive
-    tokens yields (raw chunk → token tuple) observations. Majority
-    vote resolves chunks stanza segmented inconsistently."""
-    pair_counts: collections.Counter = collections.Counter()
-    token_lexicon: set[str] = set()
+def _aligned_observations(context_dir: str, splits: tuple[str, ...], token_sink=None):
+    """Yield (prev_token, raw_chunk, token_tuple) observations from the
+    shipped artifacts — the shared surface-alignment walk behind both
+    miners. A surface keeps raw spacing, and its block tokens starting
+    at the B position are its stanza segmentation; aligning surface
+    chunks against consecutive tokens yields genuine raw-chunk →
+    stanza-tokens pairs. ``prev_token`` is the block token before the
+    observation (:data:`CTX_START` when block-initial); ``token_sink``
+    optionally collects every block token (the identity lexicon)."""
     for split in splits:
         d = os.path.join(context_dir, split)
         if not os.path.isdir(d):
@@ -280,9 +316,10 @@ def mine_lexicons(
                 continue
             doc = fn[: -len(".context")]
             blocks = parse_context_file(os.path.join(d, fn))
-            for b in blocks:
-                for t, _ in b:
-                    token_lexicon.add(t)
+            if token_sink is not None:
+                for b in blocks:
+                    for t, _ in b:
+                        token_sink.add(t)
             tpath = os.path.join(d, f"{doc}.txt")
             if not os.path.exists(tpath):
                 continue
@@ -302,6 +339,7 @@ def mine_lexicons(
                     seq.append(toks[j + len(seq)])
                 if acc != target:
                     continue
+                prev = toks[j - 1] if j > 0 else CTX_START
                 ti, ok, doc_pairs = 0, True, []
                 for ch in surf.split(" "):
                     if ch == "":
@@ -317,17 +355,42 @@ def mine_lexicons(
                     if acc2 != ch:
                         ok = False
                         break
-                    doc_pairs.append((ch, tuple(grp)))
+                    doc_pairs.append((prev, ch, tuple(grp)))
+                    prev = grp[-1]
                 if ok:
-                    for ch, grp in doc_pairs:
-                        pair_counts[(ch, grp)] += 1
-    by_chunk: dict[str, list[tuple[int, tuple[str, ...]]]] = collections.defaultdict(
-        list
-    )
-    for (ch, grp), c in pair_counts.items():
-        by_chunk[ch].append((c, grp))
-    seg_lexicon = {
-        ch: sorted(alts, key=lambda x: (-x[0], x[1]))[0][1]
-        for ch, alts in by_chunk.items()
-    }
-    return seg_lexicon, token_lexicon
+                    yield from doc_pairs
+
+
+def _majority(counts: collections.Counter) -> dict:
+    """key -> most-observed value (count desc, value asc tiebreak)."""
+    by_key: dict = collections.defaultdict(list)
+    for (key, val), c in counts.items():
+        by_key[key].append((c, val))
+    return {k: sorted(alts, key=lambda x: (-x[0], x[1]))[0][1] for k, alts in by_key.items()}
+
+
+def mine_lexicons(
+    context_dir: str, splits: tuple[str, ...] = ("train", "test")
+) -> tuple[dict[str, tuple[str, ...]], set[str]]:
+    """Mine (segmentation lexicon, token-identity lexicon) from a
+    directory of stanza-processed ``<split>/<doc>.context`` +
+    ``<doc>.txt`` artifacts (the reference's processed-corpus layout).
+    Majority vote resolves chunks stanza segmented inconsistently."""
+    token_lexicon: set[str] = set()
+    pair_counts: collections.Counter = collections.Counter()
+    for _, ch, grp in _aligned_observations(context_dir, splits, token_lexicon):
+        pair_counts[(ch, grp)] += 1
+    return _majority(pair_counts), token_lexicon
+
+
+def mine_context_lexicon(
+    context_dir: str, splits: tuple[str, ...] = ("train", "test")
+) -> dict[tuple[str, str], tuple[str, ...]]:
+    """Mine the (previous_token, chunk) -> segmentation lexicon that
+    disambiguates stanza's context-sensitive splits (round-5 layer;
+    pass to :func:`make_tokenizer` as ``ctx_lexicon``). Majority vote
+    within each (prev, chunk) key."""
+    ctx_counts: collections.Counter = collections.Counter()
+    for prev, ch, grp in _aligned_observations(context_dir, splits):
+        ctx_counts[((prev, ch), grp)] += 1
+    return _majority(ctx_counts)

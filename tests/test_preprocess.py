@@ -121,9 +121,10 @@ def test_pubtator_to_context_end_to_end(spark, tmp_path):
 # Counts over all 3,514 shipped docs (surface-embedding reconstruction):
 #   regex default tokenizer/sentencizer ........  708
 #   stanza_like plugin (rules + mined lexicons) . 2,689
-# The residue is stanza's context-dependent neural segmentation of the
-# SAME chunk spelling (see plans/stanza_like.py's honesty note), which
-# no deterministic per-chunk tokenizer can represent.
+#   + (prev_token, chunk) context lexicon (r5) .. 2,916
+# The residue is segmentation decided by context longer than one token,
+# quote attachment, and 154 unalignable surfaces (see
+# plans/stanza_like.py's honesty note).
 # ---------------------------------------------------------------------------
 
 import os
@@ -278,6 +279,61 @@ def test_stanza_like_plugin_aggregate_parity_rate(stanza_lexicons):
         limit=400,
     )
     assert len(passing) >= 300
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_ST21PV), reason="reference artifacts not present"
+)
+def test_stanza_ctx_lexicon_lifts_parity(stanza_lexicons):
+    """The (prev_token, chunk) context lexicon must lift the 400-doc
+    prefix rate above the context-free plugin's (measured 333 vs 313 at
+    last full scan; floor 320 leaves regression slack)."""
+    from entity_linking_in_biomedical_spark.plans.stanza_like import (
+        make_tokenizer,
+        mine_context_lexicon,
+        stanza_like_sentencizer,
+    )
+
+    tools = _load_parity_tools()
+    seg_lex, tok_lex = stanza_lexicons
+    ctx_lex = mine_context_lexicon(REF_ST21PV)
+    passing = tools.evaluate(
+        make_tokenizer(seg_lex, tok_lex, ctx_lexicon=ctx_lex),
+        stanza_like_sentencizer,
+        "pytest-400-ctx",
+        limit=400,
+    )
+    assert len(passing) >= 320
+
+
+def test_stanza_ctx_lexicon_disambiguates():
+    """Unit semantics of the context layer: the same chunk spelling
+    segments differently depending on the previous token; chunks with
+    no context hit fall through to the global layers; a malformed ctx
+    entry (tokens don't concatenate to the chunk) is rejected."""
+    import pytest as _pytest
+
+    from entity_linking_in_biomedical_spark.plans.stanza_like import (
+        CTX_START,
+        make_tokenizer,
+    )
+
+    ctx = {
+        ("a", "meta-analysis"): ("meta", "-", "analysis"),
+        (CTX_START, "meta-analysis"): ("meta-analysis",),
+    }
+    tok = make_tokenizer(ctx_lexicon=ctx)
+    assert [t for t, _ in tok("meta-analysis")] == ["meta-analysis"]
+    assert [t for t, _ in tok("a meta-analysis")] == ["a", "meta", "-", "analysis"]
+    # offsets derived from token lengths at the chunk position
+    assert tok("a meta-analysis") == [
+        ("a", 0), ("meta", 2), ("-", 6), ("analysis", 7),
+    ]
+    # no ctx hit -> rule layer still applies
+    assert [t for t, _ in tok("b meta-analysis.")] == ["b", "meta-analysis", "."]
+
+    with _pytest.raises(ValueError, match="context lexicon"):
+        make_tokenizer(ctx_lexicon={("x", "ab"): ("a", "c")})
 
 
 def test_stanza_like_tokenizer_raw_text_rules():

@@ -55,6 +55,45 @@ def test_hash_bernoulli_rate_accuracy(spark):
     assert 1700 <= kept <= 2300  # 2000 expected, +/- ~7 sigma
 
 
+def test_token_budget_sample_cut_rule(spark):
+    """Budget semantics: docs taken in md5 order per stratum until the
+    running total reaches the budget — kept iff budget not exhausted
+    BEFORE the doc (overshoot at most one doc); unlisted strata drop;
+    deterministic across calls."""
+    from entity_linking_in_biomedical_spark.operators.sampling import (
+        _hash12,
+        token_budget_sample,
+    )
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("fr").alias("lang"),
+        (F.col("id") % 7 + 1).alias("sz"),
+    )
+    budget = 40
+    out = token_budget_sample(docs, {"en": budget}, size_col="sz").collect()
+    assert all(r["lang"] == "en" for r in out)
+
+    # replay the rule driver-side: sort en docs by (hash12, key), take
+    # while spent-before < budget
+    en = docs.filter("lang = 'en'").select(
+        "doc_id", "sz", _hash12(F.col("doc_id"), "budget").alias("h")
+    ).collect()
+    en.sort(key=lambda r: (r["h"], str(r["doc_id"])))
+    want, spent = set(), 0
+    for r in en:
+        if spent < budget:
+            want.add(r["doc_id"])
+        spent += r["sz"]
+    assert {r["doc_id"] for r in out} == want
+    total = sum(r["sz"] for r in out)
+    assert total >= budget  # never undershoots while docs remain
+    assert total < budget + 7  # overshoot bounded by one doc's size
+
+    again = {r["doc_id"] for r in token_budget_sample(docs, {"en": budget}, size_col="sz").collect()}
+    assert again == want
+
+
 def test_hash_split_partition_properties(spark):
     docs = spark.range(5000).select(F.col("id").alias("doc_id"))
     out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})

@@ -205,6 +205,20 @@ def evaluate(tokenizer, sentencizer, tag: str, limit=None):
 
 
 def main() -> None:
+    """Round-5 full-corpus record (this harness, all 3,514 docs):
+      regex ................  708
+      rules ................  753
+      full (seg+tok lex) .... 2,689
+      ctx (+ (prev,chunk)) .. 2,916   <- shipped as make_tokenizer's
+                                         ctx_lexicon (an ambiguous-only
+                                         variant measured identical)
+    Residue after ctx: longer-range context than one token, quote
+    attachment at sentence boundaries, and 154 docs whose surfaces
+    don't align with any block-token decomposition."""
+    from entity_linking_in_biomedical_spark.plans.stanza_like import (
+        mine_context_lexicon,
+    )
+
     limit = None
     if "--limit" in sys.argv:
         limit = int(sys.argv[sys.argv.index("--limit") + 1])
@@ -216,6 +230,14 @@ def main() -> None:
         make_tokenizer(seg_lex, tok_lex), stanza_like_sentencizer, "full", limit
     )
     print("passing (first 40):", passing[:40])
+    ctx_lex = mine_context_lexicon(REF)
+    print(f"context lexicon: {len(ctx_lex)} (prev, chunk) keys")
+    evaluate(
+        make_tokenizer(seg_lex, tok_lex, ctx_lexicon=ctx_lex),
+        stanza_like_sentencizer,
+        "ctx",
+        limit,
+    )
 
 
 if __name__ == "__main__":
