@@ -666,15 +666,34 @@ from r group by 1 order by lang_pred
 
 
 def q_token_count(spark, sf_dir):
+    """Both token-count modes the brief names: whitespace/punct words
+    (tokens()) and BPE-ish pre-tokenizer pieces (the GPT-2-style regex
+    — the unit LLM budgets are quoted in). Pure JVM expressions."""
+    from entity_linking_in_biomedical_spark.functions.text_metrics import (
+        bpe_token_count,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", token_count("text").cast("bigint").alias("n_tokens")
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tokens"),
+        bpe_token_count("text").cast("bigint").alias("n_bpe_pieces"),
     ).orderBy("doc_id")
 
 
-ORACLE_TOKEN_COUNT = f"""
-select doc_id, cast(len({_TOKS}) as bigint) as n_tokens from documents order by doc_id
+def _oracle_token_count() -> str:
+    from entity_linking_in_biomedical_spark.functions.text_metrics import (
+        bpe_token_count_sql,
+    )
+
+    return f"""
+select doc_id, cast(len({_TOKS}) as bigint) as n_tokens,
+       cast({bpe_token_count_sql('text')} as bigint) as n_bpe_pieces
+from documents order by doc_id
 """
+
+
+ORACLE_TOKEN_COUNT = _oracle_token_count()
 
 
 def q_quality(spark, sf_dir):

@@ -35,6 +35,33 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the Java∩RE2 subset
+# (no lookahead, so the original's trailing-space alternatives are
+# dropped — whitespace is simply never captured): contractions, then
+# optionally-space-prefixed letter runs / digit runs / punctuation
+# runs, then stray apostrophes. Counts SUBWORD-SPLIT-ELIGIBLE pieces,
+# the unit LLM token budgets are quoted in, vs tokens()'s
+# whitespace/punct words; on English prose this runs ~1.0-1.3x the
+# whitespace count (punctuation counts, "don't" -> 2).
+BPE_PIECE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+|'"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    regex (the pieces a byte-pair encoder would then merge within).
+    Pure JVM regexp_extract_all — the cheap proxy for "how many LLM
+    tokens is this corpus" that a mixture/budget plan needs before any
+    real tokenizer runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PIECE_PATTERN), F.lit(0)))
+
+
+def bpe_token_count_sql(col: str) -> str:
+    """DuckDB twin (single-quote-escaped pattern)."""
+    pat = BPE_PIECE_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
 def _stop_ratio(toks: Column, stop: list[str]) -> Column:
     arr = F.array(*[F.lit(s) for s in stop])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))

@@ -34,6 +34,53 @@ def test_tokens_and_count(spark):
     assert got[1]["n"] == 0
 
 
+def test_bpe_token_count_known_values(spark):
+    from entity_linking_in_biomedical_spark.functions.text_metrics import (
+        bpe_token_count,
+    )
+
+    cases = [
+        # don / 't / ' stop' -> 3 (contraction splits; whitespace folds
+        # into the following piece)
+        ("don't stop", 3),
+        # Hello / , / ' world' / ! / ' 123' -> 5 (punct + digit runs count)
+        ("Hello, world! 123", 5),
+        ("", 0),
+        # accented letters stay inside one \p{L}+ run
+        ("naïve café", 2),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [r[0] for r in df.select(bpe_token_count("t")).collect()]
+    assert got == [n for _, n in cases]
+
+
+def test_bpe_token_count_duckdb_twin_agrees(spark):
+    """The Java-regex Spark expression and the RE2 DuckDB twin must
+    count identically — the correctness gate depends on it."""
+    import duckdb
+
+    from entity_linking_in_biomedical_spark.functions.text_metrics import (
+        bpe_token_count,
+        bpe_token_count_sql,
+    )
+
+    texts = [
+        "don't you'll we're I've he'd I'm y'all''",
+        "mixed   spacing\tand\nnewlines... -- #tags @ats 3.14e-2",
+        "naïve café über niño 北京 数字123abc",
+        "'leading apostrophe 'quoted' trailing'",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r[0] for r in df.select(bpe_token_count("t")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"select {bpe_token_count_sql('?::varchar')}", [t]).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+
+
 def test_lang_id(spark):
     df = spark.createDataFrame(
         [
