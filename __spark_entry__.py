@@ -1957,6 +1957,143 @@ def _oracle_er_synthetic() -> str:
     )
 
 
+
+def q_lm_nll(spark, sf_dir):
+    """Bigram-LM perplexity filter (CCNet-style, Wenzek et al. 2020):
+    fit add-0.5-smoothed bigram counts over documents with a
+    20-type vocab cap (everything else -> <unk>; the synthetic table
+    has 31 distinct tokens, so the cap genuinely binds and oov_ratio is
+    non-vacuous), then score each
+    >=2-token doc's average bigram negative log likelihood
+    (perplexity = e^avg_nll). operators/lm.py; per-bigram
+    contributions are decimal(38,9)-quantized so the per-doc sum is
+    order-free and the DuckDB twin can replay it exactly."""
+    from entity_linking_in_biomedical_spark.operators.lm import bigram_lm_nll
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_nll(docs, vocab_cap=20, alpha=0.5).orderBy("doc_id")
+
+
+ORACLE_LM_NLL = f"""
+with base as (
+  select doc_id, {_TOKS} as toks from documents
+), base2 as (
+  select doc_id, toks from base where len(toks) >= 2
+), tok as (
+  select unnest(toks) as w from base
+), vocab as (
+  select w from (
+    select w, count(*) as c from tok group by w order by c desc, w limit 20)
+), pairs as (
+  select doc_id,
+         unnest(toks[1:len(toks)-1]) as w1r,
+         unnest(toks[2:len(toks)]) as w2r
+  from base2
+), mapped as (
+  select doc_id,
+         case when w1r in (select w from vocab) then w1r else '<unk>' end as w1,
+         case when w2r in (select w from vocab) then w2r else '<unk>' end as w2
+  from pairs
+), bg as (
+  select doc_id, w1, w2, count(*) as k from mapped group by doc_id, w1, w2
+), cb as (
+  select w1, w2, sum(k) as cb from bg group by w1, w2
+), cu as (
+  select w1, sum(cb) as cu from cb group by w1
+), v as (
+  select count(distinct w) as v_size from (
+    select w1 as w from cb union select w2 as w from cb)
+), scored as (
+  select bg.doc_id, bg.k, bg.w1, bg.w2,
+         cast(bg.k * round(ln(cu.cu + 0.5 * v.v_size) - ln(cb.cb + 0.5), 9)
+              as decimal(38,9)) as contrib
+  from bg
+  join cb using (w1, w2)
+  join cu using (w1)
+  cross join v
+)
+select doc_id,
+  cast(sum(k) as bigint) as n_bigrams,
+  round(sum(((case when w1 = '<unk>' then 1 else 0 end)
+           + (case when w2 = '<unk>' then 1 else 0 end)) * k)
+        / (2.0 * sum(k)), 6) as oov_ratio,
+  round(cast(sum(contrib) as double) / sum(k), 6) as avg_nll
+from scored group by doc_id order by doc_id
+"""
+
+
+
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk packing manifest at seq_len=256 over
+    documents (operators/packing.py): which token-slice of which doc
+    lands in which fixed-length training sequence. The Spark side runs
+    the two-level distributed prefix sum (bucketed running sums +
+    broadcast bucket offsets); the oracle replays the same layout with
+    a single window cumsum — same manifest, different execution."""
+    from entity_linking_in_biomedical_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, 256, bucket_size=100).orderBy("seq_id", "doc_id")
+
+
+ORACLE_PACK_SEQUENCES = f"""
+with n as (
+  select doc_id, cast(len({_TOKS}) as bigint) as L from documents
+  where len({_TOKS}) > 0
+), o as (
+  select doc_id, L,
+         coalesce(sum(L) over (order by doc_id
+            rows between unbounded preceding and 1 preceding), 0) as o
+  from n
+), frag as (
+  select doc_id, L, o, unnest(range(cast(o // 256 as bigint),
+                               cast((o + L - 1) // 256 + 1 as bigint))) as seq_id
+  from o
+)
+select cast(seq_id as bigint) as seq_id, doc_id,
+  cast(greatest(o, seq_id * 256) - o as bigint) as frag_start,
+  cast(least(o + L, (seq_id + 1) * 256) - greatest(o, seq_id * 256) as bigint)
+    as frag_len
+from frag order by seq_id, doc_id
+"""
+
+
+
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-based mixture resampling (mC4/XLM-R rule, tau=0.5)
+    of documents to an 80k-char budget over the lang strata
+    (operators/sampling.py): per-stratum totals -> temperature shares
+    -> capped keep rates -> deterministic md5-threshold membership.
+    Fully distributed (tiny broadcast stats, no driver collect); the
+    oracle replays the identical rule."""
+    from entity_linking_in_biomedical_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mixture_sample(
+        docs.select("doc_id", "lang", "n_chars"), 80_000, "n_chars", tau=0.5
+    ).orderBy("doc_id")
+
+
+ORACLE_TEMPERATURE_MIXTURE = """
+with nd as (
+  select lang, cast(sum(n_chars) as double) as n from documents group by lang
+), z as (
+  select sum(pow(n, 0.5)) as z from nd
+), rates as (
+  select lang, least(1.0, 80000.0 * pow(n, 0.5) / z.z / n) as r
+  from nd cross join z
+)
+select d.doc_id, d.lang, d.n_chars
+from documents d join rates using (lang)
+where r >= 1.0
+   or substring(md5('temp:' || cast(d.doc_id as varchar)), 1, 12)
+      < lower(lpad(hex(cast(floor(r * 281474976710656.0) as bigint)), 12, '0'))
+order by doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1979,6 +2116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clusters_cc": q_doc_clusters_cc,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
+        "lm_nll": q_lm_nll,
+        "pack_sequences": q_pack_sequences,
+        "temperature_mixture": q_temperature_mixture,
         "quality_score": q_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "pii_redact": q_pii_redact,
@@ -2029,6 +2169,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_clusters_cc": _oracle_doc_clusters(),
         "lang_id": ORACLE_LANG_ID,
         "token_count": ORACLE_TOKEN_COUNT,
+        "lm_nll": ORACLE_LM_NLL,
+        "pack_sequences": ORACLE_PACK_SEQUENCES,
+        "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
         "quality_score": ORACLE_QUALITY,
         "doc_fingerprint": ORACLE_DOC_FP,
         "pii_redact": _oracle_pii_redact(),

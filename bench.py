@@ -232,6 +232,8 @@ def main() -> None:
         "simhash_dedup",
         "lang_id",
         "token_count",
+        "lm_nll",
+        "pack_sequences",
         "quality_score",
         "doc_fingerprint",
         "pii_redact",
@@ -240,6 +242,7 @@ def main() -> None:
         "decontaminate",
         "stratified_sample",
         "token_budget_sample",
+        "temperature_mixture",
         "hash_split",
         "corpus_stats",
         "url_stats",

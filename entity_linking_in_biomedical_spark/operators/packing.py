@@ -1,0 +1,111 @@
+"""Sequence packing: map a token-counted corpus onto fixed-length
+training sequences (the GPT-style concat-and-chunk layout — documents
+concatenated in a deterministic order, the stream cut every ``seq_len``
+tokens). Emits one row per (sequence, document-fragment): which slice
+of which document lands in which training sequence — the manifest a
+tokenize-and-pack job materializes before writing packed examples.
+
+Scale shape: the hard part is the global prefix sum (every document
+needs the total token count BEFORE it). A naive window over a global
+ORDER BY collapses to a single partition — unusable at 10^12 docs.
+This uses the classic two-level distributed prefix sum instead:
+
+1. bucket documents by ``order_col div bucket_size`` (order-compatible
+   ranges, so bucket i's documents all precede bucket i+1's),
+2. within-bucket running sums — a window partitioned BY BUCKET, fully
+   parallel,
+3. per-bucket totals (tiny: one row per bucket) get their own running
+   sum on a single partition — O(n_buckets) rows, not O(n_docs) — and
+   are **broadcast** back as each bucket's starting offset.
+
+The fragment explode is per-row (a document spanning k sequence
+boundaries yields k+1 fragments via sequence()), so no shuffle follows
+the prefix sum. Integer arithmetic throughout (`div`, not double
+floor) so offsets stay exact past 2^53 tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text_metrics import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order_col: str | None = None,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """(seq_id, doc_id, frag_start, frag_len) fragment manifest.
+
+    ``order_col`` (default: ``id_col``) must be numeric and totally
+    ordered — concatenation order is ascending ``order_col``. Documents
+    with zero tokens are dropped (they occupy no stream positions).
+    ``frag_start`` is the fragment's token offset WITHIN its document;
+    every sequence except the last receives exactly ``seq_len`` tokens.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    order_col = order_col or id_col
+    s = F.lit(int(seq_len)).cast("bigint")
+
+    n = (
+        docs.select(
+            F.col(id_col),
+            F.col(order_col).cast("bigint").alias("__ord"),
+            token_count(text_col).cast("bigint").alias("__len"),
+        )
+        .filter(F.col("__len") > 0)
+        .withColumn("__bkt", F.expr(f"__ord div {int(bucket_size)}"))
+    )
+
+    in_bucket = Window.partitionBy("__bkt").orderBy("__ord")
+    n = n.withColumn(
+        "__cum_in",
+        F.coalesce(
+            F.sum("__len").over(
+                in_bucket.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+
+    # per-bucket totals: one row per bucket, running-summed on a single
+    # partition that holds O(n_buckets) rows only, then broadcast back
+    totals = n.groupBy("__bkt").agg(F.sum("__len").alias("__bt"))
+    bucket_order = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bkt",
+        F.coalesce(F.sum("__bt").over(bucket_order), F.lit(0).cast("bigint")).alias(
+            "__boff"
+        ),
+    )
+
+    o = (
+        n.join(F.broadcast(offsets), "__bkt")
+        .withColumn("__o", F.col("__boff") + F.col("__cum_in"))
+    )
+
+    # fragment explode: sequences floor(o/S) .. floor((o+L-1)/S)
+    frag = o.select(
+        F.col(id_col),
+        "__o",
+        "__len",
+        F.explode(
+            F.sequence(
+                F.expr("__o div " + str(int(seq_len))),
+                F.expr(f"(__o + __len - 1) div {int(seq_len)}"),
+            )
+        ).alias("seq_id"),
+    )
+    start_g = F.greatest(F.col("__o"), F.col("seq_id") * s)
+    end_g = F.least(F.col("__o") + F.col("__len"), (F.col("seq_id") + 1) * s)
+    return frag.select(
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        id_col,
+        (start_g - F.col("__o")).cast("bigint").alias("frag_start"),
+        (end_g - start_g).cast("bigint").alias("frag_len"),
+    )

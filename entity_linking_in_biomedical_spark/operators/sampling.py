@@ -145,3 +145,55 @@ def hash_split(
     for name, thr in reversed(boundaries):
         expr = F.when(h < F.lit(thr), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    budget: int,
+    size_col: str,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    tau: float = 0.5,
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based mixture resampling (the multilingual-corpus
+    reweighting rule of mC4/XLM-R, tau in (0, 1]): stratum d with n_d
+    total size units gets target share q_d = n_d^tau / sum_e n_e^tau of
+    a ``budget``-unit corpus, i.e. per-doc keep rate
+
+        r_d = min(1, budget * q_d / n_d)
+
+    — tau < 1 flattens the mixture toward uniform (upsampling-by-
+    keeping-more of small strata is impossible in a filter, so rates
+    cap at 1 and the realized total undershoots the budget when a small
+    stratum saturates; the cap is the standard behavior).
+
+    Fully distributed — NO driver-side collect of the stratum stats:
+    the per-stratum totals are a tiny aggregate, the normalizer is a
+    1-row frame, both are **broadcast** back, and membership is the
+    same deterministic md5-threshold rule as :func:`stratified_sample`
+    (retry/partition/engine independent; the DuckDB oracle replays it
+    bit-for-bit). One scan-side shuffle total (the stratum aggregate);
+    the corpus-side filter is a broadcast join + codegen'd comparison.
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0,1], got {tau}")
+    nd = df.groupBy(stratum_col).agg(F.sum(size_col).cast("double").alias("__n"))
+    z = nd.agg(F.sum(F.pow("__n", F.lit(float(tau)))).alias("__z"))
+    rates = nd.crossJoin(F.broadcast(z)).select(
+        stratum_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(budget)) * F.pow("__n", F.lit(float(tau))) / F.col("__z") / F.col("__n"),
+        ).alias("__r"),
+    )
+    # floor(r * 16^12) as a 12-hex threshold; r == 1.0 short-circuits
+    # (its threshold would be 13 hex chars and lexicographically tiny)
+    thr = F.lower(
+        F.lpad(F.hex(F.floor(F.col("__r") * F.lit(float(HEX_W)))), 12, "0")
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter((F.col("__r") >= 1.0) | (_hash12(F.col(key_col), seed) < thr))
+        .drop("__r")
+    )

@@ -1,0 +1,119 @@
+"""Bigram-LM perplexity-filter scoring (operators/lm.py) vs a pure
+Python reference implementation of the same smoothed model."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+
+from entity_linking_in_biomedical_spark.operators.lm import (
+    UNK,
+    bigram_lm_nll,
+    fit_bigram_lm,
+    score_bigram_nll,
+)
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the log"),
+    (3, "the cat and the dog sat"),
+    (4, "zyzzyva quokka axolotl the"),  # rare words -> <unk> under a small cap
+    (5, "single"),  # < 2 tokens: must drop out of the scored output
+    (6, ""),
+]
+
+
+def _toks(t: str) -> list[str]:
+    return [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" ") if w]
+
+
+def _q9(x: float) -> Decimal:
+    return Decimal(repr(x)).quantize(Decimal("1.000000000"), rounding=ROUND_HALF_UP)
+
+
+def _reference(docs, vocab_cap, alpha):
+    tokd = {i: _toks(t) for i, t in docs}
+    uni = Counter(w for ts in tokd.values() for w in ts)
+    vocab = set(
+        w for w, _ in sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_cap]
+    )
+    mapped = {
+        i: [w if w in vocab else UNK for w in ts] for i, ts in tokd.items() if len(ts) >= 2
+    }
+    bg = {i: Counter(zip(ts, ts[1:])) for i, ts in mapped.items()}
+    cb: Counter = Counter()
+    for c in bg.values():
+        cb.update(c)
+    cu: Counter = Counter()
+    for (w1, _), n in cb.items():
+        cu[w1] += n
+    types = set()
+    for w1, w2 in cb:
+        types.update((w1, w2))
+    v = len(types)
+    out = {}
+    for i, c in bg.items():
+        n = sum(c.values())
+        tot = Decimal(0)
+        oov = 0
+        for (w1, w2), k in c.items():
+            nll = math.log(cu[w1] + alpha * v) - math.log(cb[(w1, w2)] + alpha)
+            tot += _q9(k * float(_q9(nll)))
+            oov += k * ((w1 == UNK) + (w2 == UNK))
+        out[i] = (
+            n,
+            round(oov / (2.0 * n), 6),
+            round(float(tot) / n, 6),
+        )
+    return out
+
+
+@pytest.mark.parametrize("vocab_cap", [4, 100])
+def test_bigram_lm_nll_matches_reference(spark, vocab_cap):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["oov_ratio"], r["avg_nll"])
+        for r in bigram_lm_nll(df, vocab_cap=vocab_cap, alpha=0.5).collect()
+    }
+    want = _reference(DOCS, vocab_cap, 0.5)
+    assert set(got) == set(want)  # short docs dropped
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert got[i][1] == pytest.approx(want[i][1], abs=1e-9), i
+        assert got[i][2] == pytest.approx(want[i][2], abs=1e-9), i
+
+
+def test_lm_held_out_scoring_uses_fitted_counts(spark):
+    """Score a held-out doc with unseen bigrams/contexts: counts fall
+    back to 0 (pure smoothing mass), and a fluent in-distribution doc
+    scores lower nll than an out-of-distribution one."""
+    train = spark.createDataFrame(DOCS[:4], "doc_id int, text string")
+    lm = fit_bigram_lm(train, vocab_cap=100, alpha=0.5)
+    held = spark.createDataFrame(
+        [(10, "the cat sat on the mat"), (11, "mat log quokka dog zzz the")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in score_bigram_nll(held, lm).collect()}
+    assert rows[10]["avg_nll"] < rows[11]["avg_nll"]
+    assert rows[10]["n_bigrams"] == 5 and rows[11]["n_bigrams"] == 5
+    # broadcast_model path agrees exactly
+    rows_b = {
+        r["doc_id"]: r
+        for r in score_bigram_nll(held, lm, broadcast_model=True).collect()
+    }
+    for i in rows:
+        assert rows[i]["avg_nll"] == rows_b[i]["avg_nll"]
+
+
+def test_lm_vocab_cap_binds_deterministically(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    lm = fit_bigram_lm(df, vocab_cap=3, alpha=0.5)
+    vocab = sorted(r["w"] for r in lm.vocab.collect())
+    # counts: the=8, sat=3, on=2, cat=2, dog=2, ... -> top3 by
+    # (count desc, token asc) = the, sat, cat
+    assert vocab == ["cat", "sat", "the"]
+    assert lm.vsize.collect()[0]["v_size"] == 4  # 3 vocab types + <unk>

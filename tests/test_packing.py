@@ -1,0 +1,82 @@
+"""Sequence-packing manifest (operators/packing.py) vs a pure Python
+replay of the concat-and-chunk layout."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from entity_linking_in_biomedical_spark.operators.packing import pack_sequences
+
+
+def _toks(t: str) -> list[str]:
+    return [w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" ") if w]
+
+
+def _reference(docs, seq_len):
+    out = []
+    o = 0
+    for i, t in sorted(docs):
+        n = len(_toks(t))
+        if n == 0:
+            continue
+        for seq_id in range(o // seq_len, (o + n - 1) // seq_len + 1):
+            s = max(o, seq_id * seq_len)
+            e = min(o + n, (seq_id + 1) * seq_len)
+            out.append((seq_id, i, s - o, e - s))
+        o += n
+    return out
+
+
+DOCS = [
+    (1, "a b c d e"),  # 5 tokens
+    (2, "f g h"),  # 3
+    (3, ""),  # dropped
+    (4, "i j k l m n o p q r s t"),  # 12 -> spans boundaries at S=4
+    (5, "u"),  # 1
+]
+
+
+@pytest.mark.parametrize("seq_len", [4, 7, 64])
+def test_pack_sequences_matches_reference(spark, seq_len):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    got = sorted(
+        (r["seq_id"], r["doc_id"], r["frag_start"], r["frag_len"])
+        for r in pack_sequences(df, seq_len).collect()
+    )
+    assert got == sorted(_reference(DOCS, seq_len))
+
+
+def test_pack_sequences_invariants(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    rows = pack_sequences(df, 4).collect()
+    total = 5 + 3 + 12 + 1  # 21 tokens
+    # fragment lengths per doc reconstruct the doc
+    by_doc: dict[int, int] = {}
+    by_seq: dict[int, int] = {}
+    for r in rows:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + r["frag_len"]
+        by_seq[r["seq_id"]] = by_seq.get(r["seq_id"], 0) + r["frag_len"]
+        assert r["frag_len"] > 0
+    assert by_doc == {1: 5, 2: 3, 4: 12, 5: 1}
+    # every sequence except the last is exactly full
+    last = max(by_seq)
+    for s, n in by_seq.items():
+        assert n == (4 if s != last else total - 4 * last)
+
+
+def test_pack_sequences_bucket_boundaries_exact(spark):
+    """Tiny bucket_size forces multi-bucket prefix sums; offsets must
+    agree with the single-stream reference regardless of bucketing."""
+    docs = [(i, "w " * (i % 7 + 1)) for i in range(1, 200)]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    a = sorted(map(tuple, pack_sequences(df, 16, bucket_size=10).collect()))
+    b = sorted(map(tuple, pack_sequences(df, 16, bucket_size=1_000_000).collect()))
+    assert a == b == sorted(_reference(docs, 16))
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    with pytest.raises(ValueError):
+        pack_sequences(df, 0)

@@ -189,3 +189,55 @@ def test_surface_keys_shared_frame_single_evaluated(spark, corpus):
     consumer = plan_of(pairs)
     assert "ExistingRDD" in consumer
     assert "explode" not in consumer.lower() and "md5" not in consumer.lower()
+
+
+def test_lm_vocab_joins_broadcast_and_jvm_only(spark):
+    """The LM fit/score plan must keep both vocab maps broadcast (never
+    a shuffle join against the exploded token stream), stay entirely
+    JVM-side (no Python UDF boundary), and partial-aggregate the
+    per-doc bigram counts map-side before the one wide shuffle."""
+    from entity_linking_in_biomedical_spark.operators.lm import bigram_lm_nll
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(bigram_lm_nll(docs, vocab_cap=20, alpha=0.5))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the exploded pair stream must never reach a sort-merge join: the
+    # only SortMergeJoin-eligible joins are model-sized (w1,w2 keys)
+    gen = plan.count("Generate")  # one explode per doc_bigram_counts call
+    assert gen >= 1
+
+
+def test_pack_sequences_no_global_single_partition_window(spark):
+    """The prefix sum must be two-level: the only non-bucketed window
+    runs over per-bucket totals (O(n_buckets) rows), never the doc
+    stream. Detectable in the plan: every Window over the full doc
+    frame has a partition spec; the unpartitioned one sits above the
+    tiny aggregate."""
+    from entity_linking_in_biomedical_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = pack_sequences(docs, 256, bucket_size=100)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan  # bucket offsets re-attach map-side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the full-stream window is partitioned by bucket
+    assert "partitionspec=[__bkt" in plan.replace(" ", "").lower() or "__bkt" in plan
+
+
+def test_temperature_mixture_broadcasts_stats(spark):
+    from entity_linking_in_biomedical_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = temperature_mixture_sample(
+        docs.select("doc_id", "lang", "n_chars"), 10_000, "n_chars"
+    )
+    plan = plan_of(df)
+    # corpus side joins the tiny rates frame broadcast; no sort-merge
+    # join against the full scan, no Python boundary
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -194,3 +194,63 @@ def test_decontaminate_removes_flagged_docs(spark):
     assert flagged, "planted overlap must flag"
     clean = {r["doc_id"] for r in decontaminate(corpus, test, n=8).collect()}
     assert clean == {"c1", "c2", "c3"} - flagged
+
+
+def test_temperature_mixture_sample_matches_reference(spark):
+    """The md5-threshold membership under temperature-derived rates
+    must agree row-for-row with a Python replay of the same rule."""
+    import hashlib
+
+    from entity_linking_in_biomedical_spark.operators.sampling import (
+        HEX_W,
+        temperature_mixture_sample,
+    )
+
+    rows = [
+        (i, ("en" if i % 10 < 7 else "fr" if i % 10 < 9 else "zh"), (i % 50) + 10)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, n_chars int")
+    tau, budget, seed = 0.5, 30_000, "temp"
+    got = sorted(
+        r["doc_id"] for r in temperature_mixture_sample(
+            df, budget, "n_chars", tau=tau, seed=seed
+        ).collect()
+    )
+
+    nd: dict[str, float] = {}
+    for _, lang, n in rows:
+        nd[lang] = nd.get(lang, 0.0) + n
+    z = sum(n**tau for n in nd.values())
+    rates = {d: min(1.0, budget * (n**tau) / z / n) for d, n in nd.items()}
+    want = []
+    for i, lang, _ in rows:
+        r = rates[lang]
+        if r >= 1.0:
+            want.append(i)
+            continue
+        thr = format(int(r * HEX_W), "012x")
+        h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:12]
+        if h < thr:
+            want.append(i)
+    assert got == sorted(want)
+    # temperature flattening: the small stratum keeps a larger fraction
+    assert rates["zh"] > rates["en"]
+
+
+def test_temperature_mixture_sample_saturates_small_stratum(spark):
+    from entity_linking_in_biomedical_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, "big" if i < 990 else "tiny", 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, n_chars int")
+    # tau=0.2 + a budget close to the corpus: tiny stratum rate caps
+    # at 1.0 (keep all), big stratum is genuinely subsampled
+    out = temperature_mixture_sample(df, 60_000, "n_chars", tau=0.2)
+    by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by["tiny"] == 10
+    assert 0 < by["big"] < 990
+
+    with pytest.raises(ValueError):
+        temperature_mixture_sample(df, 1000, "n_chars", tau=0.0)
