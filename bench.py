@@ -54,6 +54,7 @@ def main() -> None:
     # own inline loops below (they thread results/stage metrics out of
     # the winning run, which run() doesn't model)
     heavy = {
+        "lm_nll",
         "ngram_jaccard",
         "doc_clusters_cc",
         "dedup_clusters",

@@ -69,10 +69,16 @@ def doc_bigram_counts(
     """(id, w1, w2, k): per-document counts of vocab-mapped adjacent
     token pairs. Explode + two broadcast vocab joins + one groupBy —
     the single wide shuffle of both fit and score paths."""
-    toks = tokens(text_col)
-    pairs = docs.select(
-        F.col(id_col), F.explode(_bigram_structs(toks)).alias("bg")
-    ).select(id_col, F.col("bg.w1r").alias("w1r"), F.col("bg.w2r").alias("w2r"))
+    # tokenize into a projected column FIRST: referencing tokens(col)
+    # directly inside _bigram_structs would re-inline the regexp
+    # tokenizer into every element_at of the lambda (Catalyst does not
+    # CSE across lambda bodies), turning the explode O(tokens^2) per
+    # doc — measured 9.3 s vs 3.5 s at sf0.1 for the explode alone
+    pairs = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(id_col, F.explode(_bigram_structs(F.col("__toks"))).alias("bg"))
+        .select(id_col, F.col("bg.w1r").alias("w1r"), F.col("bg.w2r").alias("w2r"))
+    )
     v1 = F.broadcast(vocab.select(F.col("w").alias("__v1")))
     v2 = F.broadcast(vocab.select(F.col("w").alias("__v2")))
     return (
@@ -107,6 +113,7 @@ def fit_bigram_lm(
     text_col: str = "text",
     vocab_cap: int = 50_000,
     alpha: float = 0.5,
+    materialize: bool = True,
 ) -> BigramLM:
     """Count-based fit; one pass for the vocab, one for the bigrams.
 
@@ -114,7 +121,16 @@ def fit_bigram_lm(
     (count desc, token asc — fully deterministic), computed with a
     distributed top-K (per-partition heads merged), never a global sort
     of the token table.
-    """
+
+    ``materialize=True`` (default) eagerly localCheckpoints the model
+    frames. They are MODEL-sized (vocab ≤ vocab_cap rows, bigrams
+    O(distinct pairs), bounded by vocab_cap², independent of corpus row
+    growth once saturated) — exactly the artifact a production fit
+    writes to a stage table — and without it every downstream consumer
+    re-derives the full corpus scan: the lazy self-scoring plan was
+    measured at 24 parquet scans / 0 reused exchanges. Materializing
+    cuts fit+score to one scan per pass. Pass False only when the
+    caller persists the frames itself (e.g. through a StageStore)."""
     tok = corpus.select(F.explode(tokens(text_col)).alias("w"))
     vocab = (
         tok.groupBy("w")
@@ -123,8 +139,12 @@ def fit_bigram_lm(
         .limit(vocab_cap)
         .select("w")
     )
+    if materialize:
+        vocab = vocab.localCheckpoint(eager=True)
     bg = doc_bigram_counts(corpus, vocab, id_col=id_col, text_col=text_col)
     bigrams = bg.groupBy("w1", "w2").agg(F.sum("k").alias("cb"))
+    if materialize:
+        bigrams = bigrams.localCheckpoint(eager=True)
     contexts = bigrams.groupBy("w1").agg(F.sum("cb").alias("cu"))
     # V = distinct mapped types over bigram-participating tokens; every
     # token of a >=2-token doc participates (first as w1, last as w2),
@@ -134,6 +154,9 @@ def fit_bigram_lm(
         bigrams.select(F.explode(F.array("w1", "w2")).alias("w"))
         .agg(F.countDistinct("w").alias("v_size"))
     )
+    if materialize:
+        contexts = contexts.localCheckpoint(eager=True)
+        vsize = vsize.localCheckpoint(eager=True)
     return BigramLM(vocab=vocab, bigrams=bigrams, contexts=contexts, vsize=vsize, alpha=alpha)
 
 
