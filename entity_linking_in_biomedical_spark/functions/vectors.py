@@ -33,9 +33,17 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def l2_normalize(a: Column | str) -> Column:
+    """The norm is let-bound via a transform over a singleton array:
+    Catalyst does not CSE across lambda bodies, so referencing
+    l2_norm(a) directly inside the element lambda would re-run the
+    O(d) aggregate once per element — O(d^2) per vector."""
     a = F.col(a) if isinstance(a, str) else a
-    nrm = l2_norm(a)
-    return F.transform(a, lambda x: x / nrm)
+    return F.element_at(
+        F.transform(
+            F.array(l2_norm(a)), lambda nrm: F.transform(_dbl(a), lambda x: x / nrm)
+        ),
+        1,
+    )
 
 
 def mean_pool(vectors: Column | str) -> Column:

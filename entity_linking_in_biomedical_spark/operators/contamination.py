@@ -24,18 +24,29 @@ def word_ngrams(col, n: int):
     Pure column expression (sequence + slice + concat_ws). Documents
     with fewer than n tokens yield an empty array — guarded explicitly
     because Spark's sequence(1, 0) counts DOWN ([1, 0]), it is not
-    empty."""
-    toks = tokens(col)
-    m = F.size(toks) - (n - 1)
-    return F.when(
-        m >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), m),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    empty.
+
+    The token array is let-bound by a transform over a singleton array:
+    Catalyst does not CSE across lambda bodies, so referencing
+    tokens(col) directly inside the gram lambda would re-run the regexp
+    tokenizer once PER GRAM — O(tokens^2) per document (the same defect
+    measured at 2.6x on the LM pair explode; dedup._word_shingles
+    documents the 4x equivalent). Binding it as a lambda variable
+    evaluates it once per row."""
+
+    def grams(toks):
+        m = F.size(toks) - (n - 1)
+        return F.when(
+            m >= 1,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), m),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(col)), grams), 1)
 
 
 def ngram_contamination(
