@@ -2094,6 +2094,49 @@ order by doc_id
 """
 
 
+
+def q_length_quantiles(spark, sf_dir):
+    """Per-language length-distribution profile: count, exact mean,
+    and the exact interpolated quantile vector of n_chars
+    (operators/profiling.py) — Spark's sort-based percentile is
+    bit-identical to DuckDB's quantile_cont (verified here), so the
+    profile is oracled exactly; the operator's approx_percentile mode
+    is the bounded-state 100 TB path, contract-tested in pytest."""
+    from entity_linking_in_biomedical_spark.operators.profiling import (
+        DEFAULT_PROBS,
+        length_quantiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = length_quantiles(docs, "n_chars", by="lang")
+    parr = F.array(*[F.lit(float(x)) for x in DEFAULT_PROBS])
+    return (
+        prof.select("lang", "n", "mean", F.posexplode("q").alias("i", "q_val"))
+        .select(
+            "lang",
+            F.col("n").cast("bigint").alias("n"),
+            "mean",
+            F.element_at(parr, F.col("i") + 1).alias("p"),
+            "q_val",
+        )
+        .orderBy("lang", "p")
+    )
+
+
+ORACLE_LENGTH_QUANTILES = """
+with agg as (
+  select lang, count(*) as n,
+         round(cast(sum(n_chars) as double) / count(*), 6) as mean,
+         quantile_cont(n_chars, [0.1,0.25,0.5,0.75,0.9,0.99]) as qs
+  from documents group by lang
+)
+select lang, cast(n as bigint) as n, mean,
+       unnest([0.1,0.25,0.5,0.75,0.9,0.99]) as p,
+       unnest(qs) as q_val
+from agg order by lang, p
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2119,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_nll": q_lm_nll,
         "pack_sequences": q_pack_sequences,
         "temperature_mixture": q_temperature_mixture,
+        "length_quantiles": q_length_quantiles,
         "quality_score": q_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "pii_redact": q_pii_redact,
@@ -2172,6 +2216,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_nll": ORACLE_LM_NLL,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
+        "length_quantiles": ORACLE_LENGTH_QUANTILES,
         "quality_score": ORACLE_QUALITY,
         "doc_fingerprint": ORACLE_DOC_FP,
         "pii_redact": _oracle_pii_redact(),

@@ -244,6 +244,7 @@ def main() -> None:
         "stratified_sample",
         "token_budget_sample",
         "temperature_mixture",
+        "length_quantiles",
         "hash_split",
         "corpus_stats",
         "url_stats",
