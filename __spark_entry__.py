@@ -2137,6 +2137,63 @@ from agg order by lang, p
 """
 
 
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization before dedup (functions/urls.py): two raw
+    variants per doc — mixed-case host, default port, tracking params
+    in different orders — must collapse to one canonical URL; the
+    aggregate proves it (n_raw=2, n_variants=2 per canonical). The
+    Spark expression and the DuckDB twin are generated from one step
+    table, so the hash match certifies regex-step parity."""
+    from entity_linking_in_biomedical_spark.functions.urls import canonical_url
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    raw1 = F.concat(
+        F.lit("https://WWW.Shop"), (d % 10).cast("string"),
+        F.lit(".example.COM:443/item/"), d.cast("string"),
+        F.lit("?utm_source=feed&page=2#top"),
+    )
+    raw2 = F.concat(
+        F.lit("https://www.shop"), (d % 10).cast("string"),
+        F.lit(".example.com/item/"), d.cast("string"),
+        F.lit("?page=2&utm_medium=rss"),
+    )
+    urls = docs.select(d, F.explode(F.array(raw1, raw2)).alias("url"))
+    return (
+        urls.select("doc_id", canonical_url("url").alias("canon"), "url")
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.count_distinct("url").alias("n_variants"),
+        )
+        .orderBy("canon")
+    )
+
+
+def _oracle_url_canonicalize() -> str:
+    from entity_linking_in_biomedical_spark.functions.urls import canonical_url_sql
+
+    canon = canonical_url_sql("url")
+    return f"""
+with raw as (
+  select doc_id, unnest([
+    'https://WWW.Shop' || cast(doc_id % 10 as varchar) ||
+      '.example.COM:443/item/' || cast(doc_id as varchar) ||
+      '?utm_source=feed&page=2#top',
+    'https://www.shop' || cast(doc_id % 10 as varchar) ||
+      '.example.com/item/' || cast(doc_id as varchar) ||
+      '?page=2&utm_medium=rss'
+  ]) as url
+  from documents
+)
+select {canon} as canon,
+       cast(count(*) as bigint) as n_raw,
+       cast(count(distinct url) as bigint) as n_variants
+from raw group by canon order by canon
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -2163,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "temperature_mixture": q_temperature_mixture,
         "length_quantiles": q_length_quantiles,
+        "url_canonicalize": q_url_canonicalize,
         "quality_score": q_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "pii_redact": q_pii_redact,
@@ -2217,6 +2275,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": ORACLE_PACK_SEQUENCES,
         "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
         "length_quantiles": ORACLE_LENGTH_QUANTILES,
+        "url_canonicalize": _oracle_url_canonicalize(),
         "quality_score": ORACLE_QUALITY,
         "doc_fingerprint": ORACLE_DOC_FP,
         "pii_redact": _oracle_pii_redact(),

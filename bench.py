@@ -245,6 +245,7 @@ def main() -> None:
         "token_budget_sample",
         "temperature_mixture",
         "length_quantiles",
+        "url_canonicalize",
         "hash_split",
         "corpus_stats",
         "url_stats",

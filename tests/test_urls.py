@@ -1,0 +1,54 @@
+"""URL canonicalization (functions/urls.py): known-value behavior and
+Spark-vs-DuckDB twin agreement."""
+
+from __future__ import annotations
+
+import duckdb
+
+from entity_linking_in_biomedical_spark.functions.urls import (
+    canonical_url,
+    canonical_url_sql,
+)
+
+CASES = [
+    # tracking params stripped, real params kept, delimiters repaired
+    (
+        "https://Example.COM/p?utm_source=x&id=7&utm_medium=y#frag",
+        "https://example.com/p?id=7",
+    ),
+    ("http://a.org/?utm_campaign=z", "http://a.org/"),
+    ("https://b.net/x?ref=tw&keep=1", "https://b.net/x?keep=1"),
+    ("https://c.io/x?utm_a=1&utm_b=2", "https://c.io/x"),
+    # scheme+host lowered, path case preserved
+    ("HTTPS://WWW.Site.ORG/CaseSensitive/Path", "https://www.site.org/CaseSensitive/Path"),
+    # default ports dropped, non-default kept
+    ("https://host.com:443/a", "https://host.com/a"),
+    ("http://host.com:80", "http://host.com"),
+    ("http://host.com:8080/a", "http://host.com:8080/a"),
+    # fragment-only and bare
+    ("https://d.com/a#sec", "https://d.com/a"),
+    ("https://d.com", "https://d.com"),
+    # non-URL text passes through
+    ("not a url", "not a url"),
+]
+
+
+def test_canonical_url_known_values(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "u string")
+    got = [r[0] for r in df.select(canonical_url("u")).collect()]
+    assert got == [want for _, want in CASES]
+
+
+def test_canonical_url_duckdb_twin_agrees(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "u string")
+    got = [r[0] for r in df.select(canonical_url("u")).collect()]
+    con = duckdb.connect()
+    sql = canonical_url_sql("u")
+    values = ", ".join(f"({i}, '{u}')" for i, (u, _) in enumerate(CASES))
+    want = [
+        r[0]
+        for r in con.execute(
+            f"select {sql} from (values {values}) t(i, u) order by i"
+        ).fetchall()
+    ]
+    assert got == want
