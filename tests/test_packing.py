@@ -80,3 +80,22 @@ def test_pack_sequences_rejects_bad_seq_len(spark):
     df = spark.createDataFrame(DOCS, "doc_id int, text string")
     with pytest.raises(ValueError):
         pack_sequences(df, 0)
+
+
+def test_pack_sequences_property_random_corpora(spark):
+    """Hypothesis-style randomized invariants (seeded, deterministic):
+    for random doc-length multisets and seq_len/bucket_size choices,
+    the manifest must exactly tile the concatenated token stream."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(5):
+        n_docs = rng.randint(1, 120)
+        seq_len = rng.choice([1, 3, 16, 100])
+        bucket = rng.choice([1, 7, 1000])
+        docs = [(i, "w " * rng.randint(0, 30)) for i in range(n_docs)]
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        rows = pack_sequences(df, seq_len, bucket_size=bucket).collect()
+        want = _reference(docs, seq_len)
+        got = sorted((r["seq_id"], r["doc_id"], r["frag_start"], r["frag_len"]) for r in rows)
+        assert got == sorted(want), (trial, n_docs, seq_len, bucket)

@@ -52,3 +52,16 @@ def test_canonical_url_duckdb_twin_agrees(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_canonical_url_idempotent(spark):
+    """A canonicalizer must be a projection: applying it twice equals
+    applying it once (otherwise dedup keys depend on how many
+    normalization passes a pipeline happened to run)."""
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "u string")
+    once = [r[0] for r in df.select(canonical_url("u").alias("c")).collect()]
+    twice = [
+        r[0]
+        for r in df.select(canonical_url(canonical_url("u")).alias("c")).collect()
+    ]
+    assert once == twice
