@@ -1,0 +1,118 @@
+"""Deployment entry point: the north rule's ``spark-submit --py-files``
+surface.
+
+Local run::
+
+    python -m entity_linking_in_biomedical_spark run \
+        --documents docs.parquet --entities ents.parquet \
+        --out /data/er_out --stage-dir /data/er_stages
+
+Cluster run (the package zipped and shipped to executors; the driver
+script is the thin ``run_el.py`` at the repo root)::
+
+    zip -r elspark.zip entity_linking_in_biomedical_spark
+    spark-submit --py-files elspark.zip run_el.py run \
+        --documents hdfs://.../docs.parquet --entities hdfs://.../ents.parquet \
+        --out hdfs://.../er_out --stage-dir hdfs://.../er_stages
+
+Under spark-submit no ``--master`` flag is passed: the session is
+adopted from the submit-time conf (``getOrCreate``) and only
+engine-required settings (AQE, Arrow) are layered on. ``--stage-dir``
+makes every stage commit a snapshot + manifest so a killed run resumes
+from its last committed stage (plain path → Parquet+manifest bucketed
+store; ``iceberg://catalog.namespace`` → Iceberg tables).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _session(master: str | None) -> SparkSession:
+    if master:
+        from .session import get_spark
+
+        return get_spark("el-spark", master=master)
+    # spark-submit path: adopt the submitted conf, layer required opts
+    return (
+        SparkSession.builder.appName("el-spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def _cmd_run(args: argparse.Namespace) -> int:
+    from .plans.pipeline import PipelineConfig, run_pipeline
+    from .sources.loaders import wrap_flat_documents
+
+    spark = _session(args.master)
+    docs = spark.read.parquet(args.documents)
+    if "spans" not in docs.columns:
+        docs = wrap_flat_documents(docs)
+    ents = spark.read.parquet(args.entities)
+    emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+    abbr = spark.read.parquet(args.abbr) if args.abbr else None
+    cfg = PipelineConfig()
+    res = run_pipeline(
+        spark,
+        docs,
+        ents,
+        embeddings=emb,
+        abbr_map=abbr,
+        cfg=cfg,
+        out_dir=args.stage_dir,
+    )
+    res["linked_documents"].write.mode("overwrite").parquet(args.out)
+    metrics = {
+        "cc_iterations": res.get("cc_iterations"),
+        "stages": res.get("metrics"),
+    }
+    print(json.dumps(metrics, default=str))
+    return 0
+
+
+def _cmd_preprocess(args: argparse.Namespace) -> int:
+    from .plans.preprocess import pubtator_to_context
+
+    spark = _session(args.master)
+    res = pubtator_to_context(spark, args.corpus, out_dir=args.out)
+    n = res["context"].count()
+    print(json.dumps({"sentences": n, "out": args.out}))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="entity_linking_in_biomedical_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="three-stage ER pipeline over parquet inputs")
+    run.add_argument("--documents", required=True, help="parquet: span-shaped or flat (auto-wrapped)")
+    run.add_argument("--entities", required=True, help="parquet: (cui, sem_type, synonyms)")
+    run.add_argument("--embeddings", help="parquet: (norm, embedding) dense lookup")
+    run.add_argument("--abbr", help="parquet: abbreviation map")
+    run.add_argument("--out", required=True, help="output parquet for linked_documents")
+    run.add_argument("--stage-dir", help="stage store for resumable commits (path or iceberg://...)")
+    run.add_argument("--master", help="Spark master (omit under spark-submit)")
+    run.set_defaults(fn=_cmd_run)
+
+    pre = sub.add_parser("preprocess", help="PubTator corpus -> .context/.txt layout")
+    pre.add_argument("--corpus", required=True, help="PubTator corpus file")
+    pre.add_argument("--out", required=True, help="output directory")
+    pre.add_argument("--master", help="Spark master (omit under spark-submit)")
+    pre.set_defaults(fn=_cmd_preprocess)
+    return ap
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,118 @@
+"""Deployment surface: the CLI under python -m and under a real
+spark-submit --py-files invocation (the north rule's deploy shape)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def cli_inputs(tmp_path_factory):
+    """Small synthetic corpus written as parquet CLI inputs."""
+    base = tmp_path_factory.mktemp("cli_in")
+    from entity_linking_in_biomedical_spark.session import get_spark
+    from entity_linking_in_biomedical_spark.sources.synthetic import synth_corpus
+
+    spark = get_spark("cli-fixture", master="local[4]")
+    corpus = synth_corpus(n_docs=40, n_entities=20, seed=7)
+    docs, ents, _, abbr, _ = corpus.to_spark(spark)
+    emb = corpus.embeddings_df(spark)
+    docs.write.parquet(str(base / "docs.parquet"))
+    ents.write.parquet(str(base / "ents.parquet"))
+    emb.write.parquet(str(base / "emb.parquet"))
+    abbr.write.parquet(str(base / "abbr.parquet"))
+    return base
+
+
+def _run_args(base, out, stage=None):
+    a = [
+        "run",
+        "--documents", str(base / "docs.parquet"),
+        "--entities", str(base / "ents.parquet"),
+        "--embeddings", str(base / "emb.parquet"),
+        "--abbr", str(base / "abbr.parquet"),
+        "--out", str(out),
+        "--master", "local[4]",
+    ]
+    if stage:
+        a += ["--stage-dir", str(stage)]
+    return a
+
+
+def test_cli_run_python_m(cli_inputs, tmp_path):
+    out = tmp_path / "linked"
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, "-m", "entity_linking_in_biomedical_spark"]
+        + _run_args(cli_inputs, out, stage=tmp_path / "stages"),
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.loads(r.stdout.strip().splitlines()[-1])
+    assert metrics["cc_iterations"] >= 1
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"select count(*) from read_parquet('{out}/*.parquet')"
+    ).fetchone()[0]
+    assert n >= 40  # every input doc survives into linked_documents
+
+
+def test_cli_spark_submit_py_files(cli_inputs, tmp_path):
+    """The real deploy shape: package zipped, shipped via --py-files,
+    driver script run by spark-submit."""
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pyspark
+
+        spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+        if not os.path.exists(spark_submit):
+            pytest.skip("spark-submit not available")
+
+    pkg_zip = str(tmp_path / "elspark.zip")
+    pkg_root = os.path.join(REPO, "entity_linking_in_biomedical_spark")
+    with zipfile.ZipFile(pkg_zip, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkg_root):
+            if "__pycache__" in dirpath:
+                continue
+            for f in files:
+                full = os.path.join(dirpath, f)
+                z.write(full, os.path.relpath(full, REPO))
+
+    out = tmp_path / "linked_submit"
+    # no --master flag to the CLI: the session must be adopted from the
+    # spark-submit conf; run from a NEUTRAL cwd with PYTHONPATH scrubbed
+    # so the package import can only come from the --py-files zip,
+    # proving the deploy artifact is self-contained
+    base = cli_inputs
+    r = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]", "--py-files", pkg_zip,
+            os.path.join(REPO, "run_el.py"),
+            "run",
+            "--documents", str(base / "docs.parquet"),
+            "--entities", str(base / "ents.parquet"),
+            "--embeddings", str(base / "emb.parquet"),
+            "--abbr", str(base / "abbr.parquet"),
+            "--out", str(out),
+        ],
+        capture_output=True, text=True, timeout=900,
+        cwd=str(tmp_path),
+        env={k: v for k, v in os.environ.items() if k != "PYTHONPATH"},
+    )
+    assert r.returncode == 0, (r.stderr[-3000:], r.stdout[-500:])
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"select count(*) from read_parquet('{out}/*.parquet')"
+    ).fetchone()[0]
+    assert n >= 40
