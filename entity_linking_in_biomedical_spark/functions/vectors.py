@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
+from .lambdas import let_bound
+
 
 def _dbl(a: Column | str) -> Column:
     """Promote array<float> to array<double> BEFORE any arithmetic —
@@ -33,16 +35,12 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def l2_normalize(a: Column | str) -> Column:
-    """The norm is let-bound via a transform over a singleton array:
-    Catalyst does not CSE across lambda bodies, so referencing
-    l2_norm(a) directly inside the element lambda would re-run the
-    O(d) aggregate once per element — O(d^2) per vector."""
+    """The norm is let-bound (functions.lambdas.let_bound): an inline
+    l2_norm(a) inside the element lambda would re-run the O(d)
+    aggregate once per element — O(d^2) per vector."""
     a = F.col(a) if isinstance(a, str) else a
-    return F.element_at(
-        F.transform(
-            F.array(l2_norm(a)), lambda nrm: F.transform(_dbl(a), lambda x: x / nrm)
-        ),
-        1,
+    return let_bound(
+        l2_norm(a), lambda nrm: F.transform(_dbl(a), lambda x: x / nrm)
     )
 
 

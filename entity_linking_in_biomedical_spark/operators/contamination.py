@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.lambdas import let_bound
 from ..functions.text_metrics import tokens
 
 
@@ -26,13 +27,9 @@ def word_ngrams(col, n: int):
     because Spark's sequence(1, 0) counts DOWN ([1, 0]), it is not
     empty.
 
-    The token array is let-bound by a transform over a singleton array:
-    Catalyst does not CSE across lambda bodies, so referencing
-    tokens(col) directly inside the gram lambda would re-run the regexp
-    tokenizer once PER GRAM — O(tokens^2) per document (the same defect
-    measured at 2.6x on the LM pair explode; dedup._word_shingles
-    documents the 4x equivalent). Binding it as a lambda variable
-    evaluates it once per row."""
+    The token array is let-bound (functions.lambdas.let_bound): an
+    inline tokens(col) inside the gram lambda would re-run the regexp
+    tokenizer once PER GRAM — O(tokens^2) per document."""
 
     def grams(toks):
         m = F.size(toks) - (n - 1)
@@ -46,7 +43,7 @@ def word_ngrams(col, n: int):
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    return F.element_at(F.transform(F.array(tokens(col)), grams), 1)
+    return let_bound(tokens(col), grams)
 
 
 def ngram_contamination(

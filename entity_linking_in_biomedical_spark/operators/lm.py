@@ -97,14 +97,50 @@ def doc_bigram_counts(
 @dataclass
 class BigramLM:
     """A fitted model: all components are (small) DataFrames so the
-    model itself is a distributed artifact — persist them with the
-    stage store for reuse across scoring runs."""
+    model itself is a distributed artifact. For anything longer-lived
+    than one job (cross-run reuse, long-running streams, clusters with
+    executor churn) persist it with :meth:`save`/:func:`load_bigram_lm`
+    — localCheckpoint blocks (the in-job materialization fit uses) are
+    NOT failure-tolerant."""
 
     vocab: DataFrame  # (w) — capped type inventory, no <unk>
     bigrams: DataFrame  # (w1, w2, cb) — global pair counts
     contexts: DataFrame  # (w1, cu) — global context (left-token) counts
     vsize: DataFrame  # single row (v_size) — distinct mapped types
     alpha: float
+
+    _PARTS = ("vocab", "bigrams", "contexts", "vsize")
+
+    def save(self, out_dir: str) -> None:
+        """Write the model as four parquet tables + params.json — the
+        durable production artifact (readable by any engine)."""
+        import json
+        import os
+
+        for part in self._PARTS:
+            getattr(self, part).write.mode("overwrite").parquet(
+                os.path.join(out_dir, part)
+            )
+        spark = self.vocab.sparkSession
+        params = json.dumps({"alpha": self.alpha})
+        spark.createDataFrame([(params,)], "params string").coalesce(1).write.mode(
+            "overwrite"
+        ).text(os.path.join(out_dir, "params"))
+
+
+def load_bigram_lm(spark, out_dir: str) -> "BigramLM":
+    """Load a :meth:`BigramLM.save` artifact."""
+    import json
+    import os
+
+    params = json.loads(
+        spark.read.text(os.path.join(out_dir, "params")).collect()[0][0]
+    )
+    frames = {
+        part: spark.read.parquet(os.path.join(out_dir, part))
+        for part in BigramLM._PARTS
+    }
+    return BigramLM(alpha=float(params["alpha"]), **frames)
 
 
 def fit_bigram_lm(
@@ -125,12 +161,16 @@ def fit_bigram_lm(
     ``materialize=True`` (default) eagerly localCheckpoints the model
     frames. They are MODEL-sized (vocab ≤ vocab_cap rows, bigrams
     O(distinct pairs), bounded by vocab_cap², independent of corpus row
-    growth once saturated) — exactly the artifact a production fit
-    writes to a stage table — and without it every downstream consumer
-    re-derives the full corpus scan: the lazy self-scoring plan was
-    measured at 24 parquet scans / 0 reused exchanges. Materializing
-    cuts fit+score to one scan per pass. Pass False only when the
-    caller persists the frames itself (e.g. through a StageStore)."""
+    growth once saturated); without materialization every downstream
+    consumer re-derives the full corpus scan — the lazy self-scoring
+    plan was measured at 24 parquet scans / 0 reused exchanges;
+    materializing cuts fit+score to one scan per pass. CAVEAT:
+    localCheckpoint blocks live on executors and are lost on executor
+    failure/decommission — it is a within-job optimization only. For a
+    durable model (cross-run reuse, long-lived streams, clusters with
+    dynamic allocation) write :meth:`BigramLM.save` and reload with
+    :func:`load_bigram_lm`; pass materialize=False when the caller
+    persists the frames itself."""
     tok = corpus.select(F.explode(tokens(text_col)).alias("w"))
     vocab = (
         tok.groupBy("w")
@@ -221,8 +261,9 @@ def bigram_lm_nll(
     broadcast_model: bool = False,
 ) -> DataFrame:
     """Fit on ``corpus`` and score the same corpus — the self-scoring
-    perplexity-filter pass. Catalyst's ReuseExchange dedupes the shared
-    per-doc bigram aggregate between the fit and score subtrees."""
+    perplexity-filter pass: the fit materializes the model frames
+    (see fit_bigram_lm), then scoring re-derives the per-doc bigram
+    counts in its own single corpus pass — two passes total."""
     lm = fit_bigram_lm(
         corpus, id_col=id_col, text_col=text_col, vocab_cap=vocab_cap, alpha=alpha
     )

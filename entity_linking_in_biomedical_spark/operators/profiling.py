@@ -36,9 +36,9 @@ def length_quantiles(
     when ``by`` is None)."""
     parr = "array(" + ",".join(repr(float(p)) for p in probs) + ")"
     if exact:
-        q = F.expr(f"percentile({col}, {parr})")
+        q = F.expr(f"percentile(`{col}`, {parr})")
     else:
-        q = F.expr(f"approx_percentile({col}, {parr}, {int(accuracy)})")
+        q = F.expr(f"approx_percentile(`{col}`, {parr}, {int(accuracy)})")
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(col).cast("double") / F.count(F.lit(1)), 6).alias("mean"),

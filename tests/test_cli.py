@@ -90,14 +90,19 @@ def test_cli_spark_submit_py_files(cli_inputs, tmp_path):
 
     out = tmp_path / "linked_submit"
     # no --master flag to the CLI: the session must be adopted from the
-    # spark-submit conf; run from a NEUTRAL cwd with PYTHONPATH scrubbed
-    # so the package import can only come from the --py-files zip,
-    # proving the deploy artifact is self-contained
+    # spark-submit conf. The driver script is COPIED into the neutral
+    # tmp cwd before submission: Python puts the script's own directory
+    # at sys.path[0], so submitting it from the repo checkout would let
+    # the package import resolve from the repo source and prove
+    # nothing — from the copy, with PYTHONPATH scrubbed, the import can
+    # only come from the --py-files zip
+    driver = str(tmp_path / "run_el.py")
+    shutil.copy(os.path.join(REPO, "run_el.py"), driver)
     base = cli_inputs
     r = subprocess.run(
         [
             spark_submit, "--master", "local[4]", "--py-files", pkg_zip,
-            os.path.join(REPO, "run_el.py"),
+            driver,
             "run",
             "--documents", str(base / "docs.parquet"),
             "--entities", str(base / "ents.parquet"),

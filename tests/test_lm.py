@@ -156,3 +156,24 @@ def test_lm_score_foreach_batch_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert got == want
+
+
+def test_lm_save_load_roundtrip(spark, tmp_path):
+    """The durable model artifact: save -> load -> identical scores
+    (the failure-tolerant path for long-lived streams/clusters, vs the
+    within-job localCheckpoint materialization)."""
+    from entity_linking_in_biomedical_spark.operators.lm import load_bigram_lm
+
+    train = spark.createDataFrame(DOCS[:4], "doc_id int, text string")
+    lm = fit_bigram_lm(train, vocab_cap=5, alpha=0.5)
+    out = str(tmp_path / "lm_model")
+    lm.save(out)
+    lm2 = load_bigram_lm(spark, out)
+    assert lm2.alpha == 0.5
+    held = spark.createDataFrame(
+        [(10, "the cat sat on the mat"), (11, "mat log quokka dog zzz the")],
+        "doc_id int, text string",
+    )
+    a = sorted(map(tuple, score_bigram_nll(held, lm).collect()))
+    b = sorted(map(tuple, score_bigram_nll(held, lm2).collect()))
+    assert a == b

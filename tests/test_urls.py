@@ -28,8 +28,18 @@ CASES = [
     # fragment-only and bare
     ("https://d.com/a#sec", "https://d.com/a"),
     ("https://d.com", "https://d.com"),
-    # non-URL text passes through
+    # '&name=' in the PATH (no query string) must be untouched
+    ("https://x.com/path&ref=1", "https://x.com/path&ref=1"),
+    ("https://x.com/a&ref=b/c?utm_x=1", "https://x.com/a&ref=b/c"),
+    # default port directly before the query string
+    ("https://host.com:443?a=1", "https://host.com?a=1"),
+    ("http://host.com:80?a=1", "http://host.com?a=1"),
+    # non-URL text passes through BYTE-IDENTICAL (no fragment/query
+    # surgery on prose)
     ("not a url", "not a url"),
+    ("c# notes are here", "c# notes are here"),
+    ("is this a url?", "is this a url?"),
+    ("see docs?ref=x for info", "see docs?ref=x for info"),
 ]
 
 
