@@ -241,3 +241,40 @@ def test_temperature_mixture_broadcasts_stats(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_word_ngrams_tokenizer_not_inlined_per_element(spark):
+    """Regression guard for the lambda-CSE defect: the let-bound form
+    carries exactly ONE tokenizer regexp in the expression tree; the
+    quadratic inline form carries a second copy inside the per-element
+    lambda (re-evaluated per gram)."""
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        word_ngrams,
+    )
+
+    df = spark.createDataFrame([("a b c d e",)], "t string")
+    analyzed = (
+        df.select(word_ngrams(F.col("t"), 3).alias("g"))
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert analyzed.count("[^a-z0-9]+") == 1
+
+
+def test_lm_nll_scan_count_bounded(spark):
+    """Regression guard for the 24-scan lazy LM plan: with model
+    materialization the self-scoring query's executed plan re-reads the
+    corpus at most twice (vocab fit runs as its own jobs at fit time;
+    remaining scans: the score pass + at most one more)."""
+    from entity_linking_in_biomedical_spark.operators.lm import bigram_lm_nll
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        bigram_lm_nll(docs, vocab_cap=20, alpha=0.5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = plan.count("FileScan") + plan.count("Scan parquet")
+    assert scans <= 2, f"LM self-score plan re-derives the corpus: {scans} scans"
