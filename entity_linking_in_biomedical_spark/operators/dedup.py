@@ -453,17 +453,24 @@ def duplicate_passage_stats(
     reproduces them byte-for-byte."""
     from pyspark.sql import Window
 
-    toks = tokens(text_col)
-    n = F.size(toks)
-    windows = F.when(
-        n >= window_k,
-        F.transform(
-            F.sequence(F.lit(1), n - window_k + 1),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window_k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from ..functions.lambdas import let_bound
+
+    def _windows(toks):
+        # let-bound: an inline tokens(col) here would re-run the regexp
+        # tokenizer once per window (the lambda-CSE defect; the sibling
+        # removal transform pre-projects for the same reason)
+        n = F.size(toks)
+        return F.when(
+            n >= window_k,
+            F.transform(
+                F.sequence(F.lit(1), n - window_k + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window_k))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
     base = docs.select(
-        F.col(id_col).cast("string").alias("doc_id"), windows.alias("ws")
+        F.col(id_col).cast("string").alias("doc_id"),
+        let_bound(tokens(text_col), _windows).alias("ws"),
     ).localCheckpoint(eager=False)
     wdf = base.select("doc_id", F.posexplode("ws").alias("pos", "w"))
     dup_w = (
