@@ -87,6 +87,23 @@ def _cmd_preprocess(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_lm_score(args: argparse.Namespace) -> int:
+    from .operators.lm import fit_bigram_lm, load_bigram_lm, score_bigram_nll
+
+    spark = _session(args.master)
+    docs = spark.read.parquet(args.documents)
+    if args.model:
+        lm = load_bigram_lm(spark, args.model)
+    else:
+        lm = fit_bigram_lm(docs, vocab_cap=args.vocab_cap, alpha=args.alpha)
+        if args.save_model:
+            lm.save(args.save_model)
+    scored = score_bigram_nll(docs, lm, broadcast_model=args.broadcast_model)
+    scored.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, "model": args.model or args.save_model}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="entity_linking_in_biomedical_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -100,6 +117,21 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--stage-dir", help="stage store for resumable commits (path or iceberg://...)")
     run.add_argument("--master", help="Spark master (omit under spark-submit)")
     run.set_defaults(fn=_cmd_run)
+
+    lm = sub.add_parser(
+        "lm-score",
+        help="perplexity-filter scoring: fit (or load) a bigram LM, score docs",
+    )
+    lm.add_argument("--documents", required=True, help="parquet: (doc_id, text, ...)")
+    lm.add_argument("--out", required=True, help="output parquet: (doc_id, n_bigrams, oov_ratio, avg_nll)")
+    lm.add_argument("--model", help="load a saved BigramLM instead of fitting")
+    lm.add_argument("--save-model", help="save the fitted model here (durable artifact)")
+    lm.add_argument("--vocab-cap", type=int, default=50_000)
+    lm.add_argument("--alpha", type=float, default=0.5)
+    lm.add_argument("--broadcast-model", action="store_true",
+                    help="broadcast the model frames (shuffle-free scoring)")
+    lm.add_argument("--master", help="Spark master (omit under spark-submit)")
+    lm.set_defaults(fn=_cmd_lm_score)
 
     pre = sub.add_parser("preprocess", help="PubTator corpus -> .context/.txt layout")
     pre.add_argument("--corpus", required=True, help="PubTator corpus file")

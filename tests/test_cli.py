@@ -121,3 +121,32 @@ def test_cli_spark_submit_py_files(cli_inputs, tmp_path):
         f"select count(*) from read_parquet('{out}/*.parquet')"
     ).fetchone()[0]
     assert n >= 40
+
+
+def test_cli_lm_score_fit_save_then_load(tmp_path):
+    """lm-score: fit + save on one invocation, load + score on the
+    next — both via python -m; scores must agree."""
+    import duckdb
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    docs = tmp_path / "docs.parquet"
+    duckdb.connect().execute(
+        f"""copy (select cast(i as bigint) as doc_id,
+                 'the quick brown fox number ' || cast(i % 7 as varchar) ||
+                 ' jumps over the lazy dog' as text
+          from range(60) t(i)) to '{docs}' (format parquet)"""
+    )
+    out1, out2, model = tmp_path / "s1", tmp_path / "s2", tmp_path / "m"
+    base = [sys.executable, "-m", "entity_linking_in_biomedical_spark", "lm-score",
+            "--documents", str(docs), "--vocab-cap", "10", "--master", "local[4]"]
+    r = subprocess.run(base + ["--out", str(out1), "--save-model", str(model)],
+                       capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(base + ["--out", str(out2), "--model", str(model),
+                               "--broadcast-model"],
+                       capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    con = duckdb.connect()
+    a = con.execute(f"select * from read_parquet('{out1}/*.parquet') order by doc_id").fetchall()
+    b = con.execute(f"select * from read_parquet('{out2}/*.parquet') order by doc_id").fetchall()
+    assert a == b and len(a) == 60
