@@ -1495,6 +1495,71 @@ order by doc_id
 """
 
 
+_DSIR_TARGET_LANG = "de"
+_DSIR_TOPN = 40
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (operators/sampling.py, Xie et al.
+    2023): treat the '{de}' docs as the target corpus, weight every
+    other doc by the log-ratio of add-1-smoothed hashed-n-gram models
+    (256 md5-prefix buckets over word uni+bigrams), keep the top 40.
+    Weights are 9-decimal-quantized decimal(38,9) sums (order-free),
+    so the DuckDB twin replays the selection bit-for-bit."""
+    from entity_linking_in_biomedical_spark.operators.sampling import dsir_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.withColumn("is_tgt", F.col("lang") == _DSIR_TARGET_LANG)
+    return (
+        dsir_topk(docs, "is_tgt", _DSIR_TOPN)
+        .select("doc_id", "lang", "n_grams", "weight")
+        .orderBy(F.col("weight").desc(), "doc_id")
+    )
+
+
+ORACLE_DSIR_SAMPLE = f"""
+with base as (
+  select doc_id, lang, (lang = '{_DSIR_TARGET_LANG}') as t, {_TOKS} as toks
+  from documents
+), uni as (
+  select doc_id, t, substr(md5(w), 1, 2) as b from (
+    select doc_id, t, unnest(toks) as w from base)
+), bi as (
+  select doc_id, t, substr(md5(w1 || ' ' || w2), 1, 2) as b from (
+    select doc_id, t,
+           unnest(toks[1:len(toks)-1]) as w1,
+           unnest(toks[2:len(toks)]) as w2
+    from base where len(toks) >= 2)
+), g as (
+  select * from uni union all select * from bi
+), db as (
+  select doc_id, t, b, count(*) as k from g group by doc_id, t, b
+), tt as (
+  select b, sum(k) as ct from db where t group by b
+), qb as (
+  select b, sum(k) as cq from db where not t group by b
+), nt as (select cast(coalesce(sum(ct), 0) as double) as tot from tt),
+   nq as (select cast(sum(cq) as double) as tot from qb),
+lr as (
+  select qb.b,
+         round(ln(coalesce(tt.ct, 0) + 1.0) - ln(nt.tot + 256.0)
+             - ln(qb.cq + 1.0) + ln(nq.tot + 256.0), 9) as r
+  from qb left join tt using (b) cross join nt cross join nq
+), w as (
+  select db.doc_id,
+         cast(sum(db.k) as bigint) as n_grams,
+         round(cast(sum(cast(db.k * lr.r as decimal(38,9))) as double), 6)
+           as weight
+  from db join lr using (b) where not db.t
+  group by db.doc_id
+)
+select w.doc_id, base.lang, w.n_grams, w.weight
+from w join base using (doc_id)
+order by w.weight desc, w.doc_id
+limit {_DSIR_TOPN}
+"""
+
+
 # ---- similarity search over embeddings ------------------------------------
 
 
@@ -2231,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_budget_sample": q_token_budget_sample,
         "hash_split": q_hash_split,
+        "dsir_sample": q_dsir_sample,
         "corpus_stats": q_corpus_stats,
         "url_stats": q_url_stats,
         "vocab_drift": q_vocab_drift,
@@ -2286,6 +2352,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _oracle_stratified_sample(),
         "token_budget_sample": _oracle_token_budget_sample(),
         "hash_split": _oracle_hash_split(),
+        "dsir_sample": ORACLE_DSIR_SAMPLE,
         "corpus_stats": ORACLE_CORPUS_STATS,
         "url_stats": ORACLE_URL_STATS,
         "vocab_drift": ORACLE_VOCAB_DRIFT,

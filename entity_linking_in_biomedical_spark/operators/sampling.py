@@ -197,3 +197,172 @@ def temperature_mixture_sample(
         .filter((F.col("__r") >= 1.0) | (_hash12(F.col(key_col), seed) < thr))
         .drop("__r")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): select pool documents
+# whose hashed-n-gram distribution looks like a small TARGET corpus.
+# The quality-targeted counterpart of the mixture samplers above —
+# instead of naming keep-rates per stratum, you name a target corpus
+# and the weights fall out of two bag-of-hashed-grams unigram models.
+#
+# Scale shape (the 100 TB story):
+# - features are md5-hex-prefix buckets of word unigrams + adjacent
+#   bigrams — the bucket space is FIXED (16^bucket_hex, default 256),
+#   so both fitted "models" are <=B-row tables regardless of corpus
+#   size, always broadcast;
+# - one wide shuffle total for featurization (explode -> map-side
+#   partial groupBy on (doc, bucket), <=B groups per doc); the
+#   per-bucket target/pool totals are second-level aggregates OVER
+#   that per-doc frame (two-level aggregation, lm.py's shape);
+# - per-doc weights are one more bounded groupBy; selection is
+#   orderBy(...).limit(n) -> TakeOrderedAndProject, a per-partition
+#   top-n + driver merge, never a global sort;
+# - weights are order-independent: each bucket's log-ratio is rounded
+#   to 9 decimals and each contribution summed as decimal(38,9)
+#   (exact integer arithmetic — the lm_nll idiom), so results don't
+#   depend on partition layout and a DuckDB twin replays them
+#   bit-for-bit.
+#
+# The paper's sampled-without-replacement variant adds Gumbel noise to
+# the log-weights before the top-n cut; with the deterministic-hash
+# uniform u = (int(hash12)+0.5)/16^12 that is g = -ln(-ln(u)), a pure
+# column expression — but hex->bigint differs enough across engines
+# that the oracle twin would need engine-specific glue, so the shipped
+# (and oracled) selector is the paper's other standard mode:
+# deterministic top-n by weight.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKET_HEX = 2  # 16^2 = 256 hashed feature buckets
+
+
+def _gram_buckets(toks: Column, bucket_hex: int) -> Column:
+    """array<string>: the md5-hex-prefix feature bucket of every word
+    unigram and adjacent bigram, with multiplicity. ``toks`` MUST be a
+    projected column reference, not an inline tokenizer expression —
+    Catalyst does not CSE across lambda bodies (functions/lambdas.py),
+    so an inline tokenizer would re-run per element."""
+    uni = F.transform(toks, lambda t: F.substring(F.md5(t), 1, bucket_hex))
+    # sequence(1, 0) counts DOWN, not empty — guard on size >= 2
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    )
+                ),
+                1,
+                bucket_hex,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(uni, bi)
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    bucket_hex: int = DSIR_BUCKET_HEX,
+    reuse: bool = True,
+) -> DataFrame:
+    """(id, n_grams, weight) for every POOL doc (``target_col`` false)
+    with at least one token: weight = sum over gram occurrences of
+    log p_target(bucket) / p_pool(bucket), both add-``alpha`` smoothed
+    over the 16^bucket_hex bucket space. Higher = more target-like.
+
+    ``reuse=True`` lazily localCheckpoints the featurized per-doc
+    frame, which is referenced three times (target fit, pool fit,
+    weighting) — without it the explode+groupBy would run three times.
+    Pass False when the caller persists it some other way.
+    """
+    from ..functions.text_metrics import tokens
+
+    b_total = float(16**bucket_hex)
+    feat = (
+        df.select(
+            F.col(id_col),
+            F.col(target_col).cast("boolean").alias("__t"),
+            tokens(text_col).alias("__toks"),
+        )
+        .select(
+            id_col,
+            "__t",
+            F.explode(_gram_buckets(F.col("__toks"), bucket_hex)).alias("b"),
+        )
+        .groupBy(id_col, "__t", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    if reuse:
+        feat = feat.localCheckpoint(eager=False)
+    tgt = feat.filter(F.col("__t")).groupBy("b").agg(F.sum("k").alias("ct"))
+    pool = feat.filter(~F.col("__t"))
+    poolb = pool.groupBy("b").agg(F.sum("k").alias("cq"))
+    t_total = tgt.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("__T")
+    )
+    q_total = poolb.agg(F.sum("cq").cast("double").alias("__Q"))
+    # per-bucket log-ratio over POOL-observed buckets only (a bucket no
+    # pool gram hashes into is never looked up); rounded to 9 decimals
+    # so the decimal contributions below are engine-exact
+    lr = (
+        poolb.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(q_total))
+        .select(
+            "b",
+            F.round(
+                F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+                - F.log(F.col("__T") + F.lit(alpha * b_total))
+                - F.log(F.col("cq") + F.lit(alpha))
+                + F.log(F.col("__Q") + F.lit(alpha * b_total)),
+                9,
+            ).alias("r"),
+        )
+    )
+    return (
+        pool.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum((F.col("k") * F.col("r")).cast("decimal(38,9)")).alias("__w"),
+            F.sum("k").cast("long").alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.round(F.col("__w").cast("double"), 6).alias("weight"),
+        )
+    )
+
+
+def dsir_topk(
+    df: DataFrame,
+    target_col: str,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    bucket_hex: int = DSIR_BUCKET_HEX,
+) -> DataFrame:
+    """The selection step: the ``n`` most target-like pool docs, all
+    their original columns plus (n_grams, weight). Deterministic total
+    order (weight desc, id asc); plans as TakeOrderedAndProject."""
+    w = dsir_weights(
+        df,
+        target_col,
+        text_col=text_col,
+        id_col=id_col,
+        alpha=alpha,
+        bucket_hex=bucket_hex,
+    )
+    return (
+        df.join(w, id_col)
+        .orderBy(F.col("weight").desc(), F.col(id_col))
+        .limit(int(n))
+    )

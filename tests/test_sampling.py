@@ -254,3 +254,103 @@ def test_temperature_mixture_sample_saturates_small_stratum(spark):
 
     with pytest.raises(ValueError):
         temperature_mixture_sample(df, 1000, "n_chars", tau=0.0)
+
+
+# ---- DSIR importance resampling --------------------------------------------
+
+
+def _dsir_reference(rows, target_langs, alpha=1.0, n_buckets=256):
+    """Pure-python replay of dsir_weights for a tiny corpus:
+    rows = [(doc_id, lang, text)]."""
+    import hashlib
+    import math
+    import re
+
+    def toks(text):
+        return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if t]
+
+    def buckets(text):
+        ts = toks(text)
+        grams = ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        return [hashlib.md5(g.encode()).hexdigest()[:2] for g in grams]
+
+    ct: dict[str, int] = {}
+    cq: dict[str, int] = {}
+    per_doc: dict[int, dict[str, int]] = {}
+    for doc_id, lang, text in rows:
+        bs = buckets(text)
+        side = ct if lang in target_langs else cq
+        for b in bs:
+            side[b] = side.get(b, 0) + 1
+        if lang not in target_langs:
+            d = per_doc.setdefault(doc_id, {})
+            for b in bs:
+                d[b] = d.get(b, 0) + 1
+    t_tot, q_tot = sum(ct.values()), sum(cq.values())
+    out = {}
+    for doc_id, d in per_doc.items():
+        if not d:
+            continue
+        w = 0.0
+        for b, k in d.items():
+            r = round(
+                math.log(ct.get(b, 0) + alpha)
+                - math.log(t_tot + alpha * n_buckets)
+                - math.log(cq[b] + alpha)
+                + math.log(q_tot + alpha * n_buckets),
+                9,
+            )
+            w += k * r
+        out[doc_id] = (sum(d.values()), round(w, 6))
+    return out
+
+
+_DSIR_ROWS = [
+    (1, "tgt", "quantum flux capacitor aligns the quantum flux"),
+    (2, "tgt", "flux capacitor quantum resonance"),
+    (3, "pool", "quantum flux capacitor resonance aligns"),  # target-like
+    (4, "pool", "banana smoothie recipe with oats and honey"),
+    (5, "pool", "stock market closed higher on tuesday"),
+    (6, "pool", ""),  # no tokens -> drops out of the weighted pool
+]
+
+
+def test_dsir_weights_match_reference_and_rank_target_like_doc(spark):
+    from entity_linking_in_biomedical_spark.operators.sampling import (
+        dsir_topk,
+        dsir_weights,
+    )
+
+    df = spark.createDataFrame(_DSIR_ROWS, "doc_id int, lang string, text string").withColumn(
+        "is_tgt", F.col("lang") == "tgt"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["weight"])
+        for r in dsir_weights(df, "is_tgt").collect()
+    }
+    want = _dsir_reference([tuple(r) for r in _DSIR_ROWS], {"tgt"})
+    assert set(got) == set(want) == {3, 4, 5}  # doc 6 has no grams
+    for doc_id in want:
+        assert got[doc_id][0] == want[doc_id][0]
+        assert got[doc_id][1] == pytest.approx(want[doc_id][1], abs=1e-5)
+    # the vocabulary-sharing doc outranks the off-topic ones
+    assert got[3][1] > got[4][1] and got[3][1] > got[5][1]
+
+    top = dsir_topk(df, "is_tgt", 1).collect()
+    assert len(top) == 1 and top[0]["doc_id"] == 3
+
+
+def test_dsir_weights_partition_invariant(spark):
+    from entity_linking_in_biomedical_spark.operators.sampling import dsir_weights
+
+    rows = [
+        (i, "tgt" if i % 5 == 0 else "pool", f"token{i % 7} alpha beta{i % 3} gamma")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string").withColumn(
+        "is_tgt", F.col("lang") == "tgt"
+    )
+    a = sorted(map(tuple, dsir_weights(df, "is_tgt").collect()))
+    b = sorted(map(tuple, dsir_weights(df.repartition(7), "is_tgt").collect()))
+    # decimal(38,9)-quantized sums: bit-identical under any layout
+    assert a == b
