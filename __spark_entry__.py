@@ -1560,6 +1560,90 @@ limit {_DSIR_TOPN}
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Distributed quality-classifier fit (operators/classifier.py):
+    2 full-batch GD iterations of logistic regression (lr=0.5) on three
+    cheap text signals, label = (lang = 'en'). Each iteration is ONE
+    map-side-partial aggregate; gradient contributions are 9-decimal
+    decimal(38,9) sums, weight updates HALF_UP-rounded — so the DuckDB
+    twin unrolling the same two iterations reproduces the weights
+    bit-for-bit. Returns the fitted model as (feature, weight) rows."""
+    from entity_linking_in_biomedical_spark.operators.classifier import (
+        lr_fit,
+        quality_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "y", F.col("lang") == "en"
+    )
+    feats = quality_features(docs, carry=("y",)).localCheckpoint(eager=False)
+    model = lr_fit(feats, "y", iters=2, lr=0.5)
+    return spark.createDataFrame(
+        sorted(model.items()), "feature string, weight double"
+    ).orderBy("feature")
+
+
+_QC_FEATS_SQL = f"""
+  select
+    round(ln(1.0 + length(coalesce(text, ''))), 9) as x1,
+    round(case when len(toks) > 0
+          then cast(list_sum(list_transform(toks, t -> length(t))) as double)
+               / len(toks)
+          else 0.0 end, 9) as x2,
+    round(case when length(coalesce(text, '')) > 0
+          then cast(length(regexp_replace(lower(coalesce(text, '')),
+                                          '[^a-z0-9]', '', 'g')) as double)
+               / length(coalesce(text, ''))
+          else 0.0 end, 9) as x3,
+    cast(lang = 'en' as double) as y
+  from (select text, lang, {_TOKS} as toks from documents)
+"""
+
+
+def _oracle_quality_classifier(lr: float = 0.5) -> str:
+    # iteration 1 starts at w = 0, so sigmoid(z) == 0.5 exactly and the
+    # error term needs no exp; iteration 2 uses the w1 weights inline
+    def gsum(err: str, x: str) -> str:
+        return f"cast(sum(cast(round(({err}) * {x}, 9) as decimal(38,9))) as double)"
+
+    def gsum_b(err: str) -> str:
+        return f"cast(sum(cast(round({err}, 9) as decimal(38,9))) as double)"
+
+    err1 = "0.5 - y"
+    z2 = "w1.b + w1.wx1 * x1 + w1.wx2 * x2 + w1.wx3 * x3"
+    err2 = f"1.0 / (1.0 + exp(-({z2}))) - y"
+    return f"""
+with feats as ({_QC_FEATS_SQL}), g1 as (
+  select {gsum(err1, "x1")} as gx1, {gsum(err1, "x2")} as gx2,
+         {gsum(err1, "x3")} as gx3, {gsum_b(err1)} as gb,
+         cast(count(*) as double) as n
+  from feats
+), w1 as (
+  select round(0.0 - round({lr} * gx1 / n, 9), 9) as wx1,
+         round(0.0 - round({lr} * gx2 / n, 9), 9) as wx2,
+         round(0.0 - round({lr} * gx3 / n, 9), 9) as wx3,
+         round(0.0 - round({lr} * gb / n, 9), 9) as b
+  from g1
+), g2 as (
+  select {gsum(err2, "x1")} as gx1, {gsum(err2, "x2")} as gx2,
+         {gsum(err2, "x3")} as gx3, {gsum_b(err2)} as gb,
+         cast(count(*) as double) as n
+  from feats cross join w1
+), w2 as (
+  select round(w1.wx1 - round({lr} * g2.gx1 / g2.n, 9), 9) as wx1,
+         round(w1.wx2 - round({lr} * g2.gx2 / g2.n, 9), 9) as wx2,
+         round(w1.wx3 - round({lr} * g2.gx3 / g2.n, 9), 9) as wx3,
+         round(w1.b - round({lr} * g2.gb / g2.n, 9), 9) as b
+  from w1 cross join g2
+)
+select 'bias' as feature, b as weight from w2
+union all select 'x1', wx1 from w2
+union all select 'x2', wx2 from w2
+union all select 'x3', wx3 from w2
+order by feature
+"""
+
+
 # ---- similarity search over embeddings ------------------------------------
 
 
@@ -2297,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "hash_split": q_hash_split,
         "dsir_sample": q_dsir_sample,
+        "quality_classifier": q_quality_classifier,
         "corpus_stats": q_corpus_stats,
         "url_stats": q_url_stats,
         "vocab_drift": q_vocab_drift,
@@ -2353,6 +2438,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_sample": _oracle_token_budget_sample(),
         "hash_split": _oracle_hash_split(),
         "dsir_sample": ORACLE_DSIR_SAMPLE,
+        "quality_classifier": _oracle_quality_classifier(),
         "corpus_stats": ORACLE_CORPUS_STATS,
         "url_stats": ORACLE_URL_STATS,
         "vocab_drift": ORACLE_VOCAB_DRIFT,

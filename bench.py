@@ -244,6 +244,8 @@ def main() -> None:
         "stratified_sample",
         "token_budget_sample",
         "temperature_mixture",
+        "dsir_sample",
+        "quality_classifier",
         "length_quantiles",
         "url_canonicalize",
         "hash_split",
