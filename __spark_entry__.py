@@ -1644,6 +1644,66 @@ order by feature
 """
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Fully distributed Lloyd k-means (operators/kmeans.py): k=8,
+    2 assign+update rounds from first-k-by-id init, over the embeddings
+    table. E-step is a codegen'd plan-literal expression, M-step one
+    map-side-partial decimal aggregate; the DuckDB twin unrolls the
+    identical iterations (same init, same IEEE fold, same 9-decimal
+    quantization) and reproduces every assignment."""
+    from entity_linking_in_biomedical_spark.operators.kmeans import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, iters=2).orderBy("vec_id")
+
+
+def _oracle_kmeans_clusters(k: int = 8, iters: int = 2) -> str:
+    # score(x, c) = c.c - 2 x.c (x.x constant per row); argmin by
+    # (score, cluster id) — identical tie-break to the struct array_min
+    def a_cte(name: str, cl: str) -> str:
+        return f"""{name} as (
+  select vec_id, c from (
+    select e.vec_id, cl.c,
+           row_number() over (partition by e.vec_id order by
+             list_dot_product(cl.cv, cl.cv)
+               - 2.0 * list_dot_product(e.v, cl.cv), cl.c) as rn
+    from e cross join {cl} cl) where rn = 1
+)"""
+
+    def m_cte(s: str, a: str, prev: str, nxt: str) -> str:
+        return f"""{s} as (
+  select {a}.c, x.pos,
+         cast(sum(cast(round(x.val, 9) as decimal(38,9))) as double) as sm,
+         count(*) as n
+  from {a} join (
+    select vec_id, unnest(v) as val, unnest(range(1, len(v) + 1)) as pos
+    from e) x using (vec_id)
+  group by {a}.c, x.pos
+), {nxt} as (
+  select p.c, coalesce(nc.cv, p.cv) as cv
+  from {prev} p left join (
+    select c, list(round(sm / n, 9) order by pos) as cv
+    from {s} group by c) nc using (c)
+)"""
+
+    ctes = [
+        "e as (select vec_id, list_transform(embedding, x -> cast(x as double))"
+        " as v from embeddings)",
+        f"""cl0 as (
+  select row_number() over (order by vec_id) - 1 as c, v as cv
+  from (select * from e order by vec_id limit {k}))""",
+    ]
+    for i in range(iters):
+        ctes.append(a_cte(f"a{i + 1}", f"cl{i}"))
+        ctes.append(m_cte(f"s{i + 1}", f"a{i + 1}", f"cl{i}", f"cl{i + 1}"))
+    ctes.append(a_cte("afinal", f"cl{iters}"))
+    joined = ",\n".join(ctes)
+    return f"""
+with {joined}
+select vec_id, cast(c as int) as cluster from afinal order by vec_id
+"""
+
+
 # ---- similarity search over embeddings ------------------------------------
 
 
@@ -2382,6 +2442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "dsir_sample": q_dsir_sample,
         "quality_classifier": q_quality_classifier,
+        "kmeans_clusters": q_kmeans_clusters,
         "corpus_stats": q_corpus_stats,
         "url_stats": q_url_stats,
         "vocab_drift": q_vocab_drift,
@@ -2439,6 +2500,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _oracle_hash_split(),
         "dsir_sample": ORACLE_DSIR_SAMPLE,
         "quality_classifier": _oracle_quality_classifier(),
+        "kmeans_clusters": _oracle_kmeans_clusters(),
         "corpus_stats": ORACLE_CORPUS_STATS,
         "url_stats": ORACLE_URL_STATS,
         "vocab_drift": ORACLE_VOCAB_DRIFT,

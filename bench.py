@@ -253,6 +253,7 @@ def main() -> None:
         "url_stats",
         "vocab_drift",
         "filter_funnel",
+        "kmeans_clusters",
         "ann_brute_force",
         "ann_lsh",
         "ann_ivf",

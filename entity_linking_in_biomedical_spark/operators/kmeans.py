@@ -1,0 +1,115 @@
+"""Fully distributed Lloyd k-means over an embedding column — the
+corpus-level counterpart of similarity.fit_ivf_centroids (which trains
+a coarse quantizer on a bounded driver-side SAMPLE, FAISS-style). Here
+every E-step and M-step runs over ALL rows as DataFrame ops: the
+topic-bucketing / domain-discovery clustering a curation pipeline runs
+when the cluster structure itself is the product, not just an index.
+
+Scale shape (the 100 TB story):
+
+- E-step is a pure codegen'd column expression: the k centroids ride
+  in the plan as literals (k * dim doubles), each distance is one
+  in-order zip_with/aggregate fold, argmin is array_min over
+  (score, cluster) structs. No join, no UDF, no shuffle. Plan size
+  bounds k at a few hundred; for quantizer-scale k use
+  similarity.ivf_assign_udf instead.
+- M-step is ONE aggregate with map-side partial combine: dim decimal
+  sums + a count per cluster, k*(dim+1) values per partition, then a
+  k-row collect (the same O(1)-row driver digest as clustering.py's CC
+  convergence check). ``iters`` rounds = ``iters`` scans — MLlib's own
+  KMeans does exactly this per iteration.
+- Determinism / oracle story: init is the first k vectors in id order
+  (TakeOrderedAndProject), distances are the IEEE-identical left-fold
+  both engines share (the ANN oracles already rely on
+  list_dot_product == functions.vectors.dot_product bit-for-bit),
+  per-element M-step contributions are rounded to 9 decimals and
+  summed as decimal(38,9) (exact, order-free), and centroid updates
+  are HALF_UP-rounded — so cluster assignments are partition-invariant
+  and a DuckDB twin unrolling the same iterations reproduces them
+  exactly. Ties in the argmin break to the lowest cluster id.
+- Empty clusters keep their previous centroid (documented, replayed by
+  the oracle's coalesce).
+
+The fixed iteration count (no movement-threshold stop) keeps the job
+count and the oracle replay corpus-independent, like classifier.lr_fit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.vectors import _dbl, dot_product
+from .classifier import _round9
+
+
+def _self_dot(cent: list[float]) -> float:
+    """Left-fold sum of squares — the same in-order IEEE accumulation
+    as list_dot_product / dot_product, NOT numpy pairwise summation."""
+    s = 0.0
+    for a in cent:
+        s += a * a
+    return s
+
+
+def _assign_expr(v: Column, centroids: list[list[float]]) -> Column:
+    """argmin_c ||x - c||^2 as a codegen'd expression. x.x is constant
+    per row, so the score is c.c - 2 x.c; ties break to the lowest
+    cluster id via lexicographic struct ordering."""
+    scores = []
+    for c, cent in enumerate(centroids):
+        lit = F.array(*[F.lit(float(a)) for a in cent])
+        score = F.lit(_self_dot(cent)) - F.lit(2.0) * dot_product(v, lit)
+        scores.append(F.struct(score.alias("s"), F.lit(c).alias("c")))
+    return F.array_min(F.array(*scores)).getField("c")
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """(id, cluster) for every row, after ``iters`` full Lloyd rounds
+    (assign + centroid update) from first-k-by-id init, assigned once
+    more with the final centroids."""
+    if k < 1 or iters < 1:
+        raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
+    base = df.select(F.col(id_col), _dbl(vec_col).alias("__v")).localCheckpoint(
+        eager=False
+    )
+    init_rows = base.orderBy(id_col).limit(k).collect()
+    centroids = [[float(x) for x in r["__v"]] for r in init_rows]
+    dim = len(centroids[0])
+
+    for _ in range(iters):
+        assigned = base.withColumn(out_col, _assign_expr(F.col("__v"), centroids))
+        stats = (
+            assigned.groupBy(out_col)
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(
+                        F.round(F.element_at("__v", i + 1), 9).cast(
+                            "decimal(38,9)"
+                        )
+                    ).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_c = {r[out_col]: r for r in stats}
+        for c in range(len(centroids)):
+            r = by_c.get(c)
+            if r is None:
+                continue  # empty cluster keeps its old centroid
+            n = float(r["__n"])
+            centroids[c] = [
+                _round9(float(r[f"s{i}"]) / n) for i in range(dim)
+            ]
+
+    return base.select(
+        id_col, _assign_expr(F.col("__v"), centroids).alias(out_col)
+    )
