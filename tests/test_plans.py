@@ -278,3 +278,40 @@ def test_lm_nll_scan_count_bounded(spark):
     )
     scans = plan.count("FileScan") + plan.count("Scan parquet")
     assert scans <= 2, f"LM self-score plan re-derives the corpus: {scans} scans"
+
+
+def test_round5_new_ops_stay_jvm_side_and_partial_agg(spark):
+    """DSIR weighting, the LR feature/gradient pass, and the k-means
+    E-step/M-step are pure column-expression plans: zero Python/Arrow
+    boundaries, broadcast for the model-sized side, map-side partial
+    aggregation before every shuffle."""
+    from entity_linking_in_biomedical_spark.operators.classifier import (
+        quality_features,
+    )
+    from entity_linking_in_biomedical_spark.operators.kmeans import kmeans_assign
+    from entity_linking_in_biomedical_spark.operators.sampling import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"some text {i}", i % 3 == 0) for i in range(30)],
+        "doc_id int, text string, is_tgt boolean",
+    )
+    w = dsir_weights(docs, "is_tgt", reuse=False)
+    plan = plan_of(w)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial" in plan  # featurize + weight groupBys combine map-side
+    assert "BroadcastExchange" in plan  # <=256-row log-ratio table
+
+    feats = quality_features(docs, carry=("is_tgt",))
+    plan = plan_of(feats)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 7)]) for i in range(40)],
+        "vec_id int, embedding array<float>",
+    )
+    out = kmeans_assign(emb, k=2, iters=1)
+    plan = plan_of(out)
+    # E-step: plan-literal centroids, no join/UDF — the final frame is
+    # a bare project over the checkpointed base
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
