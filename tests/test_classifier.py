@@ -111,3 +111,34 @@ def test_lr_fit_partition_invariant(spark):
     m4 = lr_fit(quality_features(df.repartition(7), carry=("y",)), "y")
     # decimal(38,9) gradient sums: bit-identical under any layout
     assert m1 == m4
+
+
+def test_lr_score_is_streaming_native(spark, tmp_path):
+    """Unlike the LM scorer (per-doc aggregate -> foreachBatch), the
+    classifier's featurize+score path is a pure stateless projection,
+    so it composes DIRECTLY onto a streaming frame — the plan Spark
+    runs per micro-batch is the batch plan, and outputs agree exactly."""
+    df = spark.createDataFrame(_ROWS, "doc_id int, text string, y int")
+    model = lr_fit(quality_features(df, carry=("y",)), "y")
+    want = {
+        r["doc_id"]: r["score"]
+        for r in lr_score(quality_features(df), model).collect()
+    }
+
+    src = str(tmp_path / "qc_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        lr_score(quality_features(stream), model)
+        .writeStream.format("memory")
+        .queryName("qc_stream")
+        .option("checkpointLocation", str(tmp_path / "qc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["score"]
+        for r in spark.sql("select * from qc_stream").collect()
+    }
+    assert got == want
