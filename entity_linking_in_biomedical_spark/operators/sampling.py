@@ -237,6 +237,25 @@ def temperature_mixture_sample(
 DSIR_BUCKET_HEX = 2  # 16^2 = 256 hashed feature buckets
 
 
+def _log_ratio(
+    ct: Column,
+    cq: Column,
+    t_tot: Column,
+    q_tot: Column,
+    alpha: float,
+    b_total: float,
+) -> Column:
+    """round9(ln p_target(b) / p_pool(b)) under add-``alpha`` smoothing,
+    written as the four separate ln() calls both engines reproduce."""
+    return F.round(
+        F.log(ct + F.lit(alpha))
+        - F.log(t_tot + F.lit(alpha * b_total))
+        - F.log(cq + F.lit(alpha))
+        + F.log(q_tot + F.lit(alpha * b_total)),
+        9,
+    )
+
+
 def _gram_buckets(toks: Column, bucket_hex: int) -> Column:
     """array<string>: the md5-hex-prefix feature bucket of every word
     unigram and adjacent bigram, with multiplicity. ``toks`` MUST be a
@@ -317,12 +336,13 @@ def dsir_weights(
         .crossJoin(F.broadcast(q_total))
         .select(
             "b",
-            F.round(
-                F.log(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
-                - F.log(F.col("__T") + F.lit(alpha * b_total))
-                - F.log(F.col("cq") + F.lit(alpha))
-                + F.log(F.col("__Q") + F.lit(alpha * b_total)),
-                9,
+            _log_ratio(
+                F.coalesce(F.col("ct"), F.lit(0)),
+                F.col("cq"),
+                F.col("__T"),
+                F.col("__Q"),
+                alpha,
+                b_total,
             ).alias("r"),
         )
     )
@@ -366,3 +386,135 @@ def dsir_topk(
         .orderBy(F.col("weight").desc(), F.col(id_col))
         .limit(int(n))
     )
+
+
+def dsir_fit(
+    df: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    alpha: float = 1.0,
+    bucket_hex: int = DSIR_BUCKET_HEX,
+) -> DataFrame:
+    """The model-reuse form: fit the bucket log-ratio table ONCE on a
+    corpus snapshot, then :func:`dsir_score` any frame (a new snapshot,
+    a stream's micro-batches) against it. Returns exactly
+    16^bucket_hex rows (b, r) — the FULL bucket space, so every later
+    lookup hits (a bucket unseen in the fit pool gets the smoothed
+    prior ratio) — a model-sized durable artifact like lm.BigramLM
+    (persist with ``.write.parquet`` for cross-run reuse).
+
+    One pass: explode -> ONE map-side-partial groupBy(bucket) with
+    conditional target/pool sums; totals are 1-row broadcast frames.
+    """
+    from ..functions.text_metrics import tokens
+
+    b_total = float(16**bucket_hex)
+    counts = (
+        df.select(
+            F.col(target_col).cast("boolean").alias("__t"),
+            tokens(text_col).alias("__toks"),
+        )
+        .select(
+            "__t",
+            F.explode(_gram_buckets(F.col("__toks"), bucket_hex)).alias("b"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("cq"),
+        )
+    )
+    spark = df.sparkSession
+    all_buckets = spark.range(16**bucket_hex).select(
+        F.lower(F.lpad(F.hex("id"), bucket_hex, "0")).alias("b")
+    )
+    totals = counts.agg(
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("__T"),
+        F.coalesce(F.sum("cq"), F.lit(0)).cast("double").alias("__Q"),
+    )
+    return (
+        all_buckets.join(F.broadcast(counts), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            _log_ratio(
+                F.coalesce(F.col("ct"), F.lit(0)),
+                F.coalesce(F.col("cq"), F.lit(0)),
+                F.col("__T"),
+                F.col("__Q"),
+                alpha,
+                b_total,
+            ).alias("r"),
+        )
+    )
+
+
+def dsir_score(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_hex: int = DSIR_BUCKET_HEX,
+) -> DataFrame:
+    """(id, n_grams, weight) for every row of ``df`` with >=1 token,
+    against a :func:`dsir_fit` model: explode -> map-side-partial
+    per-doc bucket counts -> broadcast model join -> decimal-quantized
+    per-doc sum. Same arithmetic as :func:`dsir_weights`, so scoring
+    the fit corpus's own pool reproduces its weights exactly."""
+    from ..functions.text_metrics import tokens
+
+    docb = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            id_col,
+            F.explode(_gram_buckets(F.col("__toks"), bucket_hex)).alias("b"),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    return (
+        docb.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum((F.col("k") * F.col("r")).cast("decimal(38,9)")).alias("__w"),
+            F.sum("k").cast("long").alias("n_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            F.round(F.col("__w").cast("double"), 6).alias("weight"),
+        )
+    )
+
+
+def dsir_score_foreach_batch(
+    model: DataFrame,
+    sink,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_hex: int = DSIR_BUCKET_HEX,
+):
+    """Streaming target-likeness scoring: per-doc weights need a
+    groupBy over the doc's grams, which a streaming plan would treat as
+    stateful continuous aggregation — per-batch semantics wants the
+    BATCH scorer per micro-batch (the lm_score_foreach_batch pattern).
+    The model is 16^bucket_hex rows, always broadcast. Wire as::
+
+        stream.writeStream.foreachBatch(
+            dsir_score_foreach_batch(model, sink)
+        ).start()
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            dsir_score(
+                batch_df,
+                model,
+                text_col=text_col,
+                id_col=id_col,
+                bucket_hex=bucket_hex,
+            ),
+            batch_id,
+        )
+
+    return _apply

@@ -354,3 +354,45 @@ def test_dsir_weights_partition_invariant(spark):
     b = sorted(map(tuple, dsir_weights(df.repartition(7), "is_tgt").collect()))
     # decimal(38,9)-quantized sums: bit-identical under any layout
     assert a == b
+
+
+def test_dsir_fit_score_reproduces_weights_and_streams(spark, tmp_path):
+    from entity_linking_in_biomedical_spark.operators.sampling import (
+        dsir_fit,
+        dsir_score,
+        dsir_score_foreach_batch,
+        dsir_weights,
+    )
+
+    df = spark.createDataFrame(_DSIR_ROWS, "doc_id int, lang string, text string").withColumn(
+        "is_tgt", F.col("lang") == "tgt"
+    )
+    model = dsir_fit(df, "is_tgt")
+    rows = model.collect()
+    assert len(rows) == 256  # FULL bucket space: unseen buckets score too
+    assert all(r["r"] is not None for r in rows)
+
+    # scoring the fit corpus's own pool == the one-shot weighting
+    pool = df.filter(~F.col("is_tgt"))
+    want = sorted(map(tuple, dsir_weights(df, "is_tgt").collect()))
+    got = sorted(map(tuple, dsir_score(pool, model).collect()))
+    assert got == want
+
+    # streaming micro-batches agree exactly with the batch scorer
+    src = str(tmp_path / "dsir_src")
+    pool.write.parquet(src)
+    stream = spark.readStream.schema(pool.schema).parquet(src)
+    streamed = {}
+
+    def sink(scored, batch_id):
+        for r in scored.collect():
+            streamed[r["doc_id"]] = (r["n_grams"], r["weight"])
+
+    q = (
+        stream.writeStream.foreachBatch(dsir_score_foreach_batch(model, sink))
+        .option("checkpointLocation", str(tmp_path / "dsir_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert streamed == {d: (n, w) for d, n, w in want}
