@@ -1704,6 +1704,81 @@ select vec_id, cast(c as int) as cluster from afinal order by vec_id
 """
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (operators/bpe.py): the top-3
+    freq-weighted symbol merges over the documents vocabulary. Corpus
+    scanned once into (word, freq); each round is one vocab-table
+    aggregate + an O(1) driver digest. Pure integer statistics — the
+    DuckDB twin (recursive-CTE leftmost merges, provably the same
+    non-overlapping match set as Spark's lookaround replace-all)
+    reproduces the merge table exactly."""
+    from entity_linking_in_biomedical_spark.operators.bpe import bpe_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    rows = bpe_fit(docs, merges=3)
+    return spark.createDataFrame(
+        rows, "rank int, pair string, merged string, pair_count long"
+    ).orderBy("rank")
+
+
+def _oracle_bpe_merges(merges: int = 3) -> str:
+    def p_cte(p: str, s: str) -> str:
+        return f"""{p} as (
+  select w1 || ' ' || w2 as pair, cast(sum(freq) as bigint) as cnt from (
+    select freq, unnest(l[1:len(l)-1]) as w1, unnest(l[2:len(l)]) as w2
+    from (select freq, string_split(trim(seq), ' ') as l from {s})
+    where len(l) >= 2)
+  group by pair
+)"""
+
+    def merge_ctes(r: str, snext: str, sprev: str, b: str) -> str:
+        return f"""{r} as (
+  select word, freq, seq, 0 as it from {sprev}
+  union all
+  select {r}.word, {r}.freq,
+         regexp_replace({r}.seq, ' ' || {b}.pair || ' ',
+                        ' ' || replace({b}.pair, ' ', '') || ' '),
+         it + 1
+  from {r} cross join {b}
+  where position(' ' || {b}.pair || ' ' in {r}.seq) > 0
+), {snext} as (
+  select word, freq, seq from (
+    select *, row_number() over (partition by word order by it desc) as rn
+    from {r}) where rn = 1
+)"""
+
+    ctes = [
+        f"""w0 as (
+  select word, cast(count(*) as bigint) as freq
+  from (select unnest({_TOKS}) as word from documents)
+  group by word
+), s0 as (
+  select word, freq,
+         ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') as seq
+  from w0
+)"""
+    ]
+    finals = []
+    for i in range(1, merges + 1):
+        ctes.append(p_cte(f"p{i}", f"s{i - 1}"))
+        ctes.append(
+            f"b{i} as (select pair, cnt from p{i} order by cnt desc, pair limit 1)"
+        )
+        if i < merges:
+            ctes.append(merge_ctes(f"r{i}", f"s{i}", f"s{i - 1}", f"b{i}"))
+        finals.append(
+            f"select {i} as rank, pair, replace(pair, ' ', '') as merged,"
+            f" cnt as pair_count from b{i}"
+        )
+    joined = ",\n".join(ctes)
+    unioned = "\nunion all ".join(finals)
+    return f"""
+with recursive {joined}
+select cast(rank as int) as rank, pair, merged, pair_count
+from ({unioned}) order by rank
+"""
+
+
 # ---- similarity search over embeddings ------------------------------------
 
 
@@ -2443,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "quality_classifier": q_quality_classifier,
         "kmeans_clusters": q_kmeans_clusters,
+        "bpe_merges": q_bpe_merges,
         "corpus_stats": q_corpus_stats,
         "url_stats": q_url_stats,
         "vocab_drift": q_vocab_drift,
@@ -2501,6 +2577,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_sample": ORACLE_DSIR_SAMPLE,
         "quality_classifier": _oracle_quality_classifier(),
         "kmeans_clusters": _oracle_kmeans_clusters(),
+        "bpe_merges": _oracle_bpe_merges(),
         "corpus_stats": ORACLE_CORPUS_STATS,
         "url_stats": ORACLE_URL_STATS,
         "vocab_drift": ORACLE_VOCAB_DRIFT,

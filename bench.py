@@ -254,6 +254,7 @@ def main() -> None:
         "vocab_drift",
         "filter_funnel",
         "kmeans_clusters",
+        "bpe_merges",
         "ann_brute_force",
         "ann_lsh",
         "ann_ivf",
