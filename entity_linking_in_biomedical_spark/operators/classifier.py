@@ -140,6 +140,8 @@ def lr_fit(
         )
         aggs.append(F.count(F.lit(1)).alias("__n"))
         row = feats.agg(*aggs).collect()[0]
+        if row["__n"] == 0:
+            raise ValueError("cannot fit on an empty feature frame")
         n = float(row["__n"])
         for c in feature_cols:
             w[c] = _round9(w[c] - _round9(lr * float(row[c]) / n))

@@ -81,6 +81,8 @@ def kmeans_assign(
     )
     init_rows = base.orderBy(id_col).limit(k).collect()
     centroids = [[float(x) for x in r["__v"]] for r in init_rows]
+    if not centroids:
+        raise ValueError("cannot cluster an empty frame")
     dim = len(centroids[0])
 
     for _ in range(iters):

@@ -142,3 +142,9 @@ def test_lr_score_is_streaming_native(spark, tmp_path):
         for r in spark.sql("select * from qc_stream").collect()
     }
     assert got == want
+
+
+def test_lr_fit_rejects_empty_frame(spark):
+    df = spark.createDataFrame([], "doc_id int, text string, y int")
+    with pytest.raises(ValueError, match="empty"):
+        lr_fit(quality_features(df, carry=("y",)), "y")

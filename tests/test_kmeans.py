@@ -93,3 +93,9 @@ def test_kmeans_partition_invariant(spark):
         map(tuple, kmeans_assign(df.repartition(7), k=4, iters=2).collect())
     )
     assert a == b
+
+
+def test_kmeans_rejects_empty_frame(spark):
+    df = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_assign(df, k=2)
