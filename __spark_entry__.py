@@ -1501,7 +1501,7 @@ _DSIR_TOPN = 40
 
 def q_dsir_sample(spark, sf_dir):
     """DSIR importance resampling (operators/sampling.py, Xie et al.
-    2023): treat the '{de}' docs as the target corpus, weight every
+    2023): treat the lang='de' docs as the target corpus, weight every
     other doc by the log-ratio of add-1-smoothed hashed-n-gram models
     (256 md5-prefix buckets over word uni+bigrams), keep the top 40.
     Weights are 9-decimal-quantized decimal(38,9) sums (order-free),
