@@ -63,17 +63,17 @@ def _assign_expr(v: Column, centroids: list[list[float]]) -> Column:
     return F.array_min(F.array(*scores)).getField("c")
 
 
-def kmeans_assign(
+def kmeans_fit(
     df: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    out_col: str = "cluster",
-) -> DataFrame:
-    """(id, cluster) for every row, after ``iters`` full Lloyd rounds
-    (assign + centroid update) from first-k-by-id init, assigned once
-    more with the final centroids."""
+) -> list[list[float]]:
+    """``iters`` full Lloyd rounds (assign + centroid update) from
+    first-k-by-id init; returns the fitted centroids — a k×dim python
+    list, the durable model artifact (json-serializable; ride it into
+    :func:`kmeans_score` as plan literals)."""
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
     base = df.select(F.col(id_col), _dbl(vec_col).alias("__v")).localCheckpoint(
@@ -86,9 +86,9 @@ def kmeans_assign(
     dim = len(centroids[0])
 
     for _ in range(iters):
-        assigned = base.withColumn(out_col, _assign_expr(F.col("__v"), centroids))
+        assigned = base.withColumn("__c", _assign_expr(F.col("__v"), centroids))
         stats = (
-            assigned.groupBy(out_col)
+            assigned.groupBy("__c")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
                 *[
@@ -102,7 +102,7 @@ def kmeans_assign(
             )
             .collect()
         )
-        by_c = {r[out_col]: r for r in stats}
+        by_c = {r["__c"]: r for r in stats}
         for c in range(len(centroids)):
             r = by_c.get(c)
             if r is None:
@@ -111,7 +111,34 @@ def kmeans_assign(
             centroids[c] = [
                 _round9(float(r[f"s{i}"]) / n) for i in range(dim)
             ]
+    return centroids
 
-    return base.select(
-        id_col, _assign_expr(F.col("__v"), centroids).alias(out_col)
+
+def kmeans_score(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Append the nearest-centroid id — a pure codegen'd projection
+    with the model as plan literals (no join/UDF/state), so it composes
+    directly onto streaming frames the way lr_score does."""
+    return df.withColumn(
+        out_col, _assign_expr(_dbl(vec_col), centroids)
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """(id, cluster) for every row: :func:`kmeans_fit` then one final
+    assignment with the fitted centroids."""
+    centroids = kmeans_fit(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    return kmeans_score(
+        df.select(id_col, vec_col), centroids, vec_col=vec_col, out_col=out_col
+    ).select(id_col, out_col)

@@ -99,3 +99,35 @@ def test_kmeans_rejects_empty_frame(spark):
     df = spark.createDataFrame([], "vec_id int, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         kmeans_assign(df, k=2)
+
+
+def test_kmeans_score_is_streaming_native(spark, tmp_path):
+    """The fitted E-step is a pure plan-literal projection, so it
+    composes directly onto streaming frames (like lr_score)."""
+    from entity_linking_in_biomedical_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_score,
+    )
+
+    df = spark.createDataFrame(_ROWS, "vec_id int, embedding array<float>")
+    cents = kmeans_fit(df, k=2, iters=2)
+    want = {
+        r["vec_id"]: r["cluster"] for r in kmeans_score(df, cents).collect()
+    }
+    src = str(tmp_path / "km_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        kmeans_score(stream, cents)
+        .writeStream.format("memory")
+        .queryName("km_stream")
+        .option("checkpointLocation", str(tmp_path / "km_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in spark.sql("select vec_id, cluster from km_stream").collect()
+    }
+    assert got == want
