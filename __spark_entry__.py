@@ -1721,9 +1721,8 @@ def q_bpe_merges(spark, sf_dir):
     ).orderBy("rank")
 
 
-def _oracle_bpe_merges(merges: int = 3) -> str:
-    def p_cte(p: str, s: str) -> str:
-        return f"""{p} as (
+def _bpe_p_cte(p: str, s: str) -> str:
+    return f"""{p} as (
   select w1 || ' ' || w2 as pair, cast(sum(freq) as bigint) as cnt from (
     select freq, unnest(l[1:len(l)-1]) as w1, unnest(l[2:len(l)]) as w2
     from (select freq, string_split(trim(seq), ' ') as l from {s})
@@ -1731,8 +1730,9 @@ def _oracle_bpe_merges(merges: int = 3) -> str:
   group by pair
 )"""
 
-    def merge_ctes(r: str, snext: str, sprev: str, b: str) -> str:
-        return f"""{r} as (
+
+def _bpe_merge_ctes(r: str, snext: str, sprev: str, b: str) -> str:
+    return f"""{r} as (
   select word, freq, seq, 0 as it from {sprev}
   union all
   select {r}.word, {r}.freq,
@@ -1747,6 +1747,11 @@ def _oracle_bpe_merges(merges: int = 3) -> str:
     from {r}) where rn = 1
 )"""
 
+
+def _bpe_fit_ctes(merges: int, through_final_merge: bool) -> tuple[list, list]:
+    """The shared fit CTE chain: returns (ctes, per-round final selects).
+    With ``through_final_merge`` the chain also applies the LAST merge,
+    leaving s{merges} holding the fully-merged word seqs (encode path)."""
     ctes = [
         f"""w0 as (
   select word, cast(count(*) as bigint) as freq
@@ -1760,22 +1765,64 @@ def _oracle_bpe_merges(merges: int = 3) -> str:
     ]
     finals = []
     for i in range(1, merges + 1):
-        ctes.append(p_cte(f"p{i}", f"s{i - 1}"))
+        ctes.append(_bpe_p_cte(f"p{i}", f"s{i - 1}"))
         ctes.append(
             f"b{i} as (select pair, cnt from p{i} order by cnt desc, pair limit 1)"
         )
-        if i < merges:
-            ctes.append(merge_ctes(f"r{i}", f"s{i}", f"s{i - 1}", f"b{i}"))
+        if i < merges or through_final_merge:
+            ctes.append(_bpe_merge_ctes(f"r{i}", f"s{i}", f"s{i - 1}", f"b{i}"))
         finals.append(
             f"select {i} as rank, pair, replace(pair, ' ', '') as merged,"
             f" cnt as pair_count from b{i}"
         )
+    return ctes, finals
+
+
+def _oracle_bpe_merges(merges: int = 3) -> str:
+    ctes, finals = _bpe_fit_ctes(merges, through_final_merge=False)
     joined = ",\n".join(ctes)
     unioned = "\nunion all ".join(finals)
     return f"""
 with recursive {joined}
 select cast(rank as int) as rank, pair, merged, pair_count
 from ({unioned}) order by rank
+"""
+
+
+def q_bpe_encode(spark, sf_dir):
+    """Tokenize the corpus with the fitted merge table
+    (operators/bpe.py::bpe_encode_pieces): per doc, whitespace tokens
+    and BPE pieces after the 3 learned merges — merges apply to the
+    distinct-word table, one word-keyed join fans the piece counts
+    back, all-integer so the DuckDB twin replays it exactly."""
+    from entity_linking_in_biomedical_spark.operators.bpe import (
+        bpe_encode_pieces,
+        bpe_fit,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_fit(docs, merges=3)
+    return bpe_encode_pieces(docs, merges).orderBy("doc_id")
+
+
+def _oracle_bpe_encode(merges: int = 3) -> str:
+    ctes, _ = _bpe_fit_ctes(merges, through_final_merge=True)
+    joined = ",\n".join(ctes)
+    return f"""
+with recursive {joined},
+pieces as (
+  select word, cast(len(string_split(trim(seq), ' ')) as bigint) as p
+  from s{merges}
+), dw as (
+  select doc_id, word, cast(count(*) as bigint) as k
+  from (select doc_id, unnest({_TOKS}) as word from documents)
+  group by doc_id, word
+)
+select dw.doc_id,
+       cast(sum(dw.k) as bigint) as n_tokens,
+       cast(sum(dw.k * pieces.p) as bigint) as n_pieces
+from dw join pieces using (word)
+group by dw.doc_id order by dw.doc_id
 """
 
 
@@ -2519,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "kmeans_clusters": q_kmeans_clusters,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "corpus_stats": q_corpus_stats,
         "url_stats": q_url_stats,
         "vocab_drift": q_vocab_drift,
@@ -2578,6 +2626,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _oracle_quality_classifier(),
         "kmeans_clusters": _oracle_kmeans_clusters(),
         "bpe_merges": _oracle_bpe_merges(),
+        "bpe_encode": _oracle_bpe_encode(),
         "corpus_stats": ORACLE_CORPUS_STATS,
         "url_stats": ORACLE_URL_STATS,
         "vocab_drift": ORACLE_VOCAB_DRIFT,

@@ -255,6 +255,7 @@ def main() -> None:
         "filter_funnel",
         "kmeans_clusters",
         "bpe_merges",
+        "bpe_encode",
         "ann_brute_force",
         "ann_lsh",
         "ann_ivf",

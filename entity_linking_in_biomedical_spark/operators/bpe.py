@@ -135,3 +135,48 @@ def bpe_fit(
             "freq", apply_merge(F.col("seq"), a, b).alias("seq")
         ).localCheckpoint(eager=False)
     return out
+
+
+def bpe_encode_pieces(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a fitted merge table: per document, the
+    whitespace token count and the BPE piece count after applying every
+    merge in rank order — the "how many tokens will training actually
+    see" number a data pipeline budgets with.
+
+    Scale shape: merges apply to the DISTINCT-WORD table (one chained
+    lookaround projection per merge, vocabulary-sized work), then one
+    join keyed on word re-attaches piece counts to the per-doc word
+    counts and one map-side-partial groupBy sums them. The corpus is
+    exploded once; no per-document merge work. All-integer — the
+    DuckDB twin replays it exactly.
+
+    Documents with zero tokens drop out (no words to encode)."""
+    doc_words = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    pieces = doc_words.select("word").distinct().select(
+        "word", _padded_chars(F.col("word")).alias("seq")
+    )
+    for _, pair, _merged, _cnt in sorted(merges):
+        a, b = pair.split(" ")
+        pieces = pieces.select(
+            "word", apply_merge(F.col("seq"), a, b).alias("seq")
+        )
+    pieces = pieces.select(
+        "word", F.size(F.split(F.trim("seq"), " ")).alias("__p")
+    )
+    return (
+        doc_words.join(pieces, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("__p")).cast("long").alias("n_pieces"),
+        )
+    )

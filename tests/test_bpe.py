@@ -58,3 +58,21 @@ def test_bpe_fit_partition_invariant(spark):
     assert a == b
     # sanity: word_freq weighted the stats (every doc contributes)
     assert word_freq(df).count() > 10
+
+
+def test_bpe_encode_pieces_hand_checked(spark):
+    from entity_linking_in_biomedical_spark.operators.bpe import bpe_encode_pieces
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab ab ab"), (2, "ba abba"), (3, "")],
+        "doc_id int, text string",
+    )
+    merges = bpe_fit(docs, merges=2)
+    assert [m[2] for m in merges] == ["ab", "abab"]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_pieces"])
+        for r in bpe_encode_pieces(docs, merges).collect()
+    }
+    # abab -> 'abab' (1 piece), ab -> 'ab' (1); ba -> 'b a' (2),
+    # abba -> 'ab b a' (3); empty doc drops out
+    assert got == {1: (5, 5), 2: (2, 5)}
