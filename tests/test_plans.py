@@ -315,3 +315,17 @@ def test_round5_new_ops_stay_jvm_side_and_partial_agg(spark):
     # a bare project over the checkpointed base
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Join" not in plan
+
+    from entity_linking_in_biomedical_spark.operators.bpe import (
+        _pair_counts,
+        _padded_chars,
+        word_freq,
+    )
+
+    words = word_freq(docs).select(
+        "freq", _padded_chars(F.col("word")).alias("seq")
+    )
+    plan = plan_of(_pair_counts(words))
+    # one fit round: pure column expressions, map-side partial combine
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial" in plan
