@@ -104,6 +104,40 @@ def _cmd_lm_score(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_dsir_score(args: argparse.Namespace) -> int:
+    from .operators.sampling import dsir_fit, dsir_score
+
+    spark = _session(args.master)
+    docs = spark.read.parquet(args.documents)
+    if args.model:
+        model = spark.read.parquet(args.model)
+    else:
+        model = dsir_fit(docs, args.target_col, alpha=args.alpha)
+        if args.save_model:
+            model.write.mode("overwrite").parquet(args.save_model)
+            model = spark.read.parquet(args.save_model)
+    dsir_score(docs, model).write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, "model": args.model or args.save_model}))
+    return 0
+
+
+def _cmd_bpe_fit(args: argparse.Namespace) -> int:
+    from .operators.bpe import bpe_encode_pieces, bpe_fit
+
+    spark = _session(args.master)
+    docs = spark.read.parquet(args.documents)
+    merges = bpe_fit(docs, merges=args.merges)
+    spark.createDataFrame(
+        merges, "rank int, pair string, merged string, pair_count long"
+    ).coalesce(1).write.mode("overwrite").parquet(args.save_merges)
+    if args.pieces_out:
+        bpe_encode_pieces(docs, merges).write.mode("overwrite").parquet(
+            args.pieces_out
+        )
+    print(json.dumps({"merges": len(merges), "save_merges": args.save_merges}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="entity_linking_in_biomedical_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -132,6 +166,32 @@ def build_parser() -> argparse.ArgumentParser:
                     help="broadcast the model frames (shuffle-free scoring)")
     lm.add_argument("--master", help="Spark master (omit under spark-submit)")
     lm.set_defaults(fn=_cmd_lm_score)
+
+    ds = sub.add_parser(
+        "dsir-score",
+        help="DSIR target-likeness scoring: fit (or load) the bucket "
+        "log-ratio model, score docs",
+    )
+    ds.add_argument("--documents", required=True, help="parquet: (doc_id, text, ...)")
+    ds.add_argument("--out", required=True, help="output parquet: (doc_id, n_grams, weight)")
+    ds.add_argument("--model", help="load a saved dsir_fit model table instead of fitting")
+    ds.add_argument("--target-col", default="is_target",
+                    help="boolean column marking target-corpus docs (fit path)")
+    ds.add_argument("--save-model", help="save the fitted model table here")
+    ds.add_argument("--alpha", type=float, default=1.0)
+    ds.add_argument("--master", help="Spark master (omit under spark-submit)")
+    ds.set_defaults(fn=_cmd_dsir_score)
+
+    bp = sub.add_parser(
+        "bpe-fit",
+        help="learn BPE merges over the corpus; optionally write per-doc piece counts",
+    )
+    bp.add_argument("--documents", required=True, help="parquet: (doc_id, text, ...)")
+    bp.add_argument("--merges", type=int, default=32)
+    bp.add_argument("--save-merges", required=True, help="output parquet merge table")
+    bp.add_argument("--pieces-out", help="also write (doc_id, n_tokens, n_pieces) here")
+    bp.add_argument("--master", help="Spark master (omit under spark-submit)")
+    bp.set_defaults(fn=_cmd_bpe_fit)
 
     pre = sub.add_parser("preprocess", help="PubTator corpus -> .context/.txt layout")
     pre.add_argument("--corpus", required=True, help="PubTator corpus file")

@@ -150,3 +150,62 @@ def test_cli_lm_score_fit_save_then_load(tmp_path):
     a = con.execute(f"select * from read_parquet('{out1}/*.parquet') order by doc_id").fetchall()
     b = con.execute(f"select * from read_parquet('{out2}/*.parquet') order by doc_id").fetchall()
     assert a == b and len(a) == 60
+
+
+def test_cli_dsir_score_fit_save_then_load(tmp_path):
+    """dsir-score: fit + save the model table on one invocation, load +
+    score on the next — weights must agree."""
+    import duckdb
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    docs = tmp_path / "docs.parquet"
+    duckdb.connect().execute(
+        f"""copy (select cast(i as bigint) as doc_id,
+                 case when i % 4 = 0
+                      then 'quantum flux resonance field ' || cast(i as varchar)
+                      else 'banana oat smoothie recipe ' || cast(i as varchar) end as text,
+                 (i % 4 = 0) as is_target
+          from range(60) t(i)) to '{docs}' (format parquet)"""
+    )
+    out1, out2, model = tmp_path / "s1", tmp_path / "s2", tmp_path / "m"
+    base = [sys.executable, "-m", "entity_linking_in_biomedical_spark", "dsir-score",
+            "--documents", str(docs), "--master", "local[4]"]
+    r = subprocess.run(base + ["--out", str(out1), "--save-model", str(model)],
+                       capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(base + ["--out", str(out2), "--model", str(model)],
+                       capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    con = duckdb.connect()
+    a = con.execute(f"select * from read_parquet('{out1}/*.parquet') order by doc_id").fetchall()
+    b = con.execute(f"select * from read_parquet('{out2}/*.parquet') order by doc_id").fetchall()
+    assert a == b and len(a) == 60  # target docs scored too (they're rows of df)
+    m = con.execute(f"select count(*) from read_parquet('{model}/*.parquet')").fetchone()
+    assert m[0] == 256
+
+
+def test_cli_bpe_fit_writes_merges_and_pieces(tmp_path):
+    import duckdb
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    docs = tmp_path / "docs.parquet"
+    duckdb.connect().execute(
+        f"""copy (select cast(i as bigint) as doc_id,
+                 'abab abab ab cd cd' as text
+          from range(20) t(i)) to '{docs}' (format parquet)"""
+    )
+    merges, pieces = tmp_path / "merges", tmp_path / "pieces"
+    r = subprocess.run(
+        [sys.executable, "-m", "entity_linking_in_biomedical_spark", "bpe-fit",
+         "--documents", str(docs), "--merges", "2",
+         "--save-merges", str(merges), "--pieces-out", str(pieces),
+         "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    con = duckdb.connect()
+    mt = con.execute(
+        f"select rank, merged from read_parquet('{merges}/*.parquet') order by rank"
+    ).fetchall()
+    assert mt[0][1] == "ab" and len(mt) == 2
+    n = con.execute(f"select count(*) from read_parquet('{pieces}/*.parquet')").fetchone()
+    assert n[0] == 20
