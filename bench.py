@@ -27,9 +27,38 @@ def force(df) -> int:
     return 0
 
 
+def _probe_loop(n: int) -> int:
+    # module-level so multiprocessing can pickle it
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _host_probe(cpus: int) -> dict[str, float]:
+    """Fixed-work CPU calibration recorded alongside every bench draw,
+    so a reader can normalize wall numbers across host windows: this
+    shared box degrades up to ~4x under invisible co-tenant pressure
+    (BENCH/BASELINE.md, round-5 A/B — the round-4 binary itself drew
+    4.7x its record in a bad window). Quiet-window reference values
+    on this box: probe_1t 0.7-1.2 s, probe_mt within ~1.5x of
+    probe_1t; a probe_1t far above that marks a degraded window."""
+    import multiprocessing as mp
+    import time
+
+    t0 = time.time()
+    _probe_loop(10_000_000)
+    t1 = time.time()
+    with mp.Pool(cpus) as pool:
+        pool.map(_probe_loop, [10_000_000] * cpus)
+    t2 = time.time()
+    return {"probe_1t_sec": round(t1 - t0, 3), "probe_mt_sec": round(t2 - t1, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+    host_probe = _host_probe(cpus)
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -210,6 +239,7 @@ def main() -> None:
                     "er_corpus_docs": n_docs,
                     "bench_repeats": repeats,
                     "repeats": repeats_map,
+                    **host_probe,
                 }
             )
         )
@@ -281,6 +311,7 @@ def main() -> None:
                 "preprocess_corpus_docs": n_pre,
                 "bench_repeats": repeats,
                 "repeats": repeats_map,
+                **host_probe,
             }
         )
     )
