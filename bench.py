@@ -52,7 +52,24 @@ def _host_probe(cpus: int) -> dict[str, float]:
     with mp.Pool(cpus) as pool:
         pool.map(_probe_loop, [10_000_000] * cpus)
     t2 = time.time()
-    return {"probe_1t_sec": round(t1 - t0, 3), "probe_mt_sec": round(t2 - t1, 3)}
+    # memory-bandwidth probe: 64 MiB copied twice (256 MB moved). The
+    # round-5 session measured this collapsing from ~15 GB/s to
+    # **0.03 GB/s** (500x) while the CPU loop stayed healthy — host
+    # memory overcommit, and the single variable that explains the
+    # inflated-stage ER draws. Bounded size so a degraded window costs
+    # ~10 s here, not minutes.
+    import numpy as np
+
+    buf = np.zeros(2**23)  # 64 MiB of float64
+    t3 = time.time()
+    for _ in range(2):
+        buf = buf.copy()
+    membw = round(2 * 2 * (2**23 * 8) / (time.time() - t3) / 1e9, 2)
+    return {
+        "probe_1t_sec": round(t1 - t0, 3),
+        "probe_mt_sec": round(t2 - t1, 3),
+        "probe_membw_gbps": membw,
+    }
 
 
 def main() -> None:
