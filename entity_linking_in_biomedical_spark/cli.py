@@ -138,6 +138,24 @@ def _cmd_bpe_fit(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_curate(args: argparse.Namespace) -> int:
+    from .plans.curate import CurateConfig, curate_corpus
+
+    spark = _session(args.master)
+    docs = spark.read.parquet(args.documents)
+    test = spark.read.parquet(args.test_set) if args.test_set else None
+    cfg = CurateConfig(
+        langs=tuple(args.langs.split(",")) if args.langs else (),
+        min_quality=args.min_quality,
+        near_dup=not args.no_near_dup,
+        max_avg_nll=args.max_avg_nll,
+    )
+    res = curate_corpus(docs, test=test, cfg=cfg)
+    res["clean"].write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, "funnel": res["funnel"]}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="entity_linking_in_biomedical_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -192,6 +210,21 @@ def build_parser() -> argparse.ArgumentParser:
     bp.add_argument("--pieces-out", help="also write (doc_id, n_tokens, n_pieces) here")
     bp.add_argument("--master", help="Spark master (omit under spark-submit)")
     bp.set_defaults(fn=_cmd_bpe_fit)
+
+    cu = sub.add_parser(
+        "curate",
+        help="end-to-end curation: lang/quality gates, exact + near-dup "
+        "dedup, optional LM perplexity gate and decontamination",
+    )
+    cu.add_argument("--documents", required=True, help="parquet: (doc_id, text, lang, ...)")
+    cu.add_argument("--out", required=True, help="output parquet: the cleaned corpus")
+    cu.add_argument("--langs", default="en", help="comma list; empty string skips the gate")
+    cu.add_argument("--min-quality", type=float, default=0.3)
+    cu.add_argument("--no-near-dup", action="store_true")
+    cu.add_argument("--max-avg-nll", type=float, help="enable the LM gate at this threshold")
+    cu.add_argument("--test-set", help="parquet (test_id, text): decontaminate against it")
+    cu.add_argument("--master", help="Spark master (omit under spark-submit)")
+    cu.set_defaults(fn=_cmd_curate)
 
     pre = sub.add_parser("preprocess", help="PubTator corpus -> .context/.txt layout")
     pre.add_argument("--corpus", required=True, help="PubTator corpus file")

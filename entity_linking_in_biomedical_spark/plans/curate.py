@@ -1,0 +1,131 @@
+"""End-to-end corpus curation: the composed transform a 100 TB
+training-data run actually executes, wiring this repo's gates in the
+standard order (CCNet/RefinedWeb/GPT-3 appendix C):
+
+    language filter -> heuristic quality gate -> exact dedup
+    (keep-first) -> near-dup canonicalization (MinHash/LSH + connected
+    components) -> LM perplexity gate (bigram LM fit on the survivors)
+    -> test-set decontamination
+
+Every gate is one of the individually-oracled operators; this module
+adds only the composition, the keep-first exact rule, and the funnel
+accounting. The running frame is lazily localCheckpointed after each
+gate, so the per-gate funnel counts materialize each stage once and
+downstream gates reuse the blocks — k gates cost ~k passes, not k^2.
+
+Scale notes: the language/quality gates are codegen'd scan filters
+(the funnel's cheapest cuts first, shrinking everything downstream);
+exact dedup is one hash shuffle; near-dup is the bucketed LSH + CC
+transform; the LM gate is model-sized state; decontamination
+broadcasts the test side. Nothing in the composition adds a shuffle
+beyond its component operators'.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text_metrics import quality_score
+
+
+@dataclass
+class CurateConfig:
+    langs: tuple[str, ...] = ("en",)  # empty tuple skips the gate
+    min_quality: float = 0.3
+    near_dup: bool = True
+    jaccard_threshold: float = 0.7
+    max_avg_nll: float | None = None  # None skips the LM gate
+    lm_vocab_cap: int = 50_000
+    lm_alpha: float = 0.5
+    decontam_ngram: int = 13
+    decontam_min_overlap: int = 1
+
+
+def curate_corpus(
+    docs: DataFrame,
+    test: DataFrame | None = None,
+    cfg: CurateConfig = CurateConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> dict:
+    """Returns {"clean": cleaned corpus DataFrame (input columns),
+    "funnel": [(gate, rows_surviving), ...] — input first, then one
+    entry per gate actually applied}."""
+    cur = docs
+    funnel: list[tuple[str, int]] = [("input", cur.count())]
+
+    def gate(name: str, frame: DataFrame) -> DataFrame:
+        frame = frame.localCheckpoint(eager=False)
+        funnel.append((name, frame.count()))
+        return frame
+
+    if cfg.langs:
+        cur = gate("lang", cur.filter(F.col(lang_col).isin(*cfg.langs)))
+
+    if cfg.min_quality is not None:
+        cur = gate(
+            "quality",
+            cur.filter(quality_score(text_col) >= F.lit(float(cfg.min_quality))),
+        )
+
+    # exact dedup, keep-first by id within each content hash — one
+    # shuffle on the hash (the cheapest bulk-duplicate cut)
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+        F.col(id_col).cast("string")
+    )
+    cur = gate(
+        "exact_dedup",
+        cur.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn"),
+    )
+
+    if cfg.near_dup:
+        from ..operators.dedup import near_dup_clusters
+
+        canon = near_dup_clusters(
+            cur,
+            id_col=id_col,
+            text_col=text_col,
+            jaccard_threshold=cfg.jaccard_threshold,
+        ).filter(F.col("is_canonical"))
+        keep = canon.select(
+            F.col("doc_id").alias("__keep_id")
+        )
+        cur = gate(
+            "near_dup",
+            cur.join(
+                keep, cur[id_col].cast("string") == keep["__keep_id"], "left_semi"
+            ),
+        )
+
+    if cfg.max_avg_nll is not None:
+        from ..operators.lm import fit_bigram_lm, score_bigram_nll
+
+        lm = fit_bigram_lm(cur, vocab_cap=cfg.lm_vocab_cap, alpha=cfg.lm_alpha)
+        bad = (
+            score_bigram_nll(cur, lm, id_col=id_col, text_col=text_col)
+            .filter(F.col("avg_nll") > F.lit(float(cfg.max_avg_nll)))
+            .select(id_col)
+        )
+        cur = gate("lm_nll", cur.join(bad, id_col, "left_anti"))
+
+    if test is not None:
+        from ..operators.contamination import decontaminate
+
+        cur = gate(
+            "decontaminate",
+            decontaminate(
+                cur,
+                test,
+                n=cfg.decontam_ngram,
+                min_overlap=cfg.decontam_min_overlap,
+                id_col=id_col,
+                text_col=text_col,
+            ),
+        )
+
+    return {"clean": cur, "funnel": funnel}

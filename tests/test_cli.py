@@ -209,3 +209,31 @@ def test_cli_bpe_fit_writes_merges_and_pieces(tmp_path):
     assert mt[0][1] == "ab" and len(mt) == 2
     n = con.execute(f"select count(*) from read_parquet('{pieces}/*.parquet')").fetchone()
     assert n[0] == 20
+
+
+def test_cli_curate_end_to_end(tmp_path):
+    import duckdb
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    docs = tmp_path / "docs.parquet"
+    duckdb.connect().execute(
+        f"""copy (select cast(i as bigint) as doc_id,
+                 'the quick brown fox paragraph about systems number ' ||
+                   cast(i as varchar) ||
+                 ' with enough words that the quality gate keeps it around' as text,
+                 case when i % 5 = 0 then 'fr' else 'en' end as lang
+          from range(30) t(i)) to '{docs}' (format parquet)"""
+    )
+    out = tmp_path / "clean"
+    r = subprocess.run(
+        [sys.executable, "-m", "entity_linking_in_biomedical_spark", "curate",
+         "--documents", str(docs), "--out", str(out),
+         "--no-near-dup", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    gates = [g for g, _ in report["funnel"]]
+    assert gates == ["input", "lang", "quality", "exact_dedup"]
+    n = duckdb.connect().execute(
+        f"select count(*) from read_parquet('{out}/*.parquet')").fetchone()
+    assert n[0] == 24  # 30 minus the six i%5==0 'fr' docs; texts distinct
