@@ -84,21 +84,15 @@ def curate_corpus(
     )
 
     if cfg.near_dup:
-        from ..operators.dedup import near_dup_clusters
+        from ..operators.dedup import drop_near_duplicates
 
-        canon = near_dup_clusters(
-            cur,
-            id_col=id_col,
-            text_col=text_col,
-            jaccard_threshold=cfg.jaccard_threshold,
-        ).filter(F.col("is_canonical"))
-        keep = canon.select(
-            F.col("doc_id").alias("__keep_id")
-        )
         cur = gate(
             "near_dup",
-            cur.join(
-                keep, cur[id_col].cast("string") == keep["__keep_id"], "left_semi"
+            drop_near_duplicates(
+                cur,
+                id_col=id_col,
+                text_col=text_col,
+                jaccard_threshold=cfg.jaccard_threshold,
             ),
         )
 
