@@ -44,6 +44,10 @@ from entity_linking_in_biomedical_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_duplicates,
 )
+from entity_linking_in_biomedical_spark.operators.incremental_dedup import (
+    build_dedup_index,
+    flag_against_index,
+)
 from entity_linking_in_biomedical_spark.operators.similarity import (
     brute_force_topk,
     ivf_recall_at_k,
@@ -541,6 +545,110 @@ from pairs
 where cast(len(list_filter(a_sh, g -> list_contains(b_sh, g))) as double) /
       greatest(len(a_sh) + len(b_sh) - len(list_filter(a_sh, g -> list_contains(b_sh, g))), 1) >= {thr}
 order by a_id, b_id
+"""
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup (new snapshot vs persisted corpus index,
+    operators/incremental_dedup.py): even-id docs form the INDEX,
+    odd-id docs the arriving batch, with planted exact copies
+    (id%10==0 re-emitted as id+1000000) and planted near copies
+    (id%14==0, one appended tail phrase, as id+2000000) so both flag
+    kinds are exercised non-vacuously. Scores are signature-estimated
+    Jaccard — md5-minhash machinery the DuckDB twin replays exactly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 14 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" incremental near duplicate tail")
+                ).alias("text"),
+            )
+        )
+    )
+    index = build_dedup_index(idx_docs)
+    return flag_against_index(
+        batch, index, est_jaccard_threshold=0.5
+    ).orderBy("doc_id")
+
+
+def _oracle_incremental_dedup(
+    num_hashes=MINHASH_DEDUP_NUM_HASHES,
+    bands=MINHASH_DEDUP_BANDS,
+    max_bucket=MINHASH_DEDUP_MAX_BUCKET,
+    thr=0.5,
+) -> str:
+    from entity_linking_in_biomedical_spark.functions.ngrams import (
+        duckdb_minhash_sql,
+    )
+
+    sig = duckdb_minhash_sql(_duck_shingles("text"), num_hashes)
+    rows = num_hashes // bands
+    # band keys derived from the STORED signature column (rows>1 path of
+    # lsh_band_keys): md5('b{j}:' || sig[2j+1] || '|' || sig[2j+2])
+    band_parts = []
+    for j in range(bands):
+        elems = " || '|' || ".join(
+            f"cast(sig[{j * rows + r + 1}] as varchar)" for r in range(rows)
+        )
+        band_parts.append(f"md5('b{j}:' || {elems})")
+    bands_expr = "[" + ", ".join(band_parts) + "]"
+    agree = (
+        f"len([i for i in range(1, {num_hashes + 1}) "
+        f"if b_sig[i] = i_sig[i]])"
+    )
+    return f"""
+with idx as (
+  select cast(doc_id as varchar) as doc_id, text from documents where doc_id % 2 = 0
+),
+batch as (
+  select cast(doc_id as varchar) as doc_id, text from documents where doc_id % 2 = 1
+  union all
+  select cast(doc_id + 1000000 as varchar), text from documents where doc_id % 10 = 0
+  union all
+  select cast(doc_id + 2000000 as varchar), text || ' incremental near duplicate tail'
+  from documents where doc_id % 14 = 0
+),
+isig as (select doc_id, md5(text) as text_hash, {sig} as sig from idx),
+bsig as (select doc_id, md5(text) as text_hash, {sig} as sig from batch),
+exact as (
+  select b.doc_id, min(i.doc_id) as dup_of, 'exact' as kind, cast(1.0 as double) as score
+  from bsig b join isig i using (text_hash)
+  where b.doc_id <> i.doc_id
+  group by b.doc_id
+),
+ibands as (select doc_id, sig, unnest({bands_expr}) as bk from isig),
+ok as (select bk from ibands group by bk having count(*) <= {max_bucket}),
+bbands as (select doc_id, sig, unnest({bands_expr}) as bk from bsig),
+cand as (
+  select distinct b.doc_id, i.doc_id as i_id, b.sig as b_sig, i.sig as i_sig
+  from bbands b
+  join (select ibands.* from ibands join ok using (bk)) i using (bk)
+  where b.doc_id <> i.doc_id
+),
+scored as (
+  select doc_id, i_id, round(cast({agree} as double) / {num_hashes}, 6) as score
+  from cand
+),
+ranked as (
+  select doc_id, i_id, score,
+         row_number() over (partition by doc_id order by score desc, i_id) as rn
+  from scored where score >= {thr}
+)
+select doc_id, dup_of, kind, score from exact
+union all
+select doc_id, i_id as dup_of, 'near' as kind, score
+from ranked
+where rn = 1 and doc_id not in (select doc_id from exact)
+order by doc_id
 """
 
 
@@ -2543,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "fingerprint_dedup": q_fingerprint_dedup,
         "minhash_dedup": q_minhash_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_clusters_cc": q_doc_clusters_cc,
         "lang_id": q_lang_id,
@@ -2603,6 +2712,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": ORACLE_EXACT_DEDUP,
         "fingerprint_dedup": ORACLE_FP_DEDUP,
         "minhash_dedup": _oracle_minhash_dedup(),
+        "incremental_dedup": _oracle_incremental_dedup(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "doc_clusters_cc": _oracle_doc_clusters(),
         "lang_id": ORACLE_LANG_ID,
