@@ -48,6 +48,7 @@ from entity_linking_in_biomedical_spark.operators.incremental_dedup import (
     build_dedup_index,
     flag_against_index,
 )
+from entity_linking_in_biomedical_spark.operators.sharding import contiguous_shards
 from entity_linking_in_biomedical_spark.operators.similarity import (
     brute_force_topk,
     ivf_recall_at_k,
@@ -545,6 +546,41 @@ from pairs
 where cast(len(list_filter(a_sh, g -> list_contains(b_sh, g))) as double) /
       greatest(len(a_sh) + len(b_sh) - len(list_filter(a_sh, g -> list_contains(b_sh, g))), 1) >= {thr}
 order by a_id, b_id
+"""
+
+
+def q_shard_plan(spark, sf_dir):
+    """Contiguous output sharding (operators/sharding.py): docs on the
+    deterministic md5 line, cut every 50k chars; the distributed
+    two-level prefix sum must agree with the oracle's single global
+    window cumsum — the strongest possible check of the bucket-offset
+    arithmetic."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.length("text").cast("long").alias("sz"),
+    )
+    return (
+        contiguous_shards(docs, 50_000, "sz")
+        .select("doc_id", "sz", "shard_id")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SHARD_PLAN = """
+with d as (
+  select cast(doc_id as varchar) as doc_id,
+         cast(length(text) as bigint) as sz,
+         md5('shard:' || cast(doc_id as varchar)) as h
+  from documents
+),
+c as (
+  select doc_id, sz,
+         coalesce(sum(sz) over (
+           order by h, doc_id
+           rows between unbounded preceding and 1 preceding), 0) as cb
+  from d
+)
+select doc_id, sz, cb // 50000 as shard_id from c order by doc_id
 """
 
 
@@ -2652,6 +2688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": q_fingerprint_dedup,
         "minhash_dedup": q_minhash_dedup,
         "incremental_dedup": q_incremental_dedup,
+        "shard_plan": q_shard_plan,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_clusters_cc": q_doc_clusters_cc,
         "lang_id": q_lang_id,
@@ -2713,6 +2750,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_dedup": ORACLE_FP_DEDUP,
         "minhash_dedup": _oracle_minhash_dedup(),
         "incremental_dedup": _oracle_incremental_dedup(),
+        "shard_plan": ORACLE_SHARD_PLAN,
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "doc_clusters_cc": _oracle_doc_clusters(),
         "lang_id": ORACLE_LANG_ID,
