@@ -272,6 +272,7 @@ def main() -> None:
         "exact_dedup",
         "fingerprint_dedup",
         "minhash_dedup",
+        "incremental_dedup",
         "dup_passages",
         "dedup_passages_apply",
         "ngram_jaccard",
@@ -296,6 +297,7 @@ def main() -> None:
         "length_quantiles",
         "url_canonicalize",
         "hash_split",
+        "shard_plan",
         "corpus_stats",
         "url_stats",
         "vocab_drift",

@@ -151,6 +151,26 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         max_avg_nll=args.max_avg_nll,
     )
     res = curate_corpus(docs, test=test, cfg=cfg)
+    if args.shard_size:
+        # size-budgeted output shards + manifest instead of a flat table
+        from pyspark.sql import functions as F
+
+        from .operators.sharding import contiguous_shards, write_shards
+
+        sharded = contiguous_shards(
+            res["clean"].withColumn("__sz", F.length("text").cast("long")),
+            args.shard_size,
+            "__sz",
+        )
+        # __sz rides into the output (per-doc size is loader-useful
+        # metadata and the manifest aggregate needs it)
+        manifest = write_shards(sharded, args.out, "__sz")
+        print(
+            json.dumps(
+                {"out": args.out, "funnel": res["funnel"], "shards": len(manifest)}
+            )
+        )
+        return 0
     res["clean"].write.mode("overwrite").parquet(args.out)
     print(json.dumps({"out": args.out, "funnel": res["funnel"]}))
     return 0
@@ -223,6 +243,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--no-near-dup", action="store_true")
     cu.add_argument("--max-avg-nll", type=float, help="enable the LM gate at this threshold")
     cu.add_argument("--test-set", help="parquet (test_id, text): decontaminate against it")
+    cu.add_argument(
+        "--shard-size",
+        type=int,
+        help="write size-budgeted output shards (chars per shard) + _MANIFEST.json "
+        "instead of one flat table",
+    )
     cu.add_argument("--master", help="Spark master (omit under spark-submit)")
     cu.set_defaults(fn=_cmd_curate)
 

@@ -237,3 +237,34 @@ def test_cli_curate_end_to_end(tmp_path):
     n = duckdb.connect().execute(
         f"select count(*) from read_parquet('{out}/*.parquet')").fetchone()
     assert n[0] == 24  # 30 minus the six i%5==0 'fr' docs; texts distinct
+
+
+def test_cli_curate_sharded_output(tmp_path):
+    import duckdb
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    docs = tmp_path / "docs.parquet"
+    duckdb.connect().execute(
+        f"""copy (select cast(i as bigint) as doc_id,
+                 'the quick brown fox paragraph about systems number ' ||
+                   cast(i as varchar) ||
+                 ' with enough words that the quality gate keeps it around' as text,
+                 'en' as lang
+          from range(30) t(i)) to '{docs}' (format parquet)"""
+    )
+    out = tmp_path / "sharded"
+    r = subprocess.run(
+        [sys.executable, "-m", "entity_linking_in_biomedical_spark", "curate",
+         "--documents", str(docs), "--out", str(out),
+         "--no-near-dup", "--shard-size", "800", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    assert report["shards"] >= 2
+    manifest = json.load(open(out / "_MANIFEST.json"))
+    assert len(manifest) == report["shards"]
+    back = duckdb.connect().execute(
+        f"select count(*), count(distinct shard_id) "
+        f"from read_parquet('{out}/shards/*/*.parquet', hive_partitioning=1)"
+    ).fetchone()
+    assert back[0] == 30 and back[1] == report["shards"]
