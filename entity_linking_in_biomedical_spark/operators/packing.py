@@ -8,7 +8,8 @@ tokenize-and-pack job materializes before writing packed examples.
 Scale shape: the hard part is the global prefix sum (every document
 needs the total token count BEFORE it). A naive window over a global
 ORDER BY collapses to a single partition — unusable at 10^12 docs.
-This uses the classic two-level distributed prefix sum instead:
+This uses the classic two-level distributed prefix sum instead
+(functions/prefix_sum.py, shared with the contiguous shard packer):
 
 1. bucket documents by ``order_col div bucket_size`` (order-compatible
    ranges, so bucket i's documents all precede bucket i+1's),
@@ -26,8 +27,9 @@ floor) so offsets stay exact past 2^53 tokens.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
+from ..functions.prefix_sum import bucketed_prefix_sum
 from ..functions.text_metrics import token_count
 
 
@@ -62,32 +64,7 @@ def pack_sequences(
         .withColumn("__bkt", F.expr(f"__ord div {int(bucket_size)}"))
     )
 
-    in_bucket = Window.partitionBy("__bkt").orderBy("__ord")
-    n = n.withColumn(
-        "__cum_in",
-        F.coalesce(
-            F.sum("__len").over(
-                in_bucket.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0).cast("bigint"),
-        ),
-    )
-
-    # per-bucket totals: one row per bucket, running-summed on a single
-    # partition that holds O(n_buckets) rows only, then broadcast back
-    totals = n.groupBy("__bkt").agg(F.sum("__len").alias("__bt"))
-    bucket_order = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__bkt",
-        F.coalesce(F.sum("__bt").over(bucket_order), F.lit(0).cast("bigint")).alias(
-            "__boff"
-        ),
-    )
-
-    o = (
-        n.join(F.broadcast(offsets), "__bkt")
-        .withColumn("__o", F.col("__boff") + F.col("__cum_in"))
-    )
+    o = bucketed_prefix_sum(n, "__bkt", ("__ord",), "__len", "__o")
 
     # fragment explode: sequences floor(o/S) .. floor((o+L-1)/S)
     frag = o.select(

@@ -12,27 +12,17 @@ Two assignment rules, different guarantees:
   deterministic global line (ordered by md5(seed:id), the same
   partition-independent order the samplers use) and cut every
   ``shard_size`` units, so every shard's total lands in
-  [shard_size - max_doc, shard_size + max_doc). This needs a GLOBAL
-  prefix sum, which at 100 TB must not be a single-partition window:
-  it is computed scalably as
+  [shard_size - max_doc, shard_size + max_doc). The required GLOBAL
+  prefix sum must not be a single-partition window at 100 TB — it is
+  the shared two-level distributed prefix sum
+  (functions/prefix_sum.py, same machinery as pack_sequences), with
+  the md5 key's first two hex chars as the 256 order-partitioning
+  buckets; shard_id = global_cum_before div shard_size (integer
+  division — no float precision cliff at petabyte prefix sums).
 
-      1. one hash-shuffle into 256 hex-prefix buckets that PARTITION
-         the global order (every doc in bucket '00' precedes every doc
-         in bucket '01', ...);
-      2. a within-bucket running sum (window over the bucket — 1/256th
-         of the data per window partition, the classic two-level
-         prefix-sum);
-      3. bucket totals -> cumulative bucket OFFSETS: a 256-row
-         aggregate collected to the driver (the same O(1)-row digest
-         as clustering.py's CC convergence check) and joined back as a
-         literal map;
-      4. global_cum_before = offset[bucket] + within_before;
-         shard_id = global_cum_before div shard_size (integer
-         division — no float precision cliff at petabyte prefix sums).
-
-    Deterministic by construction (hash order, integer sums), so the
-    DuckDB oracle replays it with a plain global window and agrees
-    bit-for-bit, and a rerun/retry emits identical shards.
+  Deterministic by construction (hash order, integer sums), so the
+  DuckDB oracle replays it with a plain global window and agrees
+  bit-for-bit, and a rerun/retry emits identical shards.
 
 :func:`shard_manifest` aggregates per-shard (docs, units) — the
 sidecar a loader consumes; :func:`write_shards` writes one directory
@@ -43,9 +33,10 @@ from __future__ import annotations
 
 import json
 import os
-from itertools import chain
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.prefix_sum import bucketed_prefix_sum
 
 SHARD_BUCKETS_HEX = 2  # 16^2 = 256 order-partitioning buckets
 
@@ -78,47 +69,20 @@ def contiguous_shards(
 ) -> DataFrame:
     """Exact size-budget packing (see module docstring): appends
     ``out_col`` = global_cum_before div shard_size under the
-    deterministic md5 order. Runs one bounded driver job (the 256-row
-    bucket-offset digest) at call time, like the fit-style operators.
+    deterministic md5 order. Fully lazy — no driver job at call time.
 
     ``size_col`` must be a non-negative integral column (bytes, token
-    counts); sizes are summed as longs — exact, order-free."""
+    counts); sizes are summed as longs — exact, order-free. The md5
+    order key has no ties (it embeds the unique id), satisfying the
+    prefix-sum helper's strict-order requirement."""
     if shard_size < 1:
         raise ValueError(f"shard_size must be >= 1, got {shard_size}")
     h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
-    bucket = F.substring(h, 1, SHARD_BUCKETS_HEX)
-    sized = df.withColumn("__h", h).withColumn("__b", bucket)
-    w = (
-        Window.partitionBy("__b")
-        .orderBy("__h", F.col(id_col).cast("string"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    within_before = F.coalesce(
-        F.sum(F.col(size_col).cast("long")).over(w), F.lit(0).cast("long")
-    )
-
-    totals = {
-        r["__b"]: int(r["t"])
-        for r in df.select(bucket.alias("__b"), F.col(size_col).cast("long").alias("__s"))
-        .groupBy("__b")
-        .agg(F.sum("__s").alias("t"))
-        .collect()
-    }
-    offsets: dict[str, int] = {}
-    acc = 0
-    for b in sorted(totals):
-        offsets[b] = acc
-        acc += totals[b]
-    offset_map = F.create_map(
-        *chain.from_iterable(
-            (F.lit(b), F.lit(off)) for b, off in sorted(offsets.items())
-        )
-    )
-    cum_before = (
-        F.coalesce(offset_map[F.col("__b")], F.lit(0)).cast("long") + within_before
+    sized = df.withColumn("__h", h).withColumn(
+        "__b", F.substring(F.col("__h"), 1, SHARD_BUCKETS_HEX)
     )
     return (
-        sized.withColumn("__cb", cum_before)
+        bucketed_prefix_sum(sized, "__b", ("__h",), size_col, "__cb")
         .withColumn(out_col, F.expr(f"__cb div {int(shard_size)}"))
         .drop("__h", "__b", "__cb")
     )
