@@ -197,6 +197,37 @@ def flag_against_index(
     return exact.unionByName(near)
 
 
+def flag_foreach_batch(
+    index: DataFrame,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kw,
+):
+    """Streaming face of :func:`flag_against_index`: the flag plan
+    needs dropDuplicates + groupBy over each arriving document's
+    candidates, which append-mode streaming treats as unbounded
+    stateful aggregation — per-batch semantics wants the BATCH
+    operator per micro-batch (the contamination/dsir foreachBatch
+    pattern). ``sink(flags_df, batch_id)`` receives each micro-batch's
+    flags. Wire as::
+
+        stream.writeStream.foreachBatch(
+            flag_foreach_batch(index, sink)
+        ).start()
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            flag_against_index(
+                batch_df, index, id_col=id_col, text_col=text_col, **kw
+            ),
+            batch_id,
+        )
+
+    return _apply
+
+
 def dedup_against_index(
     batch: DataFrame,
     index: DataFrame,

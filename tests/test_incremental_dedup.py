@@ -132,3 +132,39 @@ def test_plan_jvm_only_no_cartesian(spark, corpus_index):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_flag_foreach_batch_matches_batch(spark, corpus_index, tmp_path):
+    """Streaming snapshot arrival: the foreachBatch wrapper agrees
+    exactly with the batch operator over all micro-batches."""
+    from entity_linking_in_biomedical_spark.operators.incremental_dedup import (
+        flag_foreach_batch,
+    )
+
+    batch = _batch(spark)
+    want = {
+        tuple(r)
+        for r in flag_against_index(
+            batch, corpus_index, est_jaccard_threshold=0.5
+        ).collect()
+    }
+    assert want
+
+    src = str(tmp_path / "inc_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    got = set()
+
+    def sink(df, batch_id):
+        got.update(tuple(r) for r in df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(
+            flag_foreach_batch(corpus_index, sink, est_jaccard_threshold=0.5)
+        )
+        .option("checkpointLocation", str(tmp_path / "inc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == want
