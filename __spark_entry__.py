@@ -2646,6 +2646,66 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL-level keep-first dedup (operators/dedup.drop_url_duplicates,
+    the RefinedWeb first gate): doc pairs (2k, 2k+1) carry raw VARIANTS
+    of one canonical URL (case/port/tracking-param differences), so the
+    smaller id must win; every 9th doc has a NULL url and must survive
+    via the skew-safe bypass."""
+    from entity_linking_in_biomedical_spark.functions.urls import canonical_url
+    from entity_linking_in_biomedical_spark.operators.dedup import (
+        drop_url_duplicates,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    item = F.expr("doc_id div 2").cast("string")
+    raw_even = F.concat(
+        F.lit("https://WWW.Site.COM:443/page/"), item, F.lit("?utm_source=x&q=1")
+    )
+    raw_odd = F.concat(
+        F.lit("https://www.site.com/page/"), item, F.lit("?q=1&utm_campaign=y")
+    )
+    with_urls = docs.select(
+        "doc_id",
+        F.when(d % 9 == 0, F.lit(None).cast("string"))
+        .when(d % 2 == 0, raw_even)
+        .otherwise(raw_odd)
+        .alias("url"),
+    )
+    return (
+        drop_url_duplicates(with_urls)
+        .select("doc_id", canonical_url("url").alias("canon"))
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_url_dedup() -> str:
+    from entity_linking_in_biomedical_spark.functions.urls import canonical_url_sql
+
+    canon = canonical_url_sql("url")
+    return f"""
+with raw as (
+  select doc_id,
+    case when doc_id % 9 = 0 then null
+         when doc_id % 2 = 0 then 'https://WWW.Site.COM:443/page/' ||
+           cast(doc_id // 2 as varchar) || '?utm_source=x&q=1'
+         else 'https://www.site.com/page/' ||
+           cast(doc_id // 2 as varchar) || '?q=1&utm_campaign=y' end as url
+  from documents
+),
+kept as (
+  select doc_id, url,
+         row_number() over (partition by {canon} order by doc_id) as rn
+  from raw where url is not null
+)
+select doc_id, {canon} as canon from kept where rn = 1
+union all
+select doc_id, cast(null as varchar) as canon from raw where url is null
+order by doc_id
+"""
+
+
 def _oracle_url_canonicalize() -> str:
     from entity_linking_in_biomedical_spark.functions.urls import canonical_url_sql
 
@@ -2689,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "incremental_dedup": q_incremental_dedup,
         "shard_plan": q_shard_plan,
+        "url_dedup": q_url_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_clusters_cc": q_doc_clusters_cc,
         "lang_id": q_lang_id,
@@ -2751,6 +2812,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _oracle_minhash_dedup(),
         "incremental_dedup": _oracle_incremental_dedup(),
         "shard_plan": ORACLE_SHARD_PLAN,
+        "url_dedup": _oracle_url_dedup(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "doc_clusters_cc": _oracle_doc_clusters(),
         "lang_id": ORACLE_LANG_ID,

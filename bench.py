@@ -296,6 +296,7 @@ def main() -> None:
         "quality_classifier",
         "length_quantiles",
         "url_canonicalize",
+        "url_dedup",
         "hash_split",
         "shard_plan",
         "corpus_stats",

@@ -576,3 +576,31 @@ def drop_near_duplicates(docs: DataFrame, id_col: str = "doc_id", **kw) -> DataF
     return docs.join(
         keep, docs[id_col].cast("string") == F.col("__keep_id"), "left_semi"
     )
+
+
+def drop_url_duplicates(
+    docs: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ONE document per canonical URL (smallest id wins) — the
+    URL-level dedup a web-corpus run does FIRST (RefinedWeb §3: most
+    recrawl duplicates share a URL, and this cut is one shuffle on a
+    short key, far cheaper than any content hash of the body).
+    Canonicalization is functions/urls.py (tracking params, case,
+    default ports), so 'the same page' collides across raw variants.
+    One window shuffle on the canonical key. Docs with a NULL url are
+    all kept, and they BYPASS the window entirely — routing every NULL
+    into one window partition would be the worst possible skew at web
+    scale (a large fraction of a raw crawl has no usable URL)."""
+    from pyspark.sql import Window
+
+    from ..functions.urls import canonical_url
+
+    with_url = docs.filter(F.col(url_col).isNotNull())
+    nulls = docs.filter(F.col(url_col).isNull())
+    w = Window.partitionBy(canonical_url(url_col)).orderBy(F.col(id_col))
+    kept = (
+        with_url.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return kept.unionByName(nulls)

@@ -2,10 +2,11 @@
 training-data run actually executes, wiring this repo's gates in the
 standard order (CCNet/RefinedWeb/GPT-3 appendix C):
 
-    language filter -> heuristic quality gate -> exact dedup
-    (keep-first) -> near-dup canonicalization (MinHash/LSH + connected
-    components) -> LM perplexity gate (bigram LM fit on the survivors)
-    -> test-set decontamination
+    [optional URL-level dedup first] -> language filter -> heuristic
+    quality gate -> exact dedup (keep-first) -> near-dup
+    canonicalization (MinHash/LSH + connected components) -> LM
+    perplexity gate (bigram LM fit on the survivors) -> test-set
+    decontamination
 
 Every gate is one of the individually-oracled operators; this module
 adds only the composition, the keep-first exact rule, and the funnel
@@ -32,6 +33,7 @@ from ..functions.text_metrics import quality_score
 
 @dataclass
 class CurateConfig:
+    url_col: str | None = None  # set to enable URL-level dedup FIRST
     langs: tuple[str, ...] = ("en",)  # empty tuple skips the gate
     min_quality: float = 0.3
     near_dup: bool = True
@@ -61,6 +63,16 @@ def curate_corpus(
         frame = frame.localCheckpoint(eager=False)
         funnel.append((name, frame.count()))
         return frame
+
+    if cfg.url_col:
+        # URL dedup runs FIRST (RefinedWeb order): recrawl duplicates
+        # share a URL, and this one short-key shuffle is far cheaper
+        # than anything content-based downstream
+        from ..operators.dedup import drop_url_duplicates
+
+        cur = gate(
+            "url_dedup", drop_url_duplicates(cur, url_col=cfg.url_col, id_col=id_col)
+        )
 
     if cfg.langs:
         cur = gate("lang", cur.filter(F.col(lang_col).isin(*cfg.langs)))

@@ -75,3 +75,47 @@ def test_canonical_url_idempotent(spark):
         for r in df.select(canonical_url(canonical_url("u")).alias("c")).collect()
     ]
     assert once == twice
+
+
+def test_drop_url_duplicates_keep_first_and_null_bypass(spark):
+    from entity_linking_in_biomedical_spark.operators.dedup import (
+        drop_url_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://WWW.Ex.COM:443/a?utm_source=x&q=1"),
+            (2, "https://www.ex.com/a?q=1"),  # same canonical as 1
+            (3, "https://www.ex.com/b"),
+            (4, None),
+            (5, None),  # every NULL survives
+        ],
+        "doc_id bigint, url string",
+    )
+    kept = {r["doc_id"] for r in drop_url_duplicates(docs).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_curate_url_gate_first(spark):
+    from entity_linking_in_biomedical_spark.plans.curate import (
+        CurateConfig,
+        curate_corpus,
+    )
+
+    text = "a long enough paragraph of ordinary english words that the " \
+           "quality gate keeps it around without any trouble at all " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, text + "one", "en", "https://ex.com/p?utm_source=a"),
+            (2, text + "two", "en", "https://EX.com/p"),  # same canonical
+            (3, text + "three", "en", None),
+        ],
+        "doc_id bigint, text string, lang string, url string",
+    )
+    res = curate_corpus(
+        docs, cfg=CurateConfig(url_col="url", near_dup=False)
+    )
+    gates = [g for g, _ in res["funnel"]]
+    assert gates[:2] == ["input", "url_dedup"]
+    assert dict(res["funnel"])["url_dedup"] == 2
+    assert {r["doc_id"] for r in res["clean"].collect()} == {1, 3}
