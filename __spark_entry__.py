@@ -2146,6 +2146,79 @@ def _docs_with_media(spark, sf_dir):
     )
 
 
+def q_media_dedup(spark, sf_dir):
+    """Span-level media-asset dedup over interleaved documents
+    (operators/multimodal.drop_duplicate_media): every doc carries one
+    text span + a SHARED media ref (img://shared-<doc_id mod 50> — ~10
+    docs collide per ref) + a unique media ref; only the first
+    (doc_id, pos) occurrence of each shared ref survives, span order
+    preserved. Output = per-doc surviving span count + the media refs
+    left, in order."""
+    from entity_linking_in_biomedical_spark.operators.multimodal import (
+        drop_duplicate_media,
+    )
+
+    d = F.col("doc_id")
+
+    def _m(ref):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            ref.alias("media_ref"),
+            F.lit(1).alias("offset"),
+        )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        d.cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            _m(F.concat(F.lit("img://shared-"), (d % 50).cast("string"))),
+            _m(F.concat(F.lit("img://uniq-"), d.cast("string"))),
+        ).alias("spans"),
+    )
+    out = drop_duplicate_media(docs)
+    return out.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == "media"),
+                lambda s: s["media_ref"],
+            ),
+        ).alias("media_csv"),
+    ).orderBy("doc_id")
+
+
+ORACLE_MEDIA_DEDUP = """
+with d as (
+  select cast(doc_id as varchar) as doc_id, doc_id % 50 as grp from documents
+),
+media as (
+  select doc_id, 1 as pos, 'img://shared-' || cast(grp as varchar) as ref from d
+  union all
+  select doc_id, 2 as pos, 'img://uniq-' || doc_id as ref from d
+),
+flagged as (
+  select doc_id, pos, ref,
+         row_number() over (partition by ref order by doc_id, pos) as rn
+  from media
+),
+kept as (select doc_id, pos, ref from flagged where rn = 1)
+select d.doc_id,
+       cast(1 + count(k.pos) as bigint) as n_spans,
+       coalesce(string_agg(k.ref, ',' order by k.pos), '') as media_csv
+from d left join kept k using (doc_id)
+group by d.doc_id
+order by doc_id
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing (S6-adjacent training-data path): attach one
     media span per document (media_ref = img://<doc_id>) and run the
@@ -2750,6 +2823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "shard_plan": q_shard_plan,
         "url_dedup": q_url_dedup,
+        "media_dedup": q_media_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_clusters_cc": q_doc_clusters_cc,
         "lang_id": q_lang_id,
@@ -2813,6 +2887,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": _oracle_incremental_dedup(),
         "shard_plan": ORACLE_SHARD_PLAN,
         "url_dedup": _oracle_url_dedup(),
+        "media_dedup": ORACLE_MEDIA_DEDUP,
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "doc_clusters_cc": _oracle_doc_clusters(),
         "lang_id": ORACLE_LANG_ID,

@@ -311,6 +311,7 @@ def main() -> None:
         "ann_ivf",
         "embedding_dedup",
         "media_features",
+        "media_dedup",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir))
 

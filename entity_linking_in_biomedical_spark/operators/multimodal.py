@@ -134,3 +134,61 @@ def sample_frames(
             yield out
 
     return frames.mapInPandas(featurize, FRAME_SAMPLE_SCHEMA)
+
+
+def drop_duplicate_media(documents: DataFrame) -> DataFrame:
+    """Corpus-wide media-asset dedup over INTERLEAVED documents: the
+    same ``media_ref`` appearing in several spans (across documents or
+    within one) keeps only its FIRST occurrence — smallest
+    (doc_id, span position) under the span struct's own ordering — and
+    every other media span carrying that ref is dropped from its
+    document's span array. Text spans are untouched and the RELATIVE
+    ORDER of all surviving spans is preserved (the engine's
+    span-sequence invariant; asserted in tests). NULL media_refs are
+    never deduped — no identity to collide on.
+
+    Why this exists: an image/video reused across crawled pages is the
+    multimodal analogue of boilerplate text; training pipelines dedup
+    assets by identity/content hash BEFORE paying decode cost. With
+    content-hashed refs (media_ref = hash of bytes) this is exact
+    content dedup; with URL refs it is identity dedup.
+
+    Scale shape: only MEDIA spans explode (a small fraction of spans);
+    one map-side-partial groupBy(media_ref) picks keepers, losers fold
+    back to one array<int> of drop positions per affected document, and
+    the span-array rewrite is a row-local higher-order filter — no
+    shuffle of text payloads, no UDF. Documents with no duplicated
+    media pass through the left join unchanged."""
+    media = documents.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).filter((F.col("s.kind") == "media") & F.col("s.media_ref").isNotNull())
+    keeper = media.groupBy(F.col("s.media_ref").alias("__ref")).agg(
+        F.min(
+            F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
+        ).alias("k"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    # only refs that actually collide produce drop work
+    drops = (
+        media.join(
+            # only collided refs join back; AQE sizes the join strategy
+            # (usually a tiny fraction of distinct refs -> broadcast)
+            keeper.filter(F.col("__n") > 1),
+            media["s.media_ref"] == F.col("__ref"),
+        )
+        .filter(
+            ~((F.col("doc_id") == F.col("k.d")) & (F.col("pos") == F.col("k.p")))
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("__drop"))
+    )
+    other_cols = [c for c in documents.columns if c != "spans"]
+    return documents.join(drops, "doc_id", "left").select(
+        *other_cols,
+        F.filter(
+            "spans",
+            lambda s, i: F.coalesce(
+                ~F.array_contains(F.col("__drop"), i), F.lit(True)
+            ),
+        ).alias("spans"),
+    )

@@ -362,3 +362,55 @@ def test_word_ngrams_short_doc_and_contamination(spark):
     }
     # t1 has 2 distinct 4-grams; both occur in c1 and in c3
     assert got == {("c1", "t1"): (2, 1.0), ("c3", "t1"): (2, 1.0)}
+
+
+def test_drop_duplicate_media_keep_first_and_order(spark):
+    from entity_linking_in_biomedical_spark.operators.multimodal import (
+        drop_duplicate_media,
+    )
+
+    def m(ref):
+        return ("media", None, ref, 1)
+
+    t = ("text", "words", None, 0)
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    docs = spark.createDataFrame(
+        [
+            # d1: within-doc duplicate of img://a (pos 1 wins over pos 3)
+            ("d1", [t, m("img://a"), m("img://b"), m("img://a")]),
+            # d2: cross-doc duplicate of img://a and b; keeps only its own
+            ("d2", [m("img://a"), t, m("img://c"), m("img://b")]),
+            # d3: null refs are never deduped
+            ("d3", [m(None), m(None), t]),
+        ],
+        schema,
+    )
+    got = {r["doc_id"]: r["spans"] for r in drop_duplicate_media(docs).collect()}
+    refs = lambda spans: [s["media_ref"] for s in spans if s["kind"] == "media"]
+    kinds = lambda spans: [s["kind"] for s in spans]
+    assert refs(got["d1"]) == ["img://a", "img://b"]
+    assert kinds(got["d1"]) == ["text", "media", "media"]  # order preserved
+    assert refs(got["d2"]) == ["img://c"]
+    assert kinds(got["d2"]) == ["text", "media"]
+    assert refs(got["d3"]) == [None, None]  # untouched
+    assert kinds(got["d3"]) == ["media", "media", "text"]
+
+
+def test_drop_duplicate_media_partition_invariance(spark, corpus):
+    from entity_linking_in_biomedical_spark.operators.multimodal import (
+        drop_duplicate_media,
+    )
+
+    docs, *_ = corpus.to_spark(spark)
+    a = drop_duplicate_media(docs).collect()
+    b = drop_duplicate_media(docs.repartition(13)).collect()
+    key = lambda rows: sorted((r["doc_id"], tuple(map(tuple, r["spans"]))) for r in rows)
+    assert key(a) == key(b)
+    # total media spans never increase, text spans never change
+    n_text = lambda rows: sum(
+        1 for r in rows for s in r["spans"] if s["kind"] == "text"
+    )
+    assert n_text(a) == n_text(docs.collect())
