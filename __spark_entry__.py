@@ -2219,6 +2219,108 @@ order by doc_id
 """
 
 
+def q_curate_interleaved(spark, sf_dir):
+    """Composed multimodal curation (plans/curate.curate_interleaved):
+    span-shaped docs (text span + shared media ref img://shared-<id%50>
+    + unique media ref; every 7th doc re-emitted under doc_id+1000000 so
+    the exact-dedup gate bites) -> media keep-first dedup -> lang 'en'
+    gate -> quality>=0.3 gate -> exact keep-first on the PROJECTED text
+    (concat of text spans) -> survivors back in span shape. Output =
+    per-survivor span count + surviving media refs in order."""
+    from entity_linking_in_biomedical_spark.plans.curate import (
+        CurateConfig,
+        curate_interleaved,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    flat = base.unionByName(planted)
+    d = F.col("doc_id")
+
+    def _m(ref):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            ref.alias("media_ref"),
+            F.lit(1).alias("offset"),
+        )
+
+    docs = flat.select(
+        d.cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            _m(F.concat(F.lit("img://shared-"), (d % 50).cast("string"))),
+            _m(F.concat(F.lit("img://uniq-"), d.cast("string"))),
+        ).alias("spans"),
+    )
+    res = curate_interleaved(docs, cfg=CurateConfig(near_dup=False))
+    return res["clean"].select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == "media"),
+                lambda s: s["media_ref"],
+            ),
+        ).alias("media_csv"),
+    ).orderBy("doc_id")
+
+
+def _oracle_curate_interleaved() -> str:
+    return f"""
+with flat as (
+  select cast(doc_id as varchar) as doc_id, doc_id % 50 as grp, text
+  from documents
+  union all
+  select cast(doc_id + 1000000 as varchar), (doc_id + 1000000) % 50, text
+  from documents where doc_id % 7 = 0
+),
+media as (
+  select doc_id, 1 as pos, 'img://shared-' || cast(grp as varchar) as ref from flat
+  union all
+  select doc_id, 2 as pos, 'img://uniq-' || doc_id as ref from flat
+),
+kept_media as (
+  select doc_id, pos, ref from (
+    select doc_id, pos, ref,
+           row_number() over (partition by ref order by doc_id, pos) as rn
+    from media) where rn = 1
+),
+feat as (
+  select doc_id, text, length(text) as n_chars,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) as alpha,
+         {_TOKS} as toks
+  from flat
+),
+gated as (
+  select doc_id, text from (
+    select doc_id, text, {_EN_RATIO} as en, {_ES_RATIO} as es,
+           {_QUALITY_EXPR} as q
+    from feat)
+  where en >= es and en > 0.02 and q >= 0.3
+),
+survivors as (
+  select doc_id from (
+    select doc_id,
+           row_number() over (partition by md5(text) order by doc_id) as rn
+    from gated) where rn = 1
+)
+select s.doc_id,
+       cast(1 + count(k.pos) as bigint) as n_spans,
+       coalesce(string_agg(k.ref, ',' order by k.pos), '') as media_csv
+from survivors s left join kept_media k using (doc_id)
+group by s.doc_id order by s.doc_id
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing (S6-adjacent training-data path): attach one
     media span per document (media_ref = img://<doc_id>) and run the
@@ -2824,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": q_shard_plan,
         "url_dedup": q_url_dedup,
         "media_dedup": q_media_dedup,
+        "curate_interleaved": q_curate_interleaved,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_clusters_cc": q_doc_clusters_cc,
         "lang_id": q_lang_id,
@@ -2888,6 +2991,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_plan": ORACLE_SHARD_PLAN,
         "url_dedup": _oracle_url_dedup(),
         "media_dedup": ORACLE_MEDIA_DEDUP,
+        "curate_interleaved": _oracle_curate_interleaved(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "doc_clusters_cc": _oracle_doc_clusters(),
         "lang_id": ORACLE_LANG_ID,

@@ -135,3 +135,78 @@ def curate_corpus(
         )
 
     return {"clean": cur, "funnel": funnel}
+
+
+# ---- interleaved (span-shaped) front-end -----------------------------------
+
+SPAN_TEXT_SEP = " "
+
+
+def spans_text(spans_col: str = "spans") -> "F.Column":
+    """Ordered concatenation of a document's kind='text' span texts —
+    the projection every text gate runs on for INTERLEAVED documents
+    (FIXTURES.md §1 span shape). Array order IS span order (the
+    engine's span-sequence invariant), so no sort is needed; media
+    spans contribute nothing. Pure row-local column expression."""
+    return F.concat_ws(
+        SPAN_TEXT_SEP,
+        F.transform(
+            F.filter(spans_col, lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"],
+        ),
+    )
+
+
+def curate_interleaved(
+    docs: DataFrame,
+    test: DataFrame | None = None,
+    cfg: CurateConfig = CurateConfig(),
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    media_dedup: bool = True,
+) -> dict:
+    """:func:`curate_corpus` over INTERLEAVED documents
+    (doc_id, spans array<struct<kind,text,media_ref,offset>>): the
+    composition a multimodal training-data run executes.
+
+        media-asset keep-first dedup (span rewrite, not a doc gate)
+        -> project text = ordered concat of text spans
+        -> derive lang via the heuristic lang_id (span docs carry no
+           lang column)
+        -> every text gate of curate_corpus on the (id, text, lang)
+           projection
+        -> survivors semi-joined back to the SPAN shape
+
+    The text gates run on a 3-column projection, NOT the span frame:
+    curate_corpus lazily checkpoints after each gate, and carrying
+    media-bearing span arrays through k checkpoints would replicate
+    the heavy payload k times. One id-keyed semi-join at the end
+    re-attaches spans — ids-only through the funnel, payload scanned
+    twice total (once for the rewrite/projection, once to emit).
+
+    Returns {"clean": span-shaped survivors (media-deduped spans,
+    relative span order preserved), "funnel": curate_corpus's doc-count
+    funnel, "media_spans": (spans_before, spans_after) — the span-level
+    effect of the media gate, kept out of the doc-count funnel}.
+    """
+    from ..functions.text_metrics import lang_id
+    from ..operators.multimodal import drop_duplicate_media
+
+    cur = docs
+    media_spans = None
+    if media_dedup:
+        before = docs.select(F.sum(F.size(spans_col))).first()[0] or 0
+        cur = drop_duplicate_media(cur).localCheckpoint(eager=False)
+        after = cur.select(F.sum(F.size(spans_col))).first()[0] or 0
+        media_spans = (int(before), int(after))
+
+    proj = cur.select(
+        F.col(id_col),
+        spans_text(spans_col).alias("__text"),
+    ).withColumn("__lang", lang_id("__text"))
+
+    out = curate_corpus(
+        proj, test=test, cfg=cfg, id_col=id_col, text_col="__text", lang_col="__lang"
+    )
+    clean = cur.join(out["clean"].select(id_col), id_col, "semi")
+    return {"clean": clean, "funnel": out["funnel"], "media_spans": media_spans}

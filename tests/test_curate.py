@@ -61,3 +61,76 @@ def test_curate_lm_gate_cuts_high_perplexity(spark):
     assert len(kept) >= 15  # the normal docs survive
     gates = [g for g, _ in res["funnel"]]
     assert gates == ["input", "lang", "quality", "exact_dedup", "lm_nll"]
+
+
+def test_curate_interleaved_gates_media_and_text(spark):
+    from entity_linking_in_biomedical_spark.plans.curate import curate_interleaved
+
+    def t(s):
+        return ("text", s, None, 0)
+
+    def m(ref):
+        return ("media", None, ref, 1)
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    rows = [
+        # survivor: good text split across two spans with media between;
+        # img://dup appears here FIRST so d1 keeps it
+        ("d1", [t(_GOOD), m("img://dup"), t("alpha"), m("img://d1")]),
+        # exact dup of d1's PROJECTED text (media refs differ) -> cut,
+        # and its img://dup copy is dropped by the media gate first
+        ("d2", [t(_GOOD + " alpha"), m("img://dup")]),  # " " = projection sep
+        # quality cut (stopword 'the' keeps lang=en; symbols sink quality)
+        ("d3", [t("the !!! ??? $$$ %%%"), m("img://d3")]),
+        # lang cut (es stopwords)
+        ("d4", [t("el que de la los en se del y las " * 8)]),
+        # survivor with no media
+        ("d5", [t("completely different prose about the economics of "
+                  "publishing open access journals and the incentives "
+                  "they create for authors and reviewers")]),
+    ]
+    docs = spark.createDataFrame(rows, schema)
+    res = curate_interleaved(docs, cfg=CurateConfig(near_dup=False))
+    clean = {r["doc_id"]: r["spans"] for r in res["clean"].collect()}
+    assert sorted(clean) == ["d1", "d5"]
+    # d1's spans survive media-deduped and ORDER-preserved (it owns the
+    # first occurrence of img://dup, so nothing is dropped from it)
+    assert [s["kind"] for s in clean["d1"]] == ["text", "media", "text", "media"]
+    assert [s["media_ref"] for s in clean["d1"] if s["kind"] == "media"] == [
+        "img://dup", "img://d1"
+    ]
+    # funnel counts docs through the text gates on the projection
+    assert res["funnel"] == [
+        ("input", 5),
+        ("lang", 4),
+        ("quality", 3),
+        ("exact_dedup", 2),
+    ]
+    # media gate accounting: 10 spans in, 9 out (d2's img://dup dropped)
+    assert res["media_spans"] == (10, 9)
+    # projection separator joins multi-span text: d1 == d2's single span
+    # is exactly why d2 was cut as an exact dup
+
+
+def test_curate_interleaved_no_media_dedup_passthrough(spark):
+    from entity_linking_in_biomedical_spark.plans.curate import curate_interleaved
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    docs = spark.createDataFrame(
+        [("a", [("text", _GOOD, None, 0), ("media", None, "img://x", 1)]),
+         ("b", [("text", _GOOD, None, 0), ("media", None, "img://x", 1)])],
+        schema,
+    )
+    res = curate_interleaved(
+        docs, cfg=CurateConfig(near_dup=False), media_dedup=False
+    )
+    assert res["media_spans"] is None
+    kept = {r["doc_id"] for r in res["clean"].collect()}
+    assert kept == {"a"}  # exact keep-first on projected text
+    # b's media span untouched pre-cut: media_dedup=False never rewrites
