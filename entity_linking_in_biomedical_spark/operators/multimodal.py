@@ -159,9 +159,7 @@ def drop_duplicate_media(documents: DataFrame) -> DataFrame:
     the span-array rewrite is a row-local higher-order filter — no
     shuffle of text payloads, no UDF. Documents with no duplicated
     media pass through the left join unchanged."""
-    media = documents.select(
-        "doc_id", F.posexplode("spans").alias("pos", "s")
-    ).filter((F.col("s.kind") == "media") & F.col("s.media_ref").isNotNull())
+    media = _media_spans(documents)
     keeper = media.groupBy(F.col("s.media_ref").alias("__ref")).agg(
         F.min(
             F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
@@ -182,6 +180,22 @@ def drop_duplicate_media(documents: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_set("pos").alias("__drop"))
     )
+    return _drop_span_positions(documents, drops)
+
+
+def _media_spans(documents: DataFrame) -> DataFrame:
+    """(doc_id, pos, s) — one row per NON-NULL-ref media span. Only
+    media spans explode; text payloads never leave their row."""
+    return documents.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).filter((F.col("s.kind") == "media") & F.col("s.media_ref").isNotNull())
+
+
+def _drop_span_positions(documents: DataFrame, drops: DataFrame) -> DataFrame:
+    """Rewrite span arrays dropping the positions in ``drops``
+    (doc_id, __drop array<int>): one left join + a row-local
+    higher-order filter preserving relative span order. Documents
+    absent from ``drops`` pass through unchanged."""
     other_cols = [c for c in documents.columns if c != "spans"]
     return documents.join(drops, "doc_id", "left").select(
         *other_cols,
@@ -192,3 +206,85 @@ def drop_duplicate_media(documents: DataFrame) -> DataFrame:
             ),
         ).alias("spans"),
     )
+
+
+def build_media_index(documents: DataFrame) -> DataFrame:
+    """(media_ref string) — the distinct media identities already in
+    the curated corpus: the durable artifact incremental media dedup
+    checks arriving snapshots against, one short row per distinct
+    asset regardless of corpus size (the media analogue of
+    incremental_dedup.build_dedup_index). One scan + one
+    map-side-partial distinct; persist bucketed on media_ref so the
+    per-snapshot semi-join plans exchange-free on the index side.
+    After absorbing a cleaned batch, append
+    ``build_media_index(clean_batch)`` (union + distinct, or a MERGE
+    on an Iceberg index table)."""
+    return (
+        _media_spans(documents)
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+
+
+def dedup_media_batch(batch: DataFrame, index: DataFrame) -> DataFrame:
+    """Incremental form of :func:`drop_duplicate_media`: dedup an
+    ARRIVING batch of interleaved documents against a persisted
+    :func:`build_media_index` — O(batch + touched index partitions),
+    never an O(corpus) re-dedup. A media span is dropped iff its ref is
+    already INDEXED (the asset is stored; keep-first across snapshots)
+    or an earlier (doc_id, pos) span in THIS batch carries the same
+    fresh ref (keep-first within the batch, exactly the corpus
+    operator's rule). Text spans untouched, relative span order
+    preserved, NULL refs never deduped.
+
+    Scale shape: ONE media-span explode; category (a) drops are a
+    semi-join against the short index; keep-first runs only over the
+    anti-join remainder (fresh refs); both fold back to one
+    drop-position array per affected doc and the rewrite is the shared
+    row-local filter."""
+    media = _media_spans(batch).localCheckpoint(eager=False)
+    iref = index.select(F.col("media_ref").alias("__iref"))
+    on = media["s.media_ref"] == F.col("__iref")
+    indexed = media.join(iref, on, "semi").select("doc_id", "pos")
+    fresh = media.join(iref, on, "anti")
+    keeper = fresh.groupBy(F.col("s.media_ref").alias("__ref")).agg(
+        F.min(
+            F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
+        ).alias("k"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    batch_dups = (
+        fresh.join(
+            keeper.filter(F.col("__n") > 1),
+            fresh["s.media_ref"] == F.col("__ref"),
+        )
+        .filter(
+            ~((F.col("doc_id") == F.col("k.d")) & (F.col("pos") == F.col("k.p")))
+        )
+        .select("doc_id", "pos")
+    )
+    drops = (
+        indexed.unionByName(batch_dups)
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("__drop"))
+    )
+    return _drop_span_positions(batch, drops)
+
+
+def media_dedup_foreach_batch(index: DataFrame, sink):
+    """Streaming face of :func:`dedup_media_batch` (the
+    flag_foreach_batch pattern): per micro-batch, replay the exact
+    batch operator against the persisted index and hand the cleaned
+    span docs to ``sink(clean_df, batch_id)`` — which should also
+    append ``build_media_index(clean_df)`` to the index table so the
+    next snapshot sees this one's assets. Wire as::
+
+        stream.writeStream.foreachBatch(
+            media_dedup_foreach_batch(index, sink)
+        ).start()
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sink(dedup_media_batch(batch_df, index), batch_id)
+
+    return _apply

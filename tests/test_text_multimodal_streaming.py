@@ -414,3 +414,141 @@ def test_drop_duplicate_media_partition_invariance(spark, corpus):
         1 for r in rows for s in r["spans"] if s["kind"] == "text"
     )
     assert n_text(a) == n_text(docs.collect())
+
+
+_SPAN_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def _mspan(ref):
+    return ("media", None, ref, 1)
+
+
+def _tspan(s="words"):
+    return ("text", s, None, 0)
+
+
+def test_dedup_media_batch_vs_index_and_within_batch(spark):
+    from entity_linking_in_biomedical_spark.operators.multimodal import (
+        build_media_index,
+        dedup_media_batch,
+    )
+
+    corpus = spark.createDataFrame(
+        [("c1", [_tspan(), _mspan("img://old"), _mspan("img://held")])],
+        _SPAN_SCHEMA,
+    )
+    index = build_media_index(corpus)
+    assert sorted(r["media_ref"] for r in index.collect()) == [
+        "img://held", "img://old",
+    ]
+    batch = spark.createDataFrame(
+        [
+            # b1: indexed ref dropped; fresh ref kept (first occurrence)
+            ("b1", [_mspan("img://old"), _tspan(), _mspan("img://new")]),
+            # b2: batch-internal dup of img://new dropped (b1 pos 2 is
+            # first by (doc_id,pos)); own fresh ref kept; null survives
+            ("b2", [_mspan("img://new"), _mspan(None), _mspan("img://b2")]),
+        ],
+        _SPAN_SCHEMA,
+    )
+    got = {
+        r["doc_id"]: [
+            (s["kind"], s["media_ref"]) for s in r["spans"]
+        ]
+        for r in dedup_media_batch(batch, index).collect()
+    }
+    assert got["b1"] == [("text", None), ("media", "img://new")]
+    assert got["b2"] == [("media", None), ("media", "img://b2")]
+
+
+def test_dedup_media_batch_rerun_after_absorb_is_stable(spark):
+    """Absorbing a cleaned batch then re-deduping the CLEAN batch
+    against the grown index must not drop its own keepers' refs from
+    other docs only (keepers themselves are by definition the only
+    holders post-clean, so a re-run drops everything indexed —
+    documents arriving twice are fully stripped, the cross-snapshot
+    keep-first contract)."""
+    from entity_linking_in_biomedical_spark.operators.multimodal import (
+        build_media_index,
+        dedup_media_batch,
+    )
+
+    index = build_media_index(
+        spark.createDataFrame([("c", [_mspan("img://a")])], _SPAN_SCHEMA)
+    )
+    batch = spark.createDataFrame(
+        [("b", [_mspan("img://a"), _mspan("img://b"), _tspan()])], _SPAN_SCHEMA
+    )
+    clean = dedup_media_batch(batch, index)
+    grown = index.unionByName(build_media_index(clean)).distinct()
+    assert sorted(r["media_ref"] for r in grown.collect()) == [
+        "img://a", "img://b",
+    ]
+    # the same raw batch re-arriving (recrawl) now loses BOTH refs
+    re_run = {
+        r["doc_id"]: [s["kind"] for s in r["spans"]]
+        for r in dedup_media_batch(batch, grown).collect()
+    }
+    assert re_run["b"] == ["text"]
+
+
+def test_dedup_media_batch_matches_corpus_operator(spark, corpus):
+    """Empty index => dedup_media_batch IS drop_duplicate_media (the
+    batch-internal rule is the corpus rule)."""
+    from entity_linking_in_biomedical_spark.operators.multimodal import (
+        build_media_index,
+        dedup_media_batch,
+        drop_duplicate_media,
+    )
+
+    docs, *_ = corpus.to_spark(spark)
+    empty = build_media_index(docs.limit(0))
+    key = lambda rows: sorted(
+        (r["doc_id"], tuple(map(tuple, r["spans"]))) for r in rows
+    )
+    assert key(dedup_media_batch(docs, empty).collect()) == key(
+        drop_duplicate_media(docs).collect()
+    )
+
+
+def test_media_dedup_foreach_batch_matches_batch(spark, tmp_path):
+    from entity_linking_in_biomedical_spark.operators.multimodal import (
+        build_media_index,
+        dedup_media_batch,
+        media_dedup_foreach_batch,
+    )
+
+    index = build_media_index(
+        spark.createDataFrame([("c", [_mspan("img://old")])], _SPAN_SCHEMA)
+    )
+    batch = spark.createDataFrame(
+        [
+            ("s1", [_mspan("img://old"), _mspan("img://x"), _tspan()]),
+            ("s2", [_mspan("img://y"), _tspan("more")]),
+        ],
+        _SPAN_SCHEMA,
+    )
+    want = sorted(
+        (r["doc_id"], tuple(map(tuple, r["spans"])))
+        for r in dedup_media_batch(batch, index).collect()
+    )
+
+    src = str(tmp_path / "media_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    got = []
+
+    def sink(df, batch_id):
+        got.extend((r["doc_id"], tuple(map(tuple, r["spans"]))) for r in df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(media_dedup_foreach_batch(index, sink))
+        .option("checkpointLocation", str(tmp_path / "media_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == want
