@@ -2219,6 +2219,114 @@ order by doc_id
 """
 
 
+def q_media_dedup_incremental(spark, sf_dir):
+    """Incremental media-asset dedup (operators/multimodal.
+    dedup_media_batch): even-id docs form the persisted corpus whose
+    build_media_index is the INDEX; odd-id docs are the arriving
+    snapshot. Each batch doc carries one text span + an INDEXED ref
+    (img://shared-<(id+1)%50> — even group, so always in the index:
+    dropped via the index semi-join), a BATCH-shared fresh ref
+    (img://batch-<id%30> — ~16 docs collide: keep-first by (doc_id,
+    pos) within the snapshot), and a unique fresh ref (kept). Output =
+    per-batch-doc surviving span count + surviving media refs in
+    order, same projection as media_dedup."""
+    from entity_linking_in_biomedical_spark.operators.multimodal import (
+        build_media_index,
+        dedup_media_batch,
+    )
+
+    d = F.col("doc_id")
+
+    def _m(ref):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            ref.alias("media_ref"),
+            F.lit(1).alias("offset"),
+        )
+
+    def _txt():
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).alias("offset"),
+        )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(d % 2 == 0).select(
+        d.cast("string").alias("doc_id"),
+        F.array(
+            _txt(),
+            _m(F.concat(F.lit("img://shared-"), (d % 50).cast("string"))),
+            _m(F.concat(F.lit("img://uniq-"), d.cast("string"))),
+        ).alias("spans"),
+    )
+    batch = docs.filter(d % 2 == 1).select(
+        d.cast("string").alias("doc_id"),
+        F.array(
+            _txt(),
+            _m(
+                F.concat(
+                    F.lit("img://shared-"), ((d + 1) % 50).cast("string")
+                )
+            ),
+            _m(F.concat(F.lit("img://batch-"), (d % 30).cast("string"))),
+            _m(F.concat(F.lit("img://uniq-"), d.cast("string"))),
+        ).alias("spans"),
+    )
+    out = dedup_media_batch(batch, build_media_index(corpus))
+    return out.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == "media"),
+                lambda s: s["media_ref"],
+            ),
+        ).alias("media_csv"),
+    ).orderBy("doc_id")
+
+
+ORACLE_MEDIA_DEDUP_INCREMENTAL = """
+with ev as (select doc_id from documents where doc_id % 2 = 0),
+idx as (
+  select distinct 'img://shared-' || cast(doc_id % 50 as varchar) as ref from ev
+  union
+  select 'img://uniq-' || cast(doc_id as varchar) from ev
+),
+od as (
+  select cast(doc_id as varchar) as doc_id, doc_id as id
+  from documents where doc_id % 2 = 1
+),
+media as (
+  select doc_id, 1 as pos,
+         'img://shared-' || cast((id + 1) % 50 as varchar) as ref from od
+  union all
+  select doc_id, 2, 'img://batch-' || cast(id % 30 as varchar) from od
+  union all
+  select doc_id, 3, 'img://uniq-' || cast(id as varchar) from od
+),
+fresh as (
+  select m.* from media m
+  where not exists (select 1 from idx i where i.ref = m.ref)
+),
+ranked as (
+  select doc_id, pos, ref,
+         row_number() over (partition by ref order by doc_id, pos) as rn
+  from fresh
+),
+kept as (select doc_id, pos, ref from ranked where rn = 1)
+select o.doc_id,
+       cast(1 + count(k.pos) as bigint) as n_spans,
+       coalesce(string_agg(k.ref, ',' order by k.pos), '') as media_csv
+from od o left join kept k using (doc_id)
+group by o.doc_id
+order by doc_id
+"""
+
+
 def q_curate_interleaved(spark, sf_dir):
     """Composed multimodal curation (plans/curate.curate_interleaved):
     span-shaped docs (text span + shared media ref img://shared-<id%50>
@@ -2926,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_plan": q_shard_plan,
         "url_dedup": q_url_dedup,
         "media_dedup": q_media_dedup,
+        "media_dedup_incremental": q_media_dedup_incremental,
         "curate_interleaved": q_curate_interleaved,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_clusters_cc": q_doc_clusters_cc,
@@ -2991,6 +3100,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_plan": ORACLE_SHARD_PLAN,
         "url_dedup": _oracle_url_dedup(),
         "media_dedup": ORACLE_MEDIA_DEDUP,
+        "media_dedup_incremental": ORACLE_MEDIA_DEDUP_INCREMENTAL,
         "curate_interleaved": _oracle_curate_interleaved(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "doc_clusters_cc": _oracle_doc_clusters(),

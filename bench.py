@@ -312,6 +312,7 @@ def main() -> None:
         "embedding_dedup",
         "media_features",
         "media_dedup",
+        "media_dedup_incremental",
         "curate_interleaved",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir))
