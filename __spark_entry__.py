@@ -763,6 +763,96 @@ from lbl group by cluster_id having count(*) > 1 order by cluster_id
 """
 
 
+def q_cc_incremental(spark, sf_dir):
+    """Incremental CC maintenance (operators/clustering.
+    merge_into_clusters): a deterministic BASE match graph over the
+    documents ids (chains at id%7 and id%9) is clustered with the full
+    batch CC, then a SNAPSHOT of new edges — cluster-merging (id%13:
+    id—id+7), new-node-attaching (id%31: id+3000000—id), and
+    brand-new components (id%17: id+4000000—id+4000001) — is folded in
+    via the contracted-graph merge. Oracle: one recursive-CTE CC over
+    the UNION of both edge sets (the merge is provably equivalent to
+    the full recompute). Output = non-singleton clusters."""
+    from entity_linking_in_biomedical_spark.operators.clustering import (
+        merge_into_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    i = F.col("id")
+
+    def _s(c):
+        return c.cast("string")
+
+    base = (
+        docs.filter(i % 7 == 0)
+        .select(_s(i).alias("src"), _s(i + 1).alias("dst"))
+        .unionByName(
+            docs.filter(i % 9 == 0).select(
+                _s(i).alias("src"), _s(i + 2).alias("dst")
+            )
+        )
+    )
+    nodes = docs.select(_s(i).alias("node"))
+    assign, _ = connected_components(base, nodes=nodes)
+    new = (
+        docs.filter(i % 13 == 0)
+        .select(_s(i).alias("src"), _s(i + 7).alias("dst"))
+        .unionByName(
+            docs.filter(i % 31 == 0).select(
+                _s(i + 3000000).alias("src"), _s(i).alias("dst")
+            )
+        )
+        .unionByName(
+            docs.filter(i % 17 == 0).select(
+                _s(i + 4000000).alias("src"), _s(i + 4000001).alias("dst")
+            )
+        )
+    )
+    updated, _ = merge_into_clusters(assign, new)
+    return (
+        updated.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("cluster_size"),
+            F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias(
+                "members"
+            ),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .orderBy("cluster_id")
+    )
+
+
+ORACLE_CC_INCREMENTAL = """
+with recursive d as (select doc_id as id from documents),
+e as (
+  select cast(id as varchar) as a, cast(id + 1 as varchar) as b
+  from d where id % 7 = 0
+  union all
+  select cast(id as varchar), cast(id + 2 as varchar) from d where id % 9 = 0
+  union all
+  select cast(id as varchar), cast(id + 7 as varchar) from d where id % 13 = 0
+  union all
+  select cast(id + 3000000 as varchar), cast(id as varchar)
+  from d where id % 31 = 0
+  union all
+  select cast(id + 4000000 as varchar), cast(id + 4000001 as varchar)
+  from d where id % 17 = 0
+),
+und as (select a, b from e union all select b, a from e),
+cc(n, m) as (
+  select a, a from und
+  union
+  select und.b, cc.m from cc join und on und.a = cc.n where cc.m < und.b
+),
+lbl as (select n, min(m) as cluster_id from cc group by n)
+select cluster_id, cast(count(*) as bigint) as cluster_size,
+       array_to_string(list_sort(list(n)), ',') as members
+from lbl group by cluster_id having count(*) > 1 order by cluster_id
+"""
+
+
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -3038,6 +3128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_interleaved": q_curate_interleaved,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_clusters_cc": q_doc_clusters_cc,
+        "cc_incremental": q_cc_incremental,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "lm_nll": q_lm_nll,
@@ -3104,6 +3195,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_interleaved": _oracle_curate_interleaved(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "doc_clusters_cc": _oracle_doc_clusters(),
+        "cc_incremental": ORACLE_CC_INCREMENTAL,
         "lang_id": ORACLE_LANG_ID,
         "token_count": ORACLE_TOKEN_COUNT,
         "lm_nll": ORACLE_LM_NLL,

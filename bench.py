@@ -311,6 +311,7 @@ def main() -> None:
         "ann_ivf",
         "embedding_dedup",
         "media_features",
+        "cc_incremental",
         "media_dedup",
         "media_dedup_incremental",
         "curate_interleaved",

@@ -142,3 +142,92 @@ def connected_components(
             singles.select("node", F.col("node").alias("cluster_id"))
         )
     return assign, iters
+
+
+def merge_into_clusters(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> tuple[DataFrame, int]:
+    """Incremental CC maintenance: fold a SNAPSHOT of new match edges
+    (and optionally new isolated nodes) into persisted ``assignments``
+    (node, cluster_id) without re-clustering the corpus — the ER-side
+    analogue of ``incremental_dedup``/``dedup_media_batch``. Exactly
+    equivalent to ``connected_components`` over (old edges ∪ new
+    edges): each existing cluster_id is by construction the min node
+    of its component, so contracting every new-edge endpoint to its
+    current cluster representative (new nodes represent themselves)
+    and running CC over the CONTRACTED graph yields the merged
+    component minima; folding that root map back is a pure relabel.
+
+    Scale shape: the contracted graph is O(|new edges|) regardless of
+    corpus size, so the iterative CC runs on snapshot-sized data; the
+    corpus-side relabel is ONE broadcast-hash join on cluster_id over
+    the assignments scan — map-only, no corpus shuffle (the root map
+    holds only AFFECTED clusters; with assignments in an Iceberg table
+    the same map drives a MERGE that rewrites only matching rows).
+    Intra-cluster new edges contract to self-loops and cost nothing.
+
+    Returns (updated assignments incl. new nodes, contracted-CC
+    iterations).
+    """
+    e = _canon(new_edges)
+    ends = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    rep = ends.join(assignments, "node", "left").select(
+        "node", F.coalesce("cluster_id", F.col("node")).alias("rep")
+    )
+    contracted = (
+        e.join(rep.select(F.col("node").alias("src"), F.col("rep").alias("sr")), "src")
+        .join(rep.select(F.col("node").alias("dst"), F.col("rep").alias("dr")), "dst")
+        .select(F.col("sr").alias("src"), F.col("dr").alias("dst"))
+    )
+    merged, iters = connected_components(contracted, max_iter=max_iter)
+    # (old cluster root -> merged component root), affected clusters only
+    remap = merged.select(
+        F.col("node").alias("__old"), F.col("cluster_id").alias("__new")
+    )
+    updated = assignments.join(
+        F.broadcast(remap), assignments["cluster_id"] == F.col("__old"), "left"
+    ).select(
+        "node", F.coalesce("__new", F.col("cluster_id")).alias("cluster_id")
+    )
+    arriving = rep.join(assignments.select("node"), "node", "left_anti").join(
+        F.broadcast(remap), rep["rep"] == F.col("__old"), "left"
+    ).select("node", F.coalesce("__new", F.col("rep")).alias("cluster_id"))
+    updated = updated.unionByName(arriving)
+    if new_nodes is not None:
+        singles = new_nodes.select("node").join(
+            updated.select("node"), "node", "left_anti"
+        )
+        updated = updated.unionByName(
+            singles.select("node", F.col("node").alias("cluster_id"))
+        )
+    return updated, iters
+
+
+def merge_clusters_foreach_batch(load, save, edge_cols=("src", "dst")):
+    """Streaming face of :func:`merge_into_clusters` (foreachBatch
+    pattern — unlike the dedup indexes, the cluster state EVOLVES per
+    batch, so this takes ``load() -> assignments DF`` and
+    ``save(updated DF, batch_id)`` callables; save must persist before
+    the next micro-batch loads, e.g. an Iceberg MERGE or an
+    overwrite-by-snapshot). Each micro-batch of edge rows is folded
+    into the persisted assignments with snapshot-sized work::
+
+        edges.writeStream.foreachBatch(
+            merge_clusters_foreach_batch(load, save)
+        ).start()
+    """
+    s, d = edge_cols
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        edges = batch_df.select(F.col(s).alias("src"), F.col(d).alias("dst"))
+        updated, _ = merge_into_clusters(load(), edges)
+        save(updated, batch_id)
+
+    return _apply

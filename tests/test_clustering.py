@@ -89,3 +89,102 @@ def test_digest_every_2_halves_driver_barriers(spark, monkeypatch):
     # form checks once per round — the barrier count must drop
     assert counts[2] < counts[1]
     assert counts[2] <= iters2 // 2 + 1
+
+
+def _edges_df(spark, edges):
+    e = spark.createDataFrame(edges or [("x", "x")], "src string, dst string")
+    return e.limit(0) if not edges else e
+
+
+def _merge(spark, base_edges, new_edges, base_nodes=None, new_nodes=None):
+    from entity_linking_in_biomedical_spark.operators.clustering import (
+        merge_into_clusters,
+    )
+
+    n = (
+        spark.createDataFrame([(x,) for x in base_nodes], "node string")
+        if base_nodes
+        else None
+    )
+    assign, _ = connected_components(_edges_df(spark, base_edges), nodes=n)
+    nn = (
+        spark.createDataFrame([(x,) for x in new_nodes], "node string")
+        if new_nodes
+        else None
+    )
+    updated, _ = merge_into_clusters(
+        assign, _edges_df(spark, new_edges), new_nodes=nn
+    )
+    return {r["node"]: r["cluster_id"] for r in updated.collect()}
+
+
+def test_merge_equals_full_recompute(spark):
+    """merge(cc(E1), E2) == cc(E1 ∪ E2) on a graph exercising every
+    case: cluster-merging edge, intra-cluster edge (self-loop after
+    contraction), new node attaching to an old cluster, brand-new
+    component, untouched cluster."""
+    base = [("a", "b"), ("b", "c"), ("p", "q"), ("u", "v"), ("k", "l")]
+    new = [
+        ("c", "p"),   # merges {a,b,c} with {p,q} -> root a
+        ("a", "b"),   # intra-cluster: contracts to a self-loop
+        ("n1", "v"),  # new node joins {u,v}
+        ("n2", "n3"), # brand-new component
+    ]
+    got = _merge(spark, base, new, base_nodes=["s"])
+    full, _ = cc(spark, base + new, nodes=["s"])
+    assert got == full
+    # "n1" < "u": the arriving node IS the merged component's min
+    assert got["p"] == "a" and got["u"] == "n1" and got["n2"] == "n2"
+    assert got["k"] == "k" and got["s"] == "s"
+
+
+def test_merge_new_root_wins_lexicographically(spark):
+    """A new node smaller than every old member becomes the root —
+    the min-node invariant survives the merge (entity-pinning relies
+    on it: 'e|' < 'm|')."""
+    got = _merge(spark, [("m|x", "m|y")], [("e|c1", "m|y")])
+    assert got == {"m|x": "e|c1", "m|y": "e|c1", "e|c1": "e|c1"}
+
+
+def test_merge_empty_batch_is_identity(spark):
+    got = _merge(spark, [("a", "b")], [], base_nodes=["z"])
+    assert got == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_merge_chain_across_three_old_clusters(spark):
+    base = [("a", "b"), ("c", "d"), ("e", "f")]
+    got = _merge(spark, base, [("b", "d"), ("d", "f")])
+    full, _ = cc(spark, base + [("b", "d"), ("d", "f")])
+    assert got == full and set(got.values()) == {"a"}
+
+
+def test_merge_clusters_foreach_batch(spark, tmp_path):
+    """Two micro-batches of edges folded through the streaming face
+    equal one full recompute; state evolves between batches via the
+    load/save callables."""
+    from entity_linking_in_biomedical_spark.operators.clustering import (
+        merge_clusters_foreach_batch,
+    )
+
+    assign, _ = connected_components(_edges_df(spark, [("a", "b"), ("x", "y")]))
+    state = {"df": assign.localCheckpoint()}
+
+    def load():
+        return state["df"]
+
+    def save(df, batch_id):
+        state["df"] = df.localCheckpoint()
+
+    apply_fn = merge_clusters_foreach_batch(load, save)
+    src = str(tmp_path / "cc_edges")
+    b1 = spark.createDataFrame([("b", "x")], "src string, dst string")
+    b2 = spark.createDataFrame([("y", "z"), ("q", "r")], "src string, dst string")
+    b1.write.parquet(src + "/1")
+    apply_fn(spark.read.parquet(src + "/1"), 0)
+    b2.write.parquet(src + "/2")
+    apply_fn(spark.read.parquet(src + "/2"), 1)
+    got = {r["node"]: r["cluster_id"] for r in state["df"].collect()}
+    full, _ = cc(
+        spark, [("a", "b"), ("x", "y"), ("b", "x"), ("y", "z"), ("q", "r")]
+    )
+    assert got == full
