@@ -100,6 +100,7 @@ def main() -> None:
     # own inline loops below (they thread results/stage metrics out of
     # the winning run, which run() doesn't model)
     heavy = {
+        "cc_incremental",
         "lm_nll",
         "ngram_jaccard",
         "doc_clusters_cc",
