@@ -2786,6 +2786,42 @@ def q_er_synthetic(spark, sf_dir):
     return res["mention_clusters"].orderBy("doc_id", "span_seq")
 
 
+def q_er_incremental(spark, sf_dir):
+    """Snapshot-composed ER (plans/incremental_er.link_snapshot): the
+    SAME synthetic corpus as er_synthetic, linked in TWO snapshots
+    (doc-hash parity split) with the second folded into the first's
+    persisted assignments via the contracted-graph cluster merge — and
+    relabeled against the merged state. Oracle: the identical frozen
+    golden as er_synthetic, because mention→entity decisions are
+    per-surface against the static dictionary (split-invariant) and
+    the merged clustering is the transitive closure of both runs'
+    edges; hash-equality here IS the incremental==batch proof on this
+    corpus."""
+    from entity_linking_in_biomedical_spark.plans.incremental_er import (
+        link_snapshot,
+        relabel_mentions,
+    )
+    from entity_linking_in_biomedical_spark.sources.synthetic import synth_corpus
+
+    corpus = synth_corpus(n_docs=60, n_entities=30, seed=42)
+    docs, ents, _, abbr, _ = corpus.to_spark(spark)
+    emb = corpus.embeddings_df(spark)
+    half = F.abs(F.hash("doc_id")) % 2 == 0
+    r1 = link_snapshot(
+        spark, docs.filter(half), ents, None, embeddings=emb, abbr_map=abbr
+    )
+    state = r1["assignments"].localCheckpoint()
+    r2 = link_snapshot(
+        spark, docs.filter(~half), ents, state, embeddings=emb, abbr_map=abbr
+    )
+    merged = r2["assignments"]
+    return (
+        relabel_mentions(r1["mentions"], merged)
+        .unionByName(relabel_mentions(r2["mentions"], merged))
+        .orderBy("doc_id", "span_seq")
+    )
+
+
 def _oracle_er_synthetic() -> str:
     """Golden-values twin of q_er_synthetic: the pandas oracle's
     clustering, frozen as a VALUES literal (see er_golden.py)."""
@@ -3166,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "semi_hard_negatives": q_semi_hard_negatives,
         "er_synthetic": q_er_synthetic,
+        "er_incremental": q_er_incremental,
     }
 
 
@@ -3234,4 +3271,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_hard_negatives": ORACLE_SEMI_HARD,
         # er_synthetic: golden-values oracle, see _oracle_er_synthetic
         "er_synthetic": _oracle_er_synthetic(),
+        # er_incremental: snapshot composition must reproduce the SAME
+        # frozen golden — hash-equality is the incremental==batch proof
+        "er_incremental": _oracle_er_synthetic(),
     }
