@@ -17,23 +17,146 @@ in an earlier snapshot unifies with its re-occurrence automatically
 compose across snapshots by the same lexicographic-min rule the batch
 clustering uses. Mention→entity decisions are per-surface against the
 STATIC dictionary, hence split-invariant: linking a corpus in K
-snapshots yields the same me-edges as one batch run. The one
-documented approximation is the mention↔mention channel: NEAR-dup NIL
-surface pairs whose two members arrive in different snapshots are not
-paired (exact re-occurrences are — same node). Recovering those needs
-a persisted surface blocking-key index, the same state trade every
-incremental blocker makes; on the shipped synthetic corpus the
-snapshot composition reproduces the full-batch golden exactly
+snapshots yields the same me-edges as one batch run. The
+mention↔mention channel across snapshots — NEAR-dup NIL surface pairs
+whose two members arrive in different snapshots (exact re-occurrences
+unify for free: same node) — is recovered by the optional
+``surface_index`` (:func:`build_surface_index`): a durable (norm, bk,
+linked) blocking-key index over the corpus's DISTINCT surfaces, probed
+per snapshot with the batch mm channel's own candidate-cap/scoring/
+attach-to-best rule. Without the index those pairs are the documented
+approximation; with it, each new surface's partner set equals the
+batch run's. On the shipped synthetic corpus the snapshot composition
+reproduces the full-batch golden exactly even index-less
 (tests/test_incremental_er.py, and the ``er_incremental`` driver query
-hash-matches the same frozen golden as ``er_synthetic``).
+hash-matches the same frozen golden as ``er_synthetic``); the index
+test plants a cross-snapshot NIL near-dup pair and shows index-less
+divergence vs with-index batch equality.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..operators.blocking import entity_names, surface_blocking_keys
 from ..operators.clustering import merge_into_clusters
+from ..operators.scoring import fit_idf, score_pairs
 from .pipeline import PipelineConfig, run_pipeline
+
+
+def build_surface_index(
+    assignments: DataFrame, cfg: PipelineConfig = PipelineConfig()
+) -> DataFrame:
+    """(norm, bk, linked) for every surface node in persisted
+    assignments — the durable blocking-key index that recovers
+    cross-snapshot mention-mention pairs (the one approximation of
+    index-less :func:`link_snapshot`). Size is keys-per-surface short
+    rows per DISTINCT corpus surface — independent of document count —
+    so it broadcasts for most dictionaries and otherwise persists
+    bucketed on ``bk`` (the join key of every snapshot probe). Rebuild
+    from the merged assignments after each fold, or append the
+    snapshot's own keys (same union+distinct idiom as the dedup
+    indexes)."""
+    surf = assignments.filter(F.col("node").startswith("s|")).select(
+        F.expr("substring(node, 3)").alias("norm"),
+        F.col("cluster_id").startswith("e|").alias("linked"),
+    )
+    keys = surface_blocking_keys(
+        surf,
+        ns=cfg.block_ngrams,
+        num_hashes=cfg.num_hashes,
+        bands=cfg.bands,
+        del_max_len=cfg.del_max_len,
+        lsh_min_len=cfg.lsh_min_len,
+        del2_max_len=cfg.del2_max_len,
+        word_num_hashes=cfg.word_num_hashes,
+    )
+    return keys.join(surf, "norm")
+
+
+def _cross_snapshot_edges(
+    spark: SparkSession,
+    mentions: DataFrame,
+    snap_assignments: DataFrame,
+    entities: DataFrame,
+    surface_index: DataFrame,
+    embeddings: DataFrame | None,
+    cfg: PipelineConfig,
+) -> DataFrame:
+    """s|—s| edges pairing the snapshot's UNLINKED surfaces with
+    unlinked surfaces from EARLIER snapshots that share a blocking key:
+    the same candidate generation, hot-key cap, deterministic partner
+    cap, Arrow-batched scoring, and attach-to-single-best-partner rule
+    as the batch mm channel (plans/pipeline.py compute_mm /
+    compute_assign), with the prior corpus side served by the index
+    instead of a corpus scan. Decisions are monotonic: earlier
+    surfaces' attachments stand; each NEW surface attaches to its best
+    partner among snapshot + indexed surfaces, which is exactly the
+    batch partner set."""
+    new_unlinked = snap_assignments.filter(
+        F.col("node").startswith("s|")
+        & ~F.col("cluster_id").startswith("e|")
+    ).select(F.expr("substring(node, 3)").alias("norm"))
+    new_keys = surface_blocking_keys(
+        mentions.join(new_unlinked, "norm", "left_semi"),
+        ns=cfg.block_ngrams,
+        num_hashes=cfg.num_hashes,
+        bands=cfg.bands,
+        del_max_len=cfg.del_max_len,
+        lsh_min_len=cfg.lsh_min_len,
+        del2_max_len=cfg.del2_max_len,
+        word_num_hashes=cfg.word_num_hashes,
+    )
+    old = surface_index.filter(~F.col("linked")).select(
+        F.col("norm").alias("b_norm"), "bk"
+    )
+    # hot-key cap on the index side (same skew control as blocking)
+    hot = (
+        old.groupBy("bk")
+        .agg(F.count("*").alias("kf"))
+        .filter(F.col("kf") > cfg.max_key_freq)
+        .select("bk")
+    )
+    old = old.join(F.broadcast(hot), "bk", "left_anti")
+    pairs = (
+        new_keys.join(old, "bk")
+        .filter(F.col("norm") != F.col("b_norm"))
+        .select(F.col("norm").alias("a_norm"), "b_norm")
+        .dropDuplicates(["a_norm", "b_norm"])
+    )
+    w_cap = Window.partitionBy("a_norm").orderBy(F.md5("b_norm"), F.col("b_norm"))
+    pairs = (
+        pairs.withColumn("rk", F.row_number().over(w_cap))
+        .filter(F.col("rk") <= cfg.mm_pair_cap)
+        .drop("rk")
+    )
+    if embeddings is not None:
+        for key, out in (("a_norm", "a_emb"), ("b_norm", "b_emb")):
+            e = embeddings.select(
+                F.col("norm").alias(key), F.col("embedding").alias(out)
+            )
+            pairs = pairs.join(e, key, "left")
+    idf = fit_idf(
+        entity_names(entities), ngram=cfg.ngram, vocab_cap=cfg.scoring.vocab_cap
+    )
+    scored = score_pairs(
+        spark,
+        pairs,
+        idf,
+        cfg.scoring,
+        a_emb="a_emb" if embeddings is not None else None,
+        b_emb="b_emb" if embeddings is not None else None,
+    )
+    w_top = Window.partitionBy("a_norm").orderBy(F.desc("score"), F.asc("b_norm"))
+    return (
+        scored.filter(F.col("score") >= cfg.mm_threshold)
+        .withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.concat(F.lit("s|"), "a_norm").alias("src"),
+            F.concat(F.lit("s|"), "b_norm").alias("dst"),
+        )
+    )
 
 
 def assignments_to_edges(assignments: DataFrame) -> DataFrame:
@@ -53,6 +176,7 @@ def link_snapshot(
     abbr_map: DataFrame | None = None,
     cfg: PipelineConfig = PipelineConfig(),
     out_dir: str | None = None,
+    surface_index: DataFrame | None = None,
 ) -> dict:
     """Link an arriving snapshot and merge into ``prior_assignments``
     (node, cluster_id; None or empty for the first snapshot).
@@ -77,9 +201,17 @@ def link_snapshot(
     snap = res["assignments"].select("node", "cluster_id")
     if prior_assignments is None:
         prior_assignments = snap.limit(0)
+    edges = assignments_to_edges(snap)
+    if surface_index is not None:
+        edges = edges.unionByName(
+            _cross_snapshot_edges(
+                spark, res["mentions"], snap, entities, surface_index,
+                embeddings, cfg,
+            )
+        )
     merged, iters = merge_into_clusters(
         prior_assignments,
-        assignments_to_edges(snap),
+        edges,
         new_nodes=snap.select("node"),
     )
     res["assignments"] = merged

@@ -79,3 +79,58 @@ def test_first_snapshot_none_equals_batch(spark):
     }
     assert got == want
     assert _mc(res["mention_clusters"]) == _mc(batch["mention_clusters"])
+
+
+def _doc(doc_id, *mentions):
+    # offsets spaced so the overlap sweep (W7) keeps every mention
+    spans = [("mention", m, None, i * 100) for i, m in enumerate(mentions)]
+    return (doc_id, spans)
+
+
+_DOC_SCHEMA = (
+    "doc_id string, spans array<struct<"
+    "kind:string, text:string, media_ref:string, offset:int>>"
+)
+
+
+def test_surface_index_recovers_cross_snapshot_nil_pairs(spark):
+    """A NIL near-dup surface pair split across snapshots: index-less
+    folding leaves them in separate clusters (the documented
+    approximation); folding with build_surface_index pairs them and
+    reproduces the batch run over the union exactly."""
+    from entity_linking_in_biomedical_spark.plans.incremental_er import (
+        build_surface_index,
+    )
+
+    ents = spark.createDataFrame(
+        [("C1", "T047", ["aspirin", "acetylsalicylic acid"])],
+        "cui string, sem_type string, synonyms array<string>",
+    )
+    a = "zatrovine alphacomplex"
+    b = "zatrovine alphacomplexes"
+    docs_a = spark.createDataFrame([_doc("d1", a, "aspirin")], _DOC_SCHEMA)
+    docs_b = spark.createDataFrame([_doc("d2", b)], _DOC_SCHEMA)
+
+    # fixture sanity: the BATCH run over the union pairs the variants
+    batch = run_pipeline(spark, docs_a.unionByName(docs_b), ents)
+    batch_mc = _mc(batch["mention_clusters"])
+    assert batch_mc[("d1", 0)] == batch_mc[("d2", 0)]
+    assert batch_mc[("d1", 1)] == "C1"
+
+    r1 = link_snapshot(spark, docs_a, ents, None)
+    state = r1["assignments"].localCheckpoint()
+
+    # index-less: the cross-snapshot near-dup pair is NOT recovered
+    r2_no = link_snapshot(spark, docs_b, ents, state)
+    no_idx = _mc(relabel_mentions(r1["mentions"], r2_no["assignments"]))
+    no_idx.update(_mc(relabel_mentions(r2_no["mentions"], r2_no["assignments"])))
+    assert no_idx[("d1", 0)] != no_idx[("d2", 0)]
+
+    # with the surface index: equal to the batch run, label for label
+    idx = build_surface_index(state).localCheckpoint()
+    assert {r["linked"] for r in idx.collect()} == {True, False}
+    r2 = link_snapshot(spark, docs_b, ents, state, surface_index=idx)
+    merged = r2["assignments"].localCheckpoint()
+    got = _mc(relabel_mentions(r1["mentions"], merged))
+    got.update(_mc(relabel_mentions(r2["mentions"], merged)))
+    assert got == batch_mc
