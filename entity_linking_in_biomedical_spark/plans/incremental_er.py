@@ -24,9 +24,10 @@ unify for free: same node) — is recovered by the optional
 ``surface_index`` (:func:`build_surface_index`): a durable (norm, bk,
 linked) blocking-key index over the corpus's DISTINCT surfaces, probed
 per snapshot with the batch mm channel's own candidate-cap/scoring/
-attach-to-best rule. Without the index those pairs are the documented
-approximation; with it, each new surface's partner set equals the
-batch run's. On the shipped synthetic corpus the snapshot composition
+attach-to-best rule (see :func:`_cross_snapshot_edges` for the one
+bounded deviation from batch single-best semantics). Without the index
+those pairs are the documented approximation; with it, every
+batch-scored cross-snapshot pair is considered. On the shipped synthetic corpus the snapshot composition
 reproduces the full-batch golden exactly even index-less
 (tests/test_incremental_er.py, and the ``er_incremental`` driver query
 hash-matches the same frozen golden as ``er_synthetic``); the index
@@ -90,9 +91,16 @@ def _cross_snapshot_edges(
     as the batch mm channel (plans/pipeline.py compute_mm /
     compute_assign), with the prior corpus side served by the index
     instead of a corpus scan. Decisions are monotonic: earlier
-    surfaces' attachments stand; each NEW surface attaches to its best
-    partner among snapshot + indexed surfaces, which is exactly the
-    batch partner set."""
+    surfaces' attachments stand, and each NEW surface attaches to its
+    single best CROSS partner (threshold-gated) on top of whatever
+    internal attachment the snapshot's own clustering made — so a new
+    surface can carry up to TWO attachment edges where the batch run's
+    single-best rule emits one. Both are individually above
+    mm_threshold, so the deviation can only merge clusters the batch
+    scorer itself rated as matches (bounded extra transitivity, never a
+    missed pair); exact single-best-over-the-union semantics would
+    require re-deciding the snapshot's internal attachments during the
+    fold. The planted-pair test (one candidate partner) is exact."""
     new_unlinked = snap_assignments.filter(
         F.col("node").startswith("s|")
         & ~F.col("cluster_id").startswith("e|")
