@@ -134,3 +134,31 @@ def test_surface_index_recovers_cross_snapshot_nil_pairs(spark):
     got = _mc(relabel_mentions(r1["mentions"], merged))
     got.update(_mc(relabel_mentions(r2["mentions"], merged)))
     assert got == batch_mc
+
+
+def test_snapshot_composition_ground_truth_f1(spark, corpus):
+    """North rule, incremental face: linking the labeled corpus in TWO
+    snapshots and folding reaches the same pairwise F1 >= 0.99 bar the
+    batch pipeline meets (test_pipeline.test_ground_truth_f1)."""
+    from tests.test_pipeline import pairwise_f1
+
+    docs, ents, _, abbr, _ = corpus.to_spark(spark)
+    emb = corpus.embeddings_df(spark)
+    half = F.abs(F.hash("doc_id")) % 2 == 0
+    r1 = link_snapshot(
+        spark, docs.filter(half), ents, None, embeddings=emb, abbr_map=abbr
+    )
+    state = r1["assignments"].localCheckpoint()
+    r2 = link_snapshot(
+        spark, docs.filter(~half), ents, state, embeddings=emb, abbr_map=abbr
+    )
+    merged = r2["assignments"].localCheckpoint()
+    got = _mc(relabel_mentions(r1["mentions"], merged))
+    got.update(_mc(relabel_mentions(r2["mentions"], merged)))
+    gold = {
+        (l["doc_id"], l["span_seq"]): l["cluster_id"]
+        for l in corpus.labels
+        if (l["doc_id"], l["span_seq"]) in got
+    }
+    f1 = pairwise_f1(got, gold)
+    assert f1 >= 0.99, f"incremental pairwise F1 {f1:.4f} < 0.99"
