@@ -57,7 +57,15 @@ def build_surface_index(
     bucketed on ``bk`` (the join key of every snapshot probe). Rebuild
     from the merged assignments after each fold, or append the
     snapshot's own keys (same union+distinct idiom as the dedup
-    indexes)."""
+    indexes).
+
+    ``linked`` marks membership in an entity-rooted CLUSTER — derivable
+    from assignments alone, but slightly wider than the batch attach
+    rule's has-own-me-link test: a surface that reached an entity
+    cluster via mm attachment is also excluded as a future partner.
+    The deviation only suppresses extra transitivity INTO entity
+    clusters (such a partner's cluster is already pinned); NIL–NIL
+    recovery, the gap the index exists to close, is unaffected."""
     surf = assignments.filter(F.col("node").startswith("s|")).select(
         F.expr("substring(node, 3)").alias("norm"),
         F.col("cluster_id").startswith("e|").alias("linked"),
