@@ -77,6 +77,57 @@ def _cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_link_snapshot(args: argparse.Namespace) -> int:
+    """Incremental ER over an arriving snapshot: link the snapshot's
+    documents in isolation, fold into the persisted assignments state,
+    write the merged state + the snapshot's relabeled mentions. First
+    snapshot: omit ``--state``. ``--state-out`` must differ from
+    ``--state`` (write-then-swap is the caller's atomicity contract,
+    or point both at an Iceberg table and MERGE)."""
+    from .plans.incremental_er import (
+        build_surface_index,
+        link_snapshot,
+    )
+    from .sources.loaders import wrap_flat_documents
+
+    spark = _session(args.master)
+    docs = spark.read.parquet(args.documents)
+    if "spans" not in docs.columns:
+        docs = wrap_flat_documents(docs)
+    ents = spark.read.parquet(args.entities)
+    emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+    abbr = spark.read.parquet(args.abbr) if args.abbr else None
+    prior = spark.read.parquet(args.state) if args.state else None
+    idx = (
+        build_surface_index(prior)
+        if (args.surface_index and prior is not None)
+        else None
+    )
+    res = link_snapshot(
+        spark,
+        docs,
+        ents,
+        prior,
+        embeddings=emb,
+        abbr_map=abbr,
+        out_dir=args.stage_dir,
+        surface_index=idx,
+    )
+    res["assignments"].write.mode("overwrite").parquet(args.state_out)
+    res["mention_clusters"].write.mode("overwrite").parquet(args.out)
+    print(
+        json.dumps(
+            {
+                "merge_iterations": res.get("merge_iterations"),
+                "cc_iterations": res.get("cc_iterations"),
+                "state_out": args.state_out,
+            },
+            default=str,
+        )
+    )
+    return 0
+
+
 def _cmd_preprocess(args: argparse.Namespace) -> int:
     from .plans.preprocess import pubtator_to_context
 
@@ -253,6 +304,24 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cu.add_argument("--master", help="Spark master (omit under spark-submit)")
     cu.set_defaults(fn=_cmd_curate)
+
+    ls = sub.add_parser(
+        "link-snapshot",
+        help="incremental ER: link an arriving document snapshot and fold "
+        "it into the persisted cluster-assignments state",
+    )
+    ls.add_argument("--documents", required=True, help="parquet: the SNAPSHOT's documents")
+    ls.add_argument("--entities", required=True, help="parquet: (cui, sem_type, synonyms)")
+    ls.add_argument("--embeddings", help="parquet: (norm, embedding) dense lookup")
+    ls.add_argument("--abbr", help="parquet: abbreviation map")
+    ls.add_argument("--state", help="parquet: prior assignments (omit for the first snapshot)")
+    ls.add_argument("--state-out", required=True, help="output parquet for the MERGED assignments (must differ from --state)")
+    ls.add_argument("--out", required=True, help="output parquet: the snapshot's mentions relabeled to merged cluster ids")
+    ls.add_argument("--surface-index", action="store_true",
+                    help="probe a blocking-key index over the prior state to recover cross-snapshot near-dup NIL pairs")
+    ls.add_argument("--stage-dir", help="stage store for the snapshot's pipeline run (use a fresh dir per snapshot)")
+    ls.add_argument("--master", help="Spark master (omit under spark-submit)")
+    ls.set_defaults(fn=_cmd_link_snapshot)
 
     pre = sub.add_parser("preprocess", help="PubTator corpus -> .context/.txt layout")
     pre.add_argument("--corpus", required=True, help="PubTator corpus file")

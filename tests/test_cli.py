@@ -268,3 +268,55 @@ def test_cli_curate_sharded_output(tmp_path):
         f"from read_parquet('{out}/shards/*/*.parquet', hive_partitioning=1)"
     ).fetchone()
     assert back[0] == 30 and back[1] == report["shards"]
+
+
+def test_cli_link_snapshot_two_rounds(cli_inputs, tmp_path, spark):
+    """Incremental deployment surface: snapshot 1 (no --state) then
+    snapshot 2 folding into snapshot 1's state; the merged state covers
+    both snapshots' surfaces and the relabeled mentions land in --out."""
+    from entity_linking_in_biomedical_spark.cli import main
+
+    base = cli_inputs
+    docs = spark.read.parquet(str(base / "docs.parquet"))
+    a_dir, b_dir = str(tmp_path / "snap_a"), str(tmp_path / "snap_b")
+    from pyspark.sql import functions as F
+
+    half = F.abs(F.hash("doc_id")) % 2 == 0
+    docs.filter(half).write.parquet(a_dir)
+    docs.filter(~half).write.parquet(b_dir)
+
+    def _args(snap, out, state_out, state=None, index=False):
+        a = [
+            "link-snapshot",
+            "--documents", snap,
+            "--entities", str(base / "ents.parquet"),
+            "--embeddings", str(base / "emb.parquet"),
+            "--abbr", str(base / "abbr.parquet"),
+            "--out", out,
+            "--state-out", state_out,
+            "--master", "local[4]",
+        ]
+        if state:
+            a += ["--state", state]
+        if index:
+            a += ["--surface-index"]
+        return a
+
+    s1 = str(tmp_path / "state1")
+    assert main(_args(a_dir, str(tmp_path / "mc1"), s1)) == 0
+    s2 = str(tmp_path / "state2")
+    assert (
+        main(_args(b_dir, str(tmp_path / "mc2"), s2, state=s1, index=True))
+        == 0
+    )
+
+    merged = spark.read.parquet(s2)
+    state1 = spark.read.parquet(s1)
+    # state grows monotonically and stays one-row-per-node
+    assert merged.count() > state1.count()
+    assert merged.groupBy("node").count().filter("count > 1").count() == 0
+    mc2 = spark.read.parquet(str(tmp_path / "mc2"))
+    assert mc2.count() > 0
+    assert set(mc2.columns) == {
+        "doc_id", "span_seq", "surface", "norm", "cluster_id",
+    }
