@@ -244,6 +244,13 @@ def main() -> None:
 
     # ---- operator suite over the driver tables ------------------------
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY_ER"):
+        import numpy as np
+
+        buf = np.zeros(2**23)
+        t3 = time.time()
+        for _ in range(2):
+            buf = buf.copy()
+        membw_post = round(2 * 2 * (2**23 * 8) / (time.time() - t3) / 1e9, 2)
         print(
             json.dumps(
                 {
@@ -258,6 +265,7 @@ def main() -> None:
                     "bench_repeats": repeats,
                     "repeats": repeats_map,
                     **host_probe,
+                    "probe_membw_gbps_post": membw_post,
                 }
             )
         )
@@ -320,6 +328,16 @@ def main() -> None:
         run(name, lambda n=name: qs[n](spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
+    # re-probe memory bandwidth AFTER the suite: the degraded windows on
+    # this host shift mid-run (BENCH/BASELINE.md), so a pre/post bracket
+    # tells the reader whether the window held for the whole draw
+    import numpy as np
+
+    buf = np.zeros(2**23)
+    t3 = time.time()
+    for _ in range(2):
+        buf = buf.copy()
+    membw_post = round(2 * 2 * (2**23 * 8) / (time.time() - t3) / 1e9, 2)
     print(
         json.dumps(
             {
@@ -337,6 +355,7 @@ def main() -> None:
                 "bench_repeats": repeats,
                 "repeats": repeats_map,
                 **host_probe,
+                "probe_membw_gbps_post": membw_post,
             }
         )
     )
