@@ -23,7 +23,9 @@ The label cross-check splits disagreement into its three semantic
 classes (plans/incremental_er.py module docstring):
   entity_label_diff     — both paths link to an entity but DIFFERENT
                           CUIs; per-surface me decisions are
-                          split-invariant, so expected 0.
+                          split-invariant so this stays ~0, the
+                          residual being >=2-entity clusters whose min-
+                          CUI root moves under a path-dependent merge.
   entity_nil_flips      — entity-rooted in one path, NIL in the other:
                           mm transitivity INTO entity clusters is
                           path-dependent (documented bounded deviation).
@@ -136,10 +138,13 @@ def main() -> None:
         build_surface_index(state).localCheckpoint(eager=True) if use_index else None
     )
 
-    # timed A: incremental — link ONLY the snapshot, fold into state,
-    # index-probed cross-snapshot near-dup recovery included (the
-    # full-fidelity production path)
+    # timed, INTERLEAVED [inc, full] × repeats so a host-window shift
+    # mid-process (BENCH/BASELINE.md) biases neither side — min-of-K each:
+    #   A incremental — link ONLY the snapshot, fold into state, index-
+    #     probed cross-snapshot near-dup recovery (full-fidelity path)
+    #   B full relink — corpus ∪ snapshot through the batch pipeline
     inc_sec, inc_res = None, None
+    full_sec, full_res = None, None
     for _ in range(repeats):
         t0 = time.time()
         r = link_snapshot(
@@ -151,9 +156,6 @@ def main() -> None:
         if inc_sec is None or sec < inc_sec:
             inc_sec, inc_res = sec, r
 
-    # timed B: full relink — corpus ∪ snapshot through the batch pipeline
-    full_sec, full_res = None, None
-    for _ in range(repeats):
         t0 = time.time()
         r = run_pipeline(spark, all_docs, ents, embeddings=emb, abbr_map=abbr)
         force(r["linked_documents"])
@@ -180,8 +182,10 @@ def main() -> None:
     )
     agg = both.agg(
         F.count("*").alias("n"),
-        # entity-label disagreement: the split-INVARIANT class (per-surface
-        # me decisions against the static dictionary) — expected 0
+        # entity-label disagreement: per-surface me DECISIONS are
+        # split-invariant, so this stays ~0 — the residual is clusters
+        # holding >=2 entity nodes, whose root (min CUI) moves when a
+        # path-dependent mm merge joins different entity clusters
         F.sum(
             F.when(~F.col("inc_nil") & ~F.col("full_nil") & ~F.col("eq"), 1).otherwise(0)
         ).alias("ent_diff"),

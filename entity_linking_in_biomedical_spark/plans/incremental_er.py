@@ -91,6 +91,8 @@ def _cross_snapshot_edges(
     surface_index: DataFrame,
     embeddings: DataFrame | None,
     cfg: PipelineConfig,
+    idf=None,
+    surface_keys: DataFrame | None = None,
 ) -> DataFrame:
     """s|—s| edges pairing the snapshot's UNLINKED surfaces with
     unlinked surfaces from EARLIER snapshots that share a blocking key:
@@ -113,16 +115,24 @@ def _cross_snapshot_edges(
         F.col("node").startswith("s|")
         & ~F.col("cluster_id").startswith("e|")
     ).select(F.expr("substring(node, 3)").alias("norm"))
-    new_keys = surface_blocking_keys(
-        mentions.join(new_unlinked, "norm", "left_semi"),
-        ns=cfg.block_ngrams,
-        num_hashes=cfg.num_hashes,
-        bands=cfg.bands,
-        del_max_len=cfg.del_max_len,
-        lsh_min_len=cfg.lsh_min_len,
-        del2_max_len=cfg.del2_max_len,
-        word_num_hashes=cfg.word_num_hashes,
-    )
+    # keying is a pure per-norm projection, so the snapshot run's
+    # already-materialized (norm, bk) frame restricted to the unlinked
+    # surfaces is identical to re-keying them — reuse it when the caller
+    # has one (link_snapshot always does) instead of paying the most
+    # expensive projection of the job a second time per arrival
+    if surface_keys is not None:
+        new_keys = surface_keys.join(new_unlinked, "norm", "left_semi")
+    else:
+        new_keys = surface_blocking_keys(
+            mentions.join(new_unlinked, "norm", "left_semi"),
+            ns=cfg.block_ngrams,
+            num_hashes=cfg.num_hashes,
+            bands=cfg.bands,
+            del_max_len=cfg.del_max_len,
+            lsh_min_len=cfg.lsh_min_len,
+            del2_max_len=cfg.del2_max_len,
+            word_num_hashes=cfg.word_num_hashes,
+        )
     old = surface_index.filter(~F.col("linked")).select(
         F.col("norm").alias("b_norm"), "bk"
     )
@@ -152,9 +162,12 @@ def _cross_snapshot_edges(
                 F.col("norm").alias(key), F.col("embedding").alias(out)
             )
             pairs = pairs.join(e, key, "left")
-    idf = fit_idf(
-        entity_names(entities), ngram=cfg.ngram, vocab_cap=cfg.scoring.vocab_cap
-    )
+    if idf is None:
+        # same fit the batch pipeline runs — callers composing with
+        # run_pipeline pass its fitted table to skip the duplicate job
+        idf = fit_idf(
+            entity_names(entities), ngram=cfg.ngram, vocab_cap=cfg.scoring.vocab_cap
+        )
     scored = score_pairs(
         spark,
         pairs,
@@ -223,6 +236,7 @@ def link_snapshot(
             _cross_snapshot_edges(
                 spark, res["mentions"], snap, entities, surface_index,
                 embeddings, cfg,
+                idf=res.get("idf"), surface_keys=res.get("surface_keys"),
             )
         )
     merged, iters = merge_into_clusters(

@@ -373,4 +373,11 @@ def run_pipeline(
         "linked_documents": linked_documents,
         "metrics": store.metrics,
         "cc_iterations": cc_iterations,
+        # intermediates downstream composers reuse instead of recomputing:
+        # the materialized-once surface keying frame (lazy — costs nothing
+        # unless consumed) and the fitted driver-side IDF table. The
+        # incremental fold's index probe needs exactly these two
+        # (plans/incremental_er._cross_snapshot_edges).
+        "surface_keys": surf_keys,
+        "idf": idf,
     }
