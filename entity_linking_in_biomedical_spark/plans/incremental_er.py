@@ -246,14 +246,29 @@ def link_snapshot(
     )
     res["assignments"] = merged
     res["merge_iterations"] = iters
-    res["mention_clusters"] = relabel_mentions(res["mentions"], merged)
+    res["mention_clusters"] = relabel_mentions(
+        res["mentions"], merged, snapshot_scale=True
+    )
     return res
 
 
-def relabel_mentions(mentions: DataFrame, assignments: DataFrame) -> DataFrame:
+def relabel_mentions(
+    mentions: DataFrame,
+    assignments: DataFrame,
+    snapshot_scale: bool = False,
+) -> DataFrame:
     """(doc_id, span_seq, surface, norm, cluster_id) under corpus-level
     ``assignments`` — the same e|->CUI / NIL_<root> mapping the batch
-    pipeline applies (plans/pipeline.py), against the merged state."""
+    pipeline applies (plans/pipeline.py), against the merged state.
+
+    ``snapshot_scale=True`` declares that ``mentions`` is snapshot-sized
+    while ``assignments`` is corpus-sized (the link_snapshot fold): the
+    surface map is first semi-join-pruned by a BROADCAST of the
+    snapshot's distinct norms — a map-side scan of the corpus state
+    instead of shuffling all of it — and the pruned (snapshot-sized)
+    map is broadcast into the label join, so the relabel moves zero
+    corpus-sized bytes. Leave False when ``mentions`` itself is
+    corpus-scale (its norm set would not fit a broadcast)."""
     surf = assignments.filter(F.col("node").startswith("s|")).select(
         F.expr("substring(node, 3)").alias("norm"),
         F.when(
@@ -263,6 +278,9 @@ def relabel_mentions(mentions: DataFrame, assignments: DataFrame) -> DataFrame:
         .otherwise(F.concat(F.lit("NIL_"), F.expr("substring(cluster_id, 3)")))
         .alias("cluster_id"),
     )
+    if snapshot_scale:
+        keys = mentions.select("norm").distinct()
+        surf = F.broadcast(surf.join(F.broadcast(keys), "norm", "left_semi"))
     return mentions.join(surf, "norm", "left").select(
         "doc_id", "span_seq", "surface", "norm", "cluster_id"
     )

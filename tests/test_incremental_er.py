@@ -162,3 +162,35 @@ def test_snapshot_composition_ground_truth_f1(spark, corpus):
     }
     f1 = pairwise_f1(got, gold)
     assert f1 >= 0.99, f"incremental pairwise F1 {f1:.4f} < 0.99"
+
+
+def test_snapshot_scale_relabel_is_shuffle_free(spark):
+    """snapshot_scale=True must plan the relabel as broadcast joins
+    only: the corpus-sized surface map is semi-join-pruned by a
+    broadcast of the snapshot's norms (map-side scan, no corpus
+    shuffle) and the pruned map is broadcast into the label join."""
+    from io import StringIO
+    from contextlib import redirect_stdout
+
+    mentions = spark.createDataFrame(
+        [("d1", 0, "Aspirin", "aspirin"), ("d1", 1, "ASA", "asa")],
+        "doc_id string, span_seq int, surface string, norm string",
+    )
+    assignments = spark.createDataFrame(
+        [("s|aspirin", "e|C1"), ("s|asa", "s|asa"), ("s|other", "s|a")],
+        "node string, cluster_id string",
+    )
+    out = relabel_mentions(mentions, assignments, snapshot_scale=True)
+    buf = StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # semi prune + label join
+    # values identical to the default (unhinted) relabel
+    got = {(r["doc_id"], r["span_seq"]): r["cluster_id"] for r in out.collect()}
+    want = {
+        (r["doc_id"], r["span_seq"]): r["cluster_id"]
+        for r in relabel_mentions(mentions, assignments).collect()
+    }
+    assert got == want == {("d1", 0): "C1", ("d1", 1): "NIL_asa"}
