@@ -162,12 +162,16 @@ def merge_into_clusters(
     component minima; folding that root map back is a pure relabel.
 
     Scale shape: the contracted graph is O(|new edges|) regardless of
-    corpus size, so the iterative CC runs on snapshot-sized data; the
-    corpus-side relabel is ONE broadcast-hash join on cluster_id over
-    the assignments scan — map-only, no corpus shuffle (the root map
-    holds only AFFECTED clusters; with assignments in an Iceberg table
-    the same map drives a MERGE that rewrites only matching rows).
-    Intra-cluster new edges contract to self-loops and cost nothing.
+    corpus size, so the iterative CC runs on snapshot-sized data, and
+    EVERY touch of the corpus-sized state is map-only: one broadcast
+    semi-join probe pulls the snapshot-touched rows out of
+    ``assignments`` (the state never sits on the un-broadcastable side
+    of an outer/anti join), and the corpus-side relabel is ONE
+    broadcast-hash join on cluster_id over the assignments scan (the
+    root map holds only AFFECTED clusters; with assignments in an
+    Iceberg table the same map drives a MERGE that rewrites only
+    matching rows). Intra-cluster new edges contract to self-loops and
+    cost nothing.
 
     Returns (updated assignments incl. new nodes, contracted-CC
     iterations).
@@ -178,7 +182,21 @@ def merge_into_clusters(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    rep = ends.join(assignments, "node", "left").select(
+    probe = (
+        ends
+        if new_nodes is None
+        else ends.unionByName(new_nodes.select("node")).distinct()
+    )
+    # ONE map-side scan of the corpus state: the snapshot-touched rows.
+    # probe is snapshot-sized, so the semi-join broadcasts it and the
+    # state is only SCANNED; `hit` is snapshot-sized from here on and
+    # materialized once (lazy localCheckpoint) for its three consumers.
+    hit = (
+        assignments.join(F.broadcast(probe), "node", "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    hit_nodes = hit.select("node")
+    rep = ends.join(F.broadcast(hit), "node", "left").select(
         "node", F.coalesce("cluster_id", F.col("node")).alias("rep")
     )
     contracted = (
@@ -196,13 +214,19 @@ def merge_into_clusters(
     ).select(
         "node", F.coalesce("__new", F.col("cluster_id")).alias("cluster_id")
     )
-    arriving = rep.join(assignments.select("node"), "node", "left_anti").join(
+    # x in assignments <=> x in hit for every x in probe (= ends and
+    # new_nodes), so every membership test below runs against the
+    # snapshot-sized `hit`/`ends`, never the corpus-sized frames
+    arriving = rep.join(F.broadcast(hit_nodes), "node", "left_anti").join(
         F.broadcast(remap), rep["rep"] == F.col("__old"), "left"
     ).select("node", F.coalesce("__new", F.col("rep")).alias("cluster_id"))
     updated = updated.unionByName(arriving)
     if new_nodes is not None:
-        singles = new_nodes.select("node").join(
-            updated.select("node"), "node", "left_anti"
+        # updated's node set is assignments.nodes ∪ ends
+        singles = (
+            new_nodes.select("node")
+            .join(F.broadcast(ends), "node", "left_anti")
+            .join(F.broadcast(hit_nodes), "node", "left_anti")
         )
         updated = updated.unionByName(
             singles.select("node", F.col("node").alias("cluster_id"))

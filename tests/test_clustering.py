@@ -188,3 +188,32 @@ def test_merge_clusters_foreach_batch(spark, tmp_path):
         spark, [("a", "b"), ("x", "y"), ("b", "x"), ("y", "z"), ("q", "r")]
     )
     assert got == full
+
+
+def test_merge_touches_state_map_only(spark):
+    """The corpus-sized assignments frame must never sit on the
+    un-broadcastable side of a join: merge_into_clusters' whole plan
+    carries no SortMergeJoin/ShuffledHashJoin — the state is probed by
+    a broadcast semi-join and relabeled by a broadcast hash join."""
+    from io import StringIO
+    from contextlib import redirect_stdout
+
+    from entity_linking_in_biomedical_spark.operators.clustering import (
+        merge_into_clusters,
+    )
+
+    assignments = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("z", "z")],
+        "node string, cluster_id string",
+    )
+    edges = spark.createDataFrame([("b", "c"), ("d", "e")], "src string, dst string")
+    nodes = spark.createDataFrame([("d",), ("e",), ("q",)], "node string")
+    updated, _ = merge_into_clusters(assignments, edges, new_nodes=nodes)
+    buf = StringIO()
+    with redirect_stdout(buf):
+        updated.explain("formatted")
+    plan = buf.getvalue()
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    got = {r["node"]: r["cluster_id"] for r in updated.collect()}
+    # b-c merges {a,b} with {c}; d-e is a new 2-node cluster; q a singleton
+    assert got == {"a": "a", "b": "a", "c": "a", "z": "z", "d": "d", "e": "d", "q": "q"}
