@@ -132,8 +132,13 @@ def flag_against_index(
         num_hashes=num_hashes,
     ).localCheckpoint(eager=False)
 
+    # The batch side of every index join is BROADCAST-hinted and the
+    # index side is pre-pruned by broadcast semi-joins on the batch's
+    # own keys: the corpus-sized index is only ever SCANNED map-side,
+    # never shuffled per arrival (same discipline as
+    # operators/clustering.merge_into_clusters).
     exact = (
-        bidx.alias("b")
+        F.broadcast(bidx.alias("b"))
         .join(index.alias("i"), "text_hash")
         .filter(F.col("b.doc_id") != F.col("i.doc_id"))
         .groupBy(F.col("b.doc_id").alias("doc_id"))
@@ -141,24 +146,41 @@ def flag_against_index(
         .select("doc_id", "dup_of", F.lit("exact").alias("kind"), F.lit(1.0).alias("score"))
     )
 
-    ib = _drop_big_buckets(_banded(index, bands, num_hashes), "bk", max_bucket)
+    bkeys = _banded(bidx, bands, num_hashes).localCheckpoint(eager=False)
+    # prune the banded index to the batch's band keys BEFORE the
+    # hot-bucket count: the semi-join keeps every index row of a probed
+    # key, so per-key counts (and the cap's effect) are identical to
+    # counting over the full index — without the full-index explode +
+    # shuffle the count used to pay per batch
+    ib = _banded(index, bands, num_hashes).join(
+        F.broadcast(bkeys.select("bk").distinct()), "bk", "left_semi"
+    )
+    ib = _drop_big_buckets(ib, "bk", max_bucket)
     cand = (
-        _banded(bidx, bands, num_hashes)
-        .alias("b")
+        F.broadcast(bkeys.alias("b"))
         .join(ib.alias("i"), "bk")
         .filter(F.col("b.doc_id") != F.col("i.doc_id"))
         .select(
             F.col("b.doc_id").alias("doc_id"), F.col("i.doc_id").alias("i_id")
         )
         .dropDuplicates(["doc_id", "i_id"])
+        # materialized once: consumed as both the est left side and the
+        # broadcast probe that prunes the index's signature re-attach
+        .localCheckpoint(eager=False)
     )
     # est jaccard = fraction of agreeing signature components; sigs
     # re-attach by id AFTER the id-only pair dedup (the corpus minhash
     # operator's measured ordering: don't shuffle arrays per band hit)
     est = (
-        cand.join(bidx.select(F.col("doc_id"), F.col("sig").alias("b_sig")), "doc_id")
+        cand.join(
+            F.broadcast(bidx.select(F.col("doc_id"), F.col("sig").alias("b_sig"))),
+            "doc_id",
+        )
         .join(
-            index.select(F.col("doc_id").alias("i_id"), F.col("sig").alias("i_sig")),
+            F.broadcast(
+                index.select(F.col("doc_id").alias("i_id"), F.col("sig").alias("i_sig"))
+                .join(F.broadcast(cand.select("i_id").distinct()), "i_id", "left_semi")
+            ),
             "i_id",
         )
         .withColumn(
@@ -193,7 +215,7 @@ def flag_against_index(
     )
     # exact wins: a batch doc byte-identical to an indexed doc is one
     # 'exact' row, not one of each
-    near = est.join(exact.select("doc_id"), "doc_id", "left_anti")
+    near = est.join(F.broadcast(exact.select("doc_id")), "doc_id", "left_anti")
     return exact.unionByName(near)
 
 

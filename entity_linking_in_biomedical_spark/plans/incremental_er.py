@@ -133,8 +133,15 @@ def _cross_snapshot_edges(
             del2_max_len=cfg.del2_max_len,
             word_num_hashes=cfg.word_num_hashes,
         )
-    old = surface_index.filter(~F.col("linked")).select(
-        F.col("norm").alias("b_norm"), "bk"
+    # the index is only ever SCANNED map-side, never shuffled per
+    # arrival: prune it to the snapshot's band keys first (broadcast
+    # semi-join — keeps every index row of a probed key, so the hot-key
+    # frequencies below are identical to full-index counts), then cap
+    new_keys = new_keys.localCheckpoint(eager=False)
+    old = (
+        surface_index.filter(~F.col("linked"))
+        .select(F.col("norm").alias("b_norm"), "bk")
+        .join(F.broadcast(new_keys.select("bk").distinct()), "bk", "left_semi")
     )
     # hot-key cap on the index side (same skew control as blocking)
     hot = (
@@ -145,10 +152,11 @@ def _cross_snapshot_edges(
     )
     old = old.join(F.broadcast(hot), "bk", "left_anti")
     pairs = (
-        new_keys.join(old, "bk")
+        F.broadcast(new_keys).join(old, "bk")
         .filter(F.col("norm") != F.col("b_norm"))
         .select(F.col("norm").alias("a_norm"), "b_norm")
         .dropDuplicates(["a_norm", "b_norm"])
+        .localCheckpoint(eager=False)
     )
     w_cap = Window.partitionBy("a_norm").orderBy(F.md5("b_norm"), F.col("b_norm"))
     pairs = (
@@ -157,11 +165,14 @@ def _cross_snapshot_edges(
         .drop("rk")
     )
     if embeddings is not None:
+        # embeddings may be dictionary-scale: prune to the pair keys
+        # (broadcast semi) so the left join's right side is
+        # snapshot-sized and itself broadcastable — no embedding shuffle
         for key, out in (("a_norm", "a_emb"), ("b_norm", "b_emb")):
             e = embeddings.select(
                 F.col("norm").alias(key), F.col("embedding").alias(out)
-            )
-            pairs = pairs.join(e, key, "left")
+            ).join(F.broadcast(pairs.select(key).distinct()), key, "left_semi")
+            pairs = pairs.join(F.broadcast(e), key, "left")
     if idf is None:
         # same fit the batch pipeline runs — callers composing with
         # run_pipeline pass its fitted table to skip the duplicate job

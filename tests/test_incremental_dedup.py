@@ -132,6 +132,10 @@ def test_plan_jvm_only_no_cartesian(spark, corpus_index):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the corpus-sized index is scanned map-side, never shuffled: every
+    # index join is broadcast-built from the batch side (batch hints +
+    # broadcast semi-join prunes of the index)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_flag_foreach_batch_matches_batch(spark, corpus_index, tmp_path):
