@@ -263,8 +263,10 @@ def dedup_against_index(
     absorb the snapshot."""
     flags = flag_against_index(batch, index, id_col=id_col, text_col=text_col, **kw)
     return batch.join(
-        flags.select(F.col("doc_id").alias(id_col)).withColumn(
-            id_col, F.col(id_col).cast(batch.schema[id_col].dataType)
+        F.broadcast(
+            flags.select(F.col("doc_id").alias(id_col)).withColumn(
+                id_col, F.col(id_col).cast(batch.schema[id_col].dataType)
+            )
         ),
         id_col,
         "left_anti",

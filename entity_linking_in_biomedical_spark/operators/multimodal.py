@@ -243,10 +243,25 @@ def dedup_media_batch(batch: DataFrame, index: DataFrame) -> DataFrame:
     drop-position array per affected doc and the rewrite is the shared
     row-local filter."""
     media = _media_spans(batch).localCheckpoint(eager=False)
-    iref = index.select(F.col("media_ref").alias("__iref"))
+    # prune the corpus-sized index to the batch's refs first (broadcast
+    # semi-join = map-side index scan, snapshot-sized result), then run
+    # both membership tests against the broadcast pruned set — the
+    # index is never shuffled and the batch never exchanges either
+    # (same discipline as flag_against_index / merge_into_clusters)
+    iref = (
+        index.select(F.col("media_ref").alias("__iref"))
+        .join(
+            F.broadcast(
+                media.select(media["s.media_ref"].alias("__iref")).distinct()
+            ),
+            "__iref",
+            "left_semi",
+        )
+        .localCheckpoint(eager=False)
+    )
     on = media["s.media_ref"] == F.col("__iref")
-    indexed = media.join(iref, on, "semi").select("doc_id", "pos")
-    fresh = media.join(iref, on, "anti")
+    indexed = media.join(F.broadcast(iref), on, "semi").select("doc_id", "pos")
+    fresh = media.join(F.broadcast(iref), on, "anti")
     keeper = fresh.groupBy(F.col("s.media_ref").alias("__ref")).agg(
         F.min(
             F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
