@@ -3138,6 +3138,195 @@ from raw group by canon order by canon
 """
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 crawl cleaning (operators/boilerplate.py::c4_clean — Raffel
+    et al. 2020 §2.2 line/page heuristics: terminal-punctuation lines
+    with >= 3 words and no 'javascript'; pages need >= 5 sentences and
+    no 'lorem ipsum' / '{'). The synthetic corpus is single-line word
+    soup, so a deterministic multi-line page is constructed per doc
+    with every rule's phenomenon planted on a doc_id modulus; the
+    DuckDB twin rebuilds the identical pages and replays the rules."""
+    from entity_linking_in_biomedical_spark.operators.boilerplate import c4_clean
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    body = F.concat_ws(
+        "\n",
+        F.concat(
+            F.lit("the corpus line reads "),
+            F.substring("text", 1, 40),
+            F.lit(" and ends here."),
+        ),
+        F.lit("menu"),
+        F.lit("the measurements remained stable across runs!"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("please enable javascript to proceed."),
+        ).otherwise(F.lit("does the framework scale to large corpora?")),
+        F.lit("we conclude that the method works."),
+        F.lit("the archive retains all raw data for audit."),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("lorem ipsum dolor sit amet.")
+        ).otherwise(F.lit("the final line closes the document.")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit("template { placeholder }")
+        ).otherwise(F.lit("appendix follows.")),
+    )
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.lit("only one good sentence lives here.\nmenu"),
+    ).otherwise(body)
+    out = c4_clean(docs.withColumn("t", t).select("doc_id", "t"), text_col="t")
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_kept_lines").cast("long").alias("n_kept_lines"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "cleaned_text",
+    ).orderBy("doc_id")
+
+
+ORACLE_C4_CLEAN = r"""
+with p as (
+  select cast(doc_id as varchar) as doc_id,
+         case when doc_id % 5 = 0 then
+           'only one good sentence lives here.' || chr(10) || 'menu'
+         else
+           'the corpus line reads ' || substr(text, 1, 40) || ' and ends here.'
+           || chr(10) || 'menu'
+           || chr(10) || 'the measurements remained stable across runs!'
+           || chr(10) || case when doc_id % 7 = 0
+                then 'please enable javascript to proceed.'
+                else 'does the framework scale to large corpora?' end
+           || chr(10) || 'we conclude that the method works.'
+           || chr(10) || 'the archive retains all raw data for audit.'
+           || chr(10) || case when doc_id % 11 = 0
+                then 'lorem ipsum dolor sit amet.'
+                else 'the final line closes the document.' end
+           || chr(10) || case when doc_id % 13 = 0
+                then 'template { placeholder }'
+                else 'appendix follows.' end
+         end as t
+  from documents
+),
+k as (
+  select doc_id, t,
+         cast(len(string_split(t, chr(10))) as bigint) as n_lines,
+         list_filter(
+           list_transform(string_split(t, chr(10)), x -> trim(x)),
+           x -> regexp_matches(x, '[.!?"]$')
+                and len(string_split_regex(x, '\s+')) >= 3
+                and not contains(lower(x), 'javascript')
+         ) as kept
+  from p
+),
+c as (
+  select doc_id, t, n_lines,
+         cast(len(kept) as bigint) as n_kept_lines,
+         array_to_string(kept, chr(10)) as cleaned_text
+  from k
+),
+s as (
+  select *,
+         cast(length(cleaned_text)
+              - length(regexp_replace(cleaned_text, '[.!?]', '', 'g'))
+              as bigint) as n_sentences
+  from c
+)
+select doc_id, n_lines, n_kept_lines, n_sentences, cleaned_text
+from s
+where n_sentences >= 5
+  and not contains(lower(t), 'lorem ipsum')
+  and not contains(lower(t), '{')
+order by doc_id
+"""
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-wide keep-first duplicate-line removal (operators/
+    boilerplate.py::line_dedup — CCNet paragraph-hash dedup at line
+    granularity / RefinedWeb line dedup): every repeated trimmed line
+    keeps only its global first occurrence (min (doc_id, pos)).
+    Boilerplate nav/footer lines are planted across all docs (plus an
+    every-other-doc newsletter line), so the transform has real chrome
+    to strip; the DuckDB twin replays the identical md5 keep-first
+    rule and must reproduce the surviving text byte-for-byte."""
+    from entity_linking_in_biomedical_spark.operators.boilerplate import line_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.concat_ws(
+        "\n",
+        F.lit("share this page on social media now"),
+        F.concat(F.lit("doc body says "), F.substring("text", 1, 60)),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("subscribe to our newsletter today"),
+        ).otherwise(
+            F.concat(
+                F.lit("the unique middle line of doc "),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        F.concat(F.lit("doc tail says "), F.substring("text", 61, 60)),
+        F.lit("copyright footer all rights reserved"),
+    )
+    out = line_dedup(docs.withColumn("t", t).select("doc_id", "t"), text_col="t")
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        "cleaned_text",
+    ).orderBy("doc_id")
+
+
+ORACLE_LINE_DEDUP = r"""
+with p as (
+  select cast(doc_id as varchar) as doc_id,
+         'share this page on social media now'
+         || chr(10) || 'doc body says ' || substr(text, 1, 60)
+         || chr(10) || case when doc_id % 2 = 0
+              then 'subscribe to our newsletter today'
+              else 'the unique middle line of doc ' || cast(doc_id as varchar) end
+         || chr(10) || 'doc tail says ' || substr(text, 61, 60)
+         || chr(10) || 'copyright footer all rights reserved' as t
+  from documents
+),
+sl as (select doc_id, string_split(t, chr(10)) as ls from p),
+lines as (
+  select doc_id, cast(i - 1 as int) as pos, list_extract(ls, i) as line
+  from sl, unnest(generate_series(1, len(ls))) as u(i)
+),
+occ as (
+  select doc_id, pos, md5(trim(line)) as h
+  from lines where length(trim(line)) > 0
+),
+rn as (
+  select doc_id, pos,
+         row_number() over (partition by h order by doc_id, pos) as rn,
+         count(*) over (partition by h) as c
+  from occ
+),
+drops as (select doc_id, pos from rn where c >= 2 and rn > 1),
+kept as (
+  select l.doc_id, l.pos, l.line
+  from lines l anti join drops d
+    on l.doc_id = d.doc_id and l.pos = d.pos
+),
+agg as (
+  select doc_id, string_agg(line, chr(10) order by pos) as cleaned_text
+  from kept group by doc_id
+),
+nd as (select doc_id, cast(count(*) as bigint) as n_dropped from drops group by doc_id)
+select p.doc_id,
+       cast(len(string_split(p.t, chr(10))) as bigint) as n_lines,
+       coalesce(nd.n_dropped, 0) as n_dropped,
+       coalesce(agg.cleaned_text, '') as cleaned_text
+from p
+left join nd on p.doc_id = nd.doc_id
+left join agg on p.doc_id = agg.doc_id
+order by p.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3192,6 +3381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "dup_passages": q_dup_passages,
         "dedup_passages_apply": q_dedup_passages_apply,
+        "c4_clean": q_c4_clean,
+        "line_dedup": q_line_dedup,
         "filter_funnel": q_filter_funnel,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
@@ -3260,6 +3451,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_drift": ORACLE_VOCAB_DRIFT,
         "dup_passages": _oracle_dup_passages(),
         "dedup_passages_apply": _oracle_dedup_passages_apply(),
+        "c4_clean": ORACLE_C4_CLEAN,
+        "line_dedup": ORACLE_LINE_DEDUP,
         "filter_funnel": _oracle_filter_funnel(),
         "ann_brute_force": ORACLE_ANN,
         "ann_lsh": ORACLE_ANN_LSH,

@@ -284,6 +284,8 @@ def main() -> None:
         "incremental_dedup",
         "dup_passages",
         "dedup_passages_apply",
+        "c4_clean",
+        "line_dedup",
         "ngram_jaccard",
         "doc_clusters_cc",
         "dedup_clusters",

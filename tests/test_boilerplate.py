@@ -1,0 +1,126 @@
+"""Unit tests for the crawl-cleaning operators (operators/boilerplate.py):
+C4 line/page heuristics and CCNet-style keep-first line dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from entity_linking_in_biomedical_spark.operators.boilerplate import (
+    c4_clean,
+    line_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+GOOD_PAGE = "\n".join(
+    [
+        "the experiment produced stable results.",
+        "menu",  # < 3 words -> dropped
+        "we repeated the measurement five times!",
+        "read more",  # no terminal punctuation -> dropped
+        "does the effect hold at scale?",
+        'the reviewer said "it does."',
+        "enable javascript to continue reading.",  # javascript -> dropped
+        "   the conclusion is therefore well supported.   ",  # trimmed, kept
+        "finally we archive the raw data for later audits.",
+    ]
+)
+GOOD_KEPT = "\n".join(
+    [
+        "the experiment produced stable results.",
+        "we repeated the measurement five times!",
+        "does the effect hold at scale?",
+        'the reviewer said "it does."',
+        "the conclusion is therefore well supported.",
+        "finally we archive the raw data for later audits.",
+    ]
+)
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    rows = [
+        ("a", GOOD_PAGE),
+        # lorem ipsum anywhere on the ORIGINAL page drops it even if
+        # the kept lines alone would survive
+        ("b", GOOD_PAGE + "\nlorem ipsum dolor sit amet."),
+        # curly brace (template/code residue) drops the page
+        ("c", GOOD_PAGE + "\nif (x) { return; }"),
+        # fewer than 5 sentences in the retained text drops the page
+        ("d", "one good sentence survives the line rules here."),
+        ("e", ""),
+    ]
+    out = c4_clean(_docs(spark, rows)).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == ["a"]
+    r = out[0]
+    assert r["cleaned_text"] == GOOD_KEPT
+    assert r["n_lines"] == 9
+    assert r["n_kept_lines"] == 6
+    # one sentence-terminal mark [.!?] per kept line (the quote-final
+    # line's mark sits inside the quotes)
+    assert r["n_sentences"] == 6
+
+
+def test_c4_clean_blocked_phrases_param(spark):
+    rows = [("a", GOOD_PAGE), ("b", GOOD_PAGE + "\nBUY NOW and win big prizes.")]
+    out = c4_clean(_docs(spark, rows), blocked_phrases=("buy now",)).collect()
+    assert [r["doc_id"] for r in out] == ["a"]
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_c4_clean_is_scan_only(spark):
+    plan = _plan(c4_clean(_docs(spark, [("a", GOOD_PAGE)])))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_line_dedup_keep_first_global(spark):
+    nav = "share this page on social media"
+    rows = [
+        ("a", f"{nav}\nunique first body line.\n\n{nav}"),  # in-doc repeat dropped
+        ("b", f"{nav}\nanother unique body line."),
+        ("c", "totally distinct document text."),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(_docs(spark, rows)).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    # doc a holds the global first occurrence (min (doc_id, pos));
+    # its second, in-doc occurrence is dropped; the blank line stays
+    assert out["a"]["cleaned_text"] == f"{nav}\nunique first body line.\n"
+    assert out["a"]["n_lines"] == 4 and out["a"]["n_dropped"] == 1
+    assert out["b"]["cleaned_text"] == "another unique body line."
+    assert out["b"]["n_dropped"] == 1
+    assert out["c"]["cleaned_text"] == "totally distinct document text."
+    assert out["c"]["n_dropped"] == 0
+
+
+def test_line_dedup_trim_normalized_match(spark):
+    # the duplicate key is the TRIMMED line, but kept text preserves
+    # the original spelling of the surviving first occurrence
+    rows = [("a", "  padded line  \nbody a."), ("b", "padded line\nbody b.")]
+    out = {r["doc_id"]: r for r in line_dedup(_docs(spark, rows)).collect()}
+    assert out["a"]["cleaned_text"] == "  padded line  \nbody a."
+    assert out["b"]["cleaned_text"] == "body b."
+
+
+def test_line_dedup_shuffle_budget(spark):
+    # exactly the two intended shuffles: the line-hash groupBy and the
+    # doc_id fold-back (join side may resolve broadcast at this size,
+    # so bound the count rather than pin the join strategy)
+    df = line_dedup(_docs(spark, [("a", "x.\ny."), ("b", "x.\nz.")]))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan
