@@ -197,6 +197,8 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     test = spark.read.parquet(args.test_set) if args.test_set else None
     cfg = CurateConfig(
         url_col=args.url_col,
+        c4=args.c4,
+        line_dedup=args.line_dedup,
         langs=tuple(args.langs.split(",")) if args.langs else (),
         min_quality=args.min_quality,
         near_dup=not args.no_near_dup,
@@ -291,6 +293,16 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--documents", required=True, help="parquet: (doc_id, text, lang, ...)")
     cu.add_argument("--out", required=True, help="output parquet: the cleaned corpus")
     cu.add_argument("--url-col", help="enable URL-level dedup first, on this column")
+    cu.add_argument(
+        "--c4",
+        action="store_true",
+        help="C4 line/page cleaning gate (rewrites text) before doc-level gates",
+    )
+    cu.add_argument(
+        "--line-dedup",
+        action="store_true",
+        help="corpus-wide keep-first duplicate-line removal (rewrites text)",
+    )
     cu.add_argument("--langs", default="en", help="comma list; empty string skips the gate")
     cu.add_argument("--min-quality", type=float, default=0.3)
     cu.add_argument("--no-near-dup", action="store_true")

@@ -2,11 +2,15 @@
 training-data run actually executes, wiring this repo's gates in the
 standard order (CCNet/RefinedWeb/GPT-3 appendix C):
 
-    [optional URL-level dedup first] -> language filter -> heuristic
-    quality gate -> exact dedup (keep-first) -> near-dup
-    canonicalization (MinHash/LSH + connected components) -> LM
-    perplexity gate (bigram LM fit on the survivors) -> test-set
-    decontamination
+    [optional URL-level dedup first] -> [optional C4 line/page
+    cleaning] -> [optional corpus-wide keep-first line dedup] ->
+    language filter -> heuristic quality gate -> exact dedup
+    (keep-first) -> near-dup canonicalization (MinHash/LSH + connected
+    components) -> LM perplexity gate (bigram LM fit on the survivors)
+    -> test-set decontamination
+
+The two optional line-granularity gates REWRITE text before any
+doc-level signal is computed (operators/boilerplate.py).
 
 Every gate is one of the individually-oracled operators; this module
 adds only the composition, the keep-first exact rule, and the funnel
@@ -34,6 +38,9 @@ from ..functions.text_metrics import quality_score
 @dataclass
 class CurateConfig:
     url_col: str | None = None  # set to enable URL-level dedup FIRST
+    c4: bool = False  # C4 line/page cleaning (rewrites text) after URL dedup
+    c4_blocked: tuple[str, ...] = ()  # extra page-drop phrases for the C4 gate
+    line_dedup: bool = False  # corpus-wide keep-first line dedup (rewrites text)
     langs: tuple[str, ...] = ("en",)  # empty tuple skips the gate
     min_quality: float = 0.3
     near_dup: bool = True
@@ -72,6 +79,25 @@ def curate_corpus(
 
         cur = gate(
             "url_dedup", drop_url_duplicates(cur, url_col=cfg.url_col, id_col=id_col)
+        )
+
+    # the two LINE-granularity gates run before any doc-level gate:
+    # they REWRITE text (C4 strips junk lines and drops junk pages;
+    # line dedup strips repeated nav/footer chrome keep-first), so
+    # every downstream signal — quality, content hash, minhash, LM
+    # perplexity, contamination n-grams — sees the cleaned text
+    if cfg.c4:
+        from ..operators.boilerplate import c4_apply
+
+        cur = gate(
+            "c4", c4_apply(cur, text_col=text_col, blocked_phrases=cfg.c4_blocked)
+        )
+
+    if cfg.line_dedup:
+        from ..operators.boilerplate import line_dedup_apply
+
+        cur = gate(
+            "line_dedup", line_dedup_apply(cur, id_col=id_col, text_col=text_col)
         )
 
     if cfg.langs:

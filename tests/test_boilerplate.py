@@ -6,8 +6,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from entity_linking_in_biomedical_spark.operators.boilerplate import (
+    c4_apply,
     c4_clean,
     line_dedup,
+    line_dedup_apply,
 )
 
 
@@ -114,6 +116,65 @@ def test_line_dedup_trim_normalized_match(spark):
     out = {r["doc_id"]: r for r in line_dedup(_docs(spark, rows)).collect()}
     assert out["a"]["cleaned_text"] == "  padded line  \nbody a."
     assert out["b"]["cleaned_text"] == "body b."
+
+
+def test_c4_apply_preserves_schema_and_matches_stats_face(spark):
+    rows = [("a", GOOD_PAGE, "en"), ("b", GOOD_PAGE + "\nlorem ipsum x.", "fr")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    out = c4_apply(docs).collect()
+    assert [r["doc_id"] for r in out] == ["a"]
+    assert out[0]["lang"] == "en"  # extra columns ride through
+    stats = c4_clean(docs).collect()
+    assert out[0]["text"] == stats[0]["cleaned_text"] == GOOD_KEPT
+
+
+def test_line_dedup_apply_preserves_schema_and_matches_stats_face(spark):
+    nav = "share this page on social media"
+    rows = [("a", f"{nav}\nbody a.", 1), ("b", f"{nav}\nbody b.", 2)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, extra int")
+    out = {r["doc_id"]: r for r in line_dedup_apply(docs).collect()}
+    stats = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert set(out) == {"a", "b"}
+    for d in ("a", "b"):
+        assert out[d]["text"] == stats[d]["cleaned_text"]
+        assert out[d]["extra"] == {"a": 1, "b": 2}[d]
+    assert out["a"]["text"] == f"{nav}\nbody a."
+    assert out["b"]["text"] == "body b."
+
+
+def test_curate_composes_line_gates(spark):
+    from entity_linking_in_biomedical_spark.plans.curate import (
+        CurateConfig,
+        curate_corpus,
+    )
+
+    nav = "share this page on all your social media accounts now!"
+    body = [
+        "the study of distributed data processing systems shows throughput.",
+        "careful partitioning and shuffle planning remain the keys to scale.",
+        "we measured the effect across a dozen representative workloads.",
+        "the results replicate across three independent cluster topologies.",
+        "we therefore recommend the bucketed layout for iterative joins.",
+    ]
+    rows = [
+        ("1", "\n".join([nav] + body + ["menu"]), "en"),
+        ("2", "\n".join([nav] + [s.replace("the", "a") for s in body]), "en"),
+        ("3", "lorem ipsum dolor sit amet.\n" + "\n".join(body), "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    res = curate_corpus(
+        docs,
+        cfg=CurateConfig(c4=True, line_dedup=True, near_dup=False, min_quality=0.0),
+    )
+    gates = [g for g, _ in res["funnel"]]
+    assert gates[:3] == ["input", "c4", "line_dedup"]
+    out = {r["doc_id"]: r["text"] for r in res["clean"].collect()}
+    # doc 3 died at the c4 page gate (lorem ipsum); the nav line is a
+    # kept C4 line (ends in '!', >=3 words) but line_dedup keeps only
+    # doc 1's copy; 'menu' died at the C4 line rule
+    assert set(out) == {"1", "2"}
+    assert out["1"] == "\n".join([nav] + body)
+    assert out["2"] == "\n".join(s.replace("the", "a") for s in body)
 
 
 def test_line_dedup_shuffle_budget(spark):
