@@ -3327,6 +3327,104 @@ order by p.doc_id
 """
 
 
+def q_line_dedup_incremental(spark, sf_dir):
+    """Snapshot-lifecycle face of line dedup (operators/boilerplate.py
+    ::build_line_index + dedup_lines_batch): even-id docs are the
+    curated corpus whose DISTINCT trimmed-line md5s form the persisted
+    index; odd-id docs are the arriving batch. Indexed lines drop all
+    batch occurrences (arrival precedence — the corpus keeper wins);
+    fresh lines apply keep-first within the batch. Planted: two
+    boilerplate lines shared corpus<->batch, one fresh line repeated
+    across the whole batch, one unique line per doc. The DuckDB twin
+    replays the identical index + keep-first rule and must reproduce
+    the rewritten batch text byte-for-byte."""
+    from entity_linking_in_biomedical_spark.operators.boilerplate import (
+        build_line_index,
+        dedup_lines_batch,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.concat_ws(
+        "\n",
+        F.lit("share this page on social media now"),
+        F.concat(F.lit("doc body says "), F.substring("text", 1, 60)),
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.lit("fresh batch boilerplate line repeated"),
+        ).otherwise(
+            F.concat(
+                F.lit("corpus only line for doc "),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        F.lit("copyright footer all rights reserved"),
+    )
+    framed = docs.withColumn("t", t).select("doc_id", "t")
+    corpus = framed.filter(F.col("doc_id") % 2 == 0)
+    batch = framed.filter(F.col("doc_id") % 2 == 1)
+    index = build_line_index(corpus, text_col="t")
+    out = dedup_lines_batch(batch, index, text_col="t")
+    return out.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("t").alias("cleaned_text"),
+    ).orderBy("doc_id")
+
+
+ORACLE_LINE_DEDUP_INCREMENTAL = r"""
+with p as (
+  select doc_id as nid, cast(doc_id as varchar) as doc_id,
+         'share this page on social media now'
+         || chr(10) || 'doc body says ' || substr(text, 1, 60)
+         || chr(10) || case when doc_id % 2 = 1
+              then 'fresh batch boilerplate line repeated'
+              else 'corpus only line for doc ' || cast(doc_id as varchar) end
+         || chr(10) || 'copyright footer all rights reserved' as t
+  from documents
+),
+csl as (select doc_id, string_split(t, chr(10)) as ls from p where nid % 2 = 0),
+cidx as (
+  select distinct md5(trim(list_extract(ls, i))) as h
+  from csl, unnest(generate_series(1, len(ls))) as u(i)
+  where length(trim(list_extract(ls, i))) > 0
+),
+bsl as (select doc_id, t, string_split(t, chr(10)) as ls from p where nid % 2 = 1),
+blines as (
+  select doc_id, cast(i - 1 as int) as pos, list_extract(ls, i) as line
+  from bsl, unnest(generate_series(1, len(ls))) as u(i)
+),
+bocc as (
+  select doc_id, pos, md5(trim(line)) as h
+  from blines where length(trim(line)) > 0
+),
+indexed_drops as (
+  select doc_id, pos from bocc where h in (select h from cidx)
+),
+fresh as (select * from bocc where h not in (select h from cidx)),
+fresh_rn as (
+  select doc_id, pos,
+         row_number() over (partition by h order by doc_id, pos) as rn
+  from fresh
+),
+drops as (
+  select doc_id, pos from indexed_drops
+  union all
+  select doc_id, pos from fresh_rn where rn > 1
+),
+kept as (
+  select l.doc_id, l.pos, l.line
+  from blines l anti join drops d
+    on l.doc_id = d.doc_id and l.pos = d.pos
+),
+agg as (
+  select doc_id, string_agg(line, chr(10) order by pos) as cleaned_text
+  from kept group by doc_id
+)
+select b.doc_id, coalesce(agg.cleaned_text, '') as cleaned_text
+from bsl b left join agg on b.doc_id = agg.doc_id
+order by b.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3383,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passages_apply": q_dedup_passages_apply,
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
+        "line_dedup_incremental": q_line_dedup_incremental,
         "filter_funnel": q_filter_funnel,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
@@ -3453,6 +3552,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_passages_apply": _oracle_dedup_passages_apply(),
         "c4_clean": ORACLE_C4_CLEAN,
         "line_dedup": ORACLE_LINE_DEDUP,
+        "line_dedup_incremental": ORACLE_LINE_DEDUP_INCREMENTAL,
         "filter_funnel": _oracle_filter_funnel(),
         "ann_brute_force": ORACLE_ANN,
         "ann_lsh": ORACLE_ANN_LSH,

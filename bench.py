@@ -286,6 +286,7 @@ def main() -> None:
         "dedup_passages_apply",
         "c4_clean",
         "line_dedup",
+        "line_dedup_incremental",
         "ngram_jaccard",
         "doc_clusters_cc",
         "dedup_clusters",

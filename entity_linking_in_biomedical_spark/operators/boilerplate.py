@@ -140,16 +140,11 @@ def c4_apply(
     return _c4_frame(docs, text_col, blocked_phrases).select(*out_cols)
 
 
-def _line_drop_positions(
-    docs: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
-    """Shared keep-first rule: -> (__ldk string doc key, _drops
-    array<int> of 0-based line positions to remove). Every non-empty
-    trimmed line occurring more than once in the corpus keeps exactly
-    its global first occurrence — min (doc key, pos) for that line's
-    md5 — and all other occurrences land in ``_drops``. ONE
-    map-side-partial groupBy on the hash, one doc-keyed fold-back."""
-    occ = (
+def _line_occurrences(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(__ldk string doc key, pos int 0-based, h md5 of trimmed line)
+    for every NON-EMPTY trimmed line — the short exploded frame every
+    line rule runs on; document payloads stay behind."""
+    return (
         docs.select(
             F.col(id_col).cast("string").alias("__ldk"),
             F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -158,6 +153,13 @@ def _line_drop_positions(
         .filter(F.length("_t") > 0)
         .select("__ldk", "pos", F.md5("_t").alias("h"))
     )
+
+
+def _keep_first_drops(occ: DataFrame) -> DataFrame:
+    """Keep-first rule over an occurrence frame: -> (__ldk, pos) of
+    every occurrence that is NOT its line's global first (min
+    (__ldk, pos) per hash). ONE map-side-partial groupBy on the hash
+    (count + min struct in the same aggregate)."""
     firsts = (
         occ.groupBy("h")
         .agg(F.count("*").alias("c"), F.min(F.struct("__ldk", "pos")).alias("first"))
@@ -172,6 +174,18 @@ def _line_drop_positions(
                 & (F.col("pos") == F.col("first.pos"))
             )
         )
+        .select("__ldk", "pos")
+    )
+
+
+def _line_drop_positions(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared keep-first rule: -> (__ldk string doc key, _drops
+    array<int> of 0-based line positions to remove), one doc-keyed
+    fold-back groupBy over :func:`_keep_first_drops`."""
+    return (
+        _keep_first_drops(_line_occurrences(docs, id_col, text_col))
         .groupBy("__ldk")
         .agg(F.collect_list("pos").alias("_drops"))
     )
@@ -262,3 +276,115 @@ def line_dedup_apply(
         for c in docs.columns
     ]
     return joined.select(*out_cols)
+
+
+# ---- snapshot-lifecycle face (persisted line index) -------------------------
+
+
+def build_line_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(line_hash string) — one row per DISTINCT non-empty trimmed
+    line in the curated corpus: the durable artifact the arrival path
+    probes. 32 hex chars per distinct line regardless of corpus size;
+    one map-side-partial distinct at build time (amortized across
+    every later snapshot). Persist as parquet/Iceberg; after a batch
+    is deduped, append ``build_line_index(cleaned_batch)`` minus the
+    existing rows (the cleaned batch's lines are by construction the
+    corpus's new first occurrences)."""
+    return (
+        _line_occurrences(docs, id_col, text_col)
+        .select(F.col("h").alias("line_hash"))
+        .distinct()
+    )
+
+
+def dedup_lines_batch(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """O(batch) arrival path of :func:`line_dedup`: rewrite an ARRIVING
+    batch against a persisted :func:`build_line_index` without
+    rescanning the corpus. A line whose hash is in the index drops ALL
+    its batch occurrences (its keeper already lives in the corpus);
+    fresh lines apply the batch-internal keep-first rule. Returns the
+    batch's own columns with ``text_col`` rewritten.
+
+    Precedence is ARRIVAL order (the production snapshot rule): the
+    corpus's copy of a line always wins over the batch's, regardless
+    of ids. When every corpus key sorts before every batch key this
+    coincides exactly with :func:`line_dedup_apply` over the unioned
+    corpus-then-batch projected to the batch rows (asserted in
+    tests/test_boilerplate.py); with interleaved ids the one-shot
+    global rule could instead crown a batch doc the keeper — an
+    index-less re-run difference inherent to any keep-first index
+    (same caveat as incremental_dedup's exact channel).
+
+    Scale shape (the round's arrival-path discipline: persisted state
+    is only ever SCANNED map-side, never shuffled per batch): the
+    corpus-sized index is pruned by a broadcast semi-join on the
+    batch's own distinct line hashes, and the surviving (batch-sized)
+    hash set folds into the drop test as a broadcast build side; the
+    keep-first aggregate runs only over fresh-line occurrences —
+    O(batch) rows end to end.
+    """
+    occ = _line_occurrences(batch, id_col, text_col).localCheckpoint(eager=False)
+    batch_keys = occ.select(F.col("h")).distinct()
+    # indexed hashes that actually occur in this batch: map-side scan
+    # of the index, batch-sized result
+    touched = index.join(
+        F.broadcast(batch_keys), index["line_hash"] == batch_keys["h"], "left_semi"
+    ).select(F.col("line_hash").alias("h"))
+    indexed_drops = occ.join(F.broadcast(touched), "h", "left_semi").select(
+        "__ldk", "pos"
+    )
+    fresh = occ.join(F.broadcast(touched), "h", "left_anti")
+    drops = (
+        indexed_drops.unionByName(_keep_first_drops(fresh))
+        .groupBy("__ldk")
+        .agg(F.collect_list("pos").alias("_drops"))
+    )
+    joined = (
+        batch.withColumn("__ldk", F.col(id_col).cast("string"))
+        .join(drops, "__ldk", "left")
+        .withColumn(
+            "_dropped",
+            F.coalesce(F.col("_drops"), F.array().cast("array<int>")),
+        )
+        .withColumn("_lines", F.split(F.col(text_col), "\n"))
+    )
+    out_cols = [
+        _rewrite_without_lines("_lines", "_dropped").alias(c)
+        if c == text_col
+        else F.col(c)
+        for c in batch.columns
+    ]
+    return joined.select(*out_cols)
+
+
+def line_dedup_foreach_batch(
+    index: DataFrame,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming face: replay the exact batch operator per micro-batch
+    against the persisted index (the contamination/dsir foreachBatch
+    pattern — value-equal to batch by construction).
+    ``sink(cleaned_df, batch_id)`` receives each micro-batch's rewrite.
+    Wire as::
+
+        stream.writeStream.foreachBatch(
+            line_dedup_foreach_batch(index, sink)
+        ).start()
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            dedup_lines_batch(batch_df, index, id_col=id_col, text_col=text_col),
+            batch_id,
+        )
+
+    return _apply

@@ -177,6 +177,105 @@ def test_curate_composes_line_gates(spark):
     assert out["2"] == "\n".join(s.replace("the", "a") for s in body)
 
 
+def test_dedup_lines_batch_matches_unified_run(spark):
+    """With corpus keys ordering before batch keys, the index path must
+    reproduce the one-shot global keep-first projected to the batch."""
+    from entity_linking_in_biomedical_spark.operators.boilerplate import (
+        build_line_index,
+        dedup_lines_batch,
+    )
+
+    nav = "share this page on social media"
+    footer = "copyright footer all rights reserved"
+    corpus = _docs(
+        spark,
+        [("a", f"{nav}\ncorpus body one.\n{footer}"), ("b", f"{nav}\ncorpus body two.")],
+    )
+    batch = _docs(
+        spark,
+        [
+            ("x", f"{nav}\nfresh batch body.\n{footer}"),  # both indexed lines drop
+            ("y", "fresh repeated line\nbatch tail y."),
+            ("z", "fresh repeated line\nbatch tail z."),  # keep-first within batch
+        ],
+    )
+    index = build_line_index(corpus)
+    got = {
+        r["doc_id"]: r["text"] for r in dedup_lines_batch(batch, index).collect()
+    }
+    unified = line_dedup_apply(corpus.unionByName(batch))
+    want = {
+        r["doc_id"]: r["text"]
+        for r in unified.join(batch.select("doc_id"), "doc_id", "semi").collect()
+    }
+    assert got == want
+    assert got["x"] == "fresh batch body."
+    assert got["y"] == "fresh repeated line\nbatch tail y."
+    assert got["z"] == "batch tail z."
+
+
+def test_dedup_lines_batch_arrival_precedence(spark):
+    """The corpus copy wins even when the batch doc's id would sort
+    first — arrival order, not global id order."""
+    from entity_linking_in_biomedical_spark.operators.boilerplate import (
+        build_line_index,
+        dedup_lines_batch,
+    )
+
+    corpus = _docs(spark, [("z9", "the shared boilerplate line\ncorpus z9 body.")])
+    batch = _docs(spark, [("a1", "the shared boilerplate line\nbatch a1 body.")])
+    got = dedup_lines_batch(batch, build_line_index(corpus)).collect()
+    assert got[0]["text"] == "batch a1 body."
+
+
+def test_dedup_lines_batch_index_never_shuffles(spark):
+    """Arrival-path discipline: the persisted index side must reach
+    every join as a scan/broadcast, never through a shuffle exchange
+    keyed per batch (broadcast semi probe + broadcast build)."""
+    from entity_linking_in_biomedical_spark.operators.boilerplate import (
+        build_line_index,
+        dedup_lines_batch,
+    )
+
+    corpus = _docs(spark, [("a", "x.\ny.")])
+    batch = _docs(spark, [("b", "x.\nzz.")])
+    df = dedup_lines_batch(batch, build_line_index(corpus))
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_line_dedup_foreach_batch_matches_batch(spark, tmp_path):
+    from entity_linking_in_biomedical_spark.operators.boilerplate import (
+        build_line_index,
+        dedup_lines_batch,
+        line_dedup_foreach_batch,
+    )
+
+    corpus = _docs(spark, [("a", "indexed line one\ncorpus a.")])
+    batch = _docs(
+        spark, [("x", "indexed line one\nbatch x."), ("y", "fresh y line.")]
+    )
+    index = build_line_index(corpus)
+    want = {tuple(r) for r in dedup_lines_batch(batch, index).collect()}
+    src = str(tmp_path / "ld_src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    got = set()
+
+    def sink(df, batch_id):
+        got.update(tuple(r) for r in df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(line_dedup_foreach_batch(index, sink))
+        .option("checkpointLocation", str(tmp_path / "ld_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == want
+
+
 def test_line_dedup_shuffle_budget(spark):
     # exactly the two intended shuffles: the line-hash groupBy and the
     # doc_id fold-back (join side may resolve broadcast at this size,
