@@ -3425,6 +3425,65 @@ order by b.doc_id
 """
 
 
+def q_domain_filter(spark, sf_dir):
+    """Domain-level quality gate (operators/domain_filter.py — the
+    RefinedWeb-family 'drop bad neighborhoods wholesale' rule): per-doc
+    quality_score rolls up to the URL's domain as an exact
+    decimal(38,9) sum and a domain is condemned iff it has >= min_docs
+    docs AND sum_quality < min_avg * n_docs (decimal/integer
+    comparison, no float division in the decision). Ten planted
+    domains by doc_id % 10; domains 0-2 carry junk pages, so their
+    verdicts flip. The DuckDB twin replays quality, the decimal sum
+    and the rule."""
+    from entity_linking_in_biomedical_spark.operators.domain_filter import (
+        flag_bad_domains,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    framed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www.site"),
+            (d % 10).cast("string"),
+            F.lit(".example.org/p/"),
+            d.cast("string"),
+        ).alias("url"),
+        F.when(d % 10 < 3, F.lit("!!! ??? $$$")).otherwise(F.col("text")).alias("t"),
+    )
+    out = flag_bad_domains(framed, url_col="url", text_col="t", min_avg_quality=0.3, min_docs=3)
+    return out.select("domain", "n_docs", "avg_quality", "kept").orderBy("domain")
+
+
+ORACLE_DOMAIN_FILTER = f"""
+with p as (
+  select doc_id,
+         'https://www.site' || cast(doc_id % 10 as varchar)
+           || '.example.org/p/' || cast(doc_id as varchar) as url,
+         case when doc_id % 10 < 3 then '!!! ??? $$$' else text end as t
+  from documents
+),
+q as (
+  select lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)) as domain,
+         length(t) as n_chars,
+         length(regexp_replace(lower(t), '[^a-z]', '', 'g')) as alpha,
+         {TOKENS_SQL.format(col="t")} as toks
+  from p
+),
+s as (select domain, {_QUALITY_EXPR} as quality from q),
+a as (
+  select domain, cast(count(*) as bigint) as n_docs,
+         sum(cast(quality as decimal(38,9))) as sq
+  from s group by domain
+)
+select domain, n_docs,
+       round(cast(sq as double) / n_docs, 6) as avg_quality,
+       not (domain <> '' and n_docs >= 3
+            and sq < cast('0.3' as decimal(38,9)) * n_docs) as kept
+from a order by domain
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3482,6 +3541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
+        "domain_filter": q_domain_filter,
         "filter_funnel": q_filter_funnel,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
@@ -3553,6 +3613,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": ORACLE_C4_CLEAN,
         "line_dedup": ORACLE_LINE_DEDUP,
         "line_dedup_incremental": ORACLE_LINE_DEDUP_INCREMENTAL,
+        "domain_filter": ORACLE_DOMAIN_FILTER,
         "filter_funnel": _oracle_filter_funnel(),
         "ann_brute_force": ORACLE_ANN,
         "ann_lsh": ORACLE_ANN_LSH,

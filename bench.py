@@ -287,6 +287,7 @@ def main() -> None:
         "c4_clean",
         "line_dedup",
         "line_dedup_incremental",
+        "domain_filter",
         "ngram_jaccard",
         "doc_clusters_cc",
         "dedup_clusters",

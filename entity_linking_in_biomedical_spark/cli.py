@@ -197,6 +197,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     test = spark.read.parquet(args.test_set) if args.test_set else None
     cfg = CurateConfig(
         url_col=args.url_col,
+        domain_quality_floor=args.domain_quality_floor,
         c4=args.c4,
         line_dedup=args.line_dedup,
         langs=tuple(args.langs.split(",")) if args.langs else (),
@@ -293,6 +294,12 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--documents", required=True, help="parquet: (doc_id, text, lang, ...)")
     cu.add_argument("--out", required=True, help="output parquet: the cleaned corpus")
     cu.add_argument("--url-col", help="enable URL-level dedup first, on this column")
+    cu.add_argument(
+        "--domain-quality-floor",
+        type=float,
+        help="with --url-col: drop whole domains whose mean quality_score "
+        "falls below this floor (>=3 docs of evidence)",
+    )
     cu.add_argument(
         "--c4",
         action="store_true",

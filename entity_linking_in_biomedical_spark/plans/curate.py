@@ -38,6 +38,8 @@ from ..functions.text_metrics import quality_score
 @dataclass
 class CurateConfig:
     url_col: str | None = None  # set to enable URL-level dedup FIRST
+    domain_quality_floor: float | None = None  # drop whole low-quality domains
+    domain_min_docs: int = 3  # evidence floor for condemning a domain
     c4: bool = False  # C4 line/page cleaning (rewrites text) after URL dedup
     c4_blocked: tuple[str, ...] = ()  # extra page-drop phrases for the C4 gate
     line_dedup: bool = False  # corpus-wide keep-first line dedup (rewrites text)
@@ -79,6 +81,23 @@ def curate_corpus(
 
         cur = gate(
             "url_dedup", drop_url_duplicates(cur, url_col=cfg.url_col, id_col=id_col)
+        )
+
+    if cfg.url_col and cfg.domain_quality_floor is not None:
+        # domain-level filtering (RefinedWeb 'bad neighborhoods'):
+        # whole low-average-quality domains drop before per-doc gates —
+        # one map-side-partial domain rollup + one short-key anti-join
+        from ..operators.domain_filter import drop_bad_domains
+
+        cur = gate(
+            "domain_filter",
+            drop_bad_domains(
+                cur,
+                url_col=cfg.url_col,
+                text_col=text_col,
+                min_avg_quality=cfg.domain_quality_floor,
+                min_docs=cfg.domain_min_docs,
+            ),
         )
 
     # the two LINE-granularity gates run before any doc-level gate:
