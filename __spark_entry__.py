@@ -3484,6 +3484,36 @@ from a order by domain
 """
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail partition (operators/lm.py::
+    perplexity_buckets — Wenzek et al. 2020 §4.4): per-doc avg_nll
+    under the same self-fit bigram LM as the lm_nll gate (vocab cap
+    20, alpha 0.5), split at the GLOBAL exact avg_nll tertiles (Spark
+    sort-based percentile, bit-identical to DuckDB quantile_cont —
+    the length_quantiles cross-engine contract). head = cleanest
+    third; CCNet trains on head(+middle)."""
+    from entity_linking_in_biomedical_spark.operators.lm import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, vocab_cap=20, alpha=0.5).orderBy("doc_id")
+
+
+ORACLE_PPL_BUCKETS = f"""
+with nll as ({ORACLE_LM_NLL}),
+q as (
+  select quantile_cont(avg_nll,
+           [0.3333333333333333, 0.6666666666666666]) as qs
+  from nll
+)
+select doc_id, avg_nll,
+       case when avg_nll <= qs[1] then 'head'
+            when avg_nll <= qs[2] then 'middle'
+            else 'tail' end as bucket
+from nll cross join q
+order by doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -3542,6 +3572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "line_dedup_incremental": q_line_dedup_incremental,
         "domain_filter": q_domain_filter,
+        "perplexity_buckets": q_perplexity_buckets,
         "filter_funnel": q_filter_funnel,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
@@ -3614,6 +3645,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": ORACLE_LINE_DEDUP,
         "line_dedup_incremental": ORACLE_LINE_DEDUP_INCREMENTAL,
         "domain_filter": ORACLE_DOMAIN_FILTER,
+        "perplexity_buckets": ORACLE_PPL_BUCKETS,
         "filter_funnel": _oracle_filter_funnel(),
         "ann_brute_force": ORACLE_ANN,
         "ann_lsh": ORACLE_ANN_LSH,

@@ -288,6 +288,7 @@ def main() -> None:
         "line_dedup",
         "line_dedup_incremental",
         "domain_filter",
+        "perplexity_buckets",
         "ngram_jaccard",
         "doc_clusters_cc",
         "dedup_clusters",

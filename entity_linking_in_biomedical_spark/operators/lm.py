@@ -312,3 +312,70 @@ def lm_score_foreach_batch(
         )
 
     return _apply
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    lm: "BigramLM | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str | None = None,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = True,
+    accuracy: int = 10_000,
+    vocab_cap: int = 50_000,
+    alpha: float = 0.5,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """CCNet's head/middle/tail partition (Wenzek et al. 2020 §4.4):
+    per-doc ``avg_nll`` under the bigram LM (``lm``, or self-fit when
+    None), bucketed by the per-``by``-group (or global) ``avg_nll``
+    quantiles at ``cuts`` — 'head' when avg_nll <= q1 (LOWEST
+    perplexity, the cleanest slice), 'middle' when <= q2, else 'tail'.
+    CCNet trains on head(+middle) and discards or down-weights tail.
+
+    -> (id, [by], avg_nll, bucket), one row per >=2-token doc (the
+    scoring operator's domain).
+
+    ``exact=True`` uses Spark's sort-based exact ``percentile`` —
+    linear interpolation, bit-identical to DuckDB ``quantile_cont``
+    (the length_quantiles cross-engine contract), which is what the
+    driver oracle checks; ``exact=False`` swaps in the
+    Greenwald-Khanna ``approx_percentile`` sketch — bounded aggregate
+    state, the 10^12-doc path (CCNet itself computes cutoffs on a
+    sample). Either way the cut frame is one short row per group,
+    broadcast back onto the scores — the doc-level frame shuffles only
+    for the scoring aggregate itself.
+    """
+    scored = (
+        bigram_lm_nll(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            vocab_cap=vocab_cap,
+            alpha=alpha,
+            broadcast_model=broadcast_model,
+        )
+        if lm is None
+        else score_bigram_nll(
+            docs, lm, id_col=id_col, text_col=text_col, broadcast_model=broadcast_model
+        )
+    ).select(id_col, "avg_nll")
+    if by:
+        scored = scored.join(docs.select(id_col, by), id_col)
+    parr = "array(" + ",".join(repr(float(c)) for c in cuts) + ")"
+    fn = "percentile" if exact else "approx_percentile"
+    acc = "" if exact else f", {int(accuracy)}"
+    q = F.expr(f"{fn}(avg_nll, {parr}{acc})").alias("qs")
+    if by:
+        qf = scored.groupBy(by).agg(q)
+        joined = scored.join(F.broadcast(qf), by)
+    else:
+        joined = scored.crossJoin(F.broadcast(scored.groupBy().agg(q)))
+    bucket = (
+        F.when(F.col("avg_nll") <= F.element_at("qs", 1), F.lit("head"))
+        .when(F.col("avg_nll") <= F.element_at("qs", 2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    keep = [id_col] + ([by] if by else [])
+    return joined.select(*keep, "avg_nll", bucket.alias("bucket"))

@@ -177,3 +177,81 @@ def test_lm_save_load_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, score_bigram_nll(held, lm).collect()))
     b = sorted(map(tuple, score_bigram_nll(held, lm2).collect()))
     assert a == b
+
+
+def test_perplexity_buckets_global_terciles(spark):
+    """Nine docs with three clearly separated nll regimes must split
+    3/3/3 into head/middle/tail at the exact global terciles, head
+    being the LOWEST-nll (cleanest) slice."""
+    from entity_linking_in_biomedical_spark.operators.lm import perplexity_buckets
+
+    rows = (
+        # head: one massively repeated bigram -> high p, low nll
+        [(f"h{i}", "alpha beta " * 30) for i in range(3)]
+        # middle: a 4-cycle of medium-frequency bigrams
+        + [(f"m{i}", "cc dd ee ff " * 8) for i in range(3)]
+        # tail: per-doc singleton bigrams, all IN vocab (a large cap
+        # keeps them out of <unk>, where shared unk-unk bigrams would
+        # paradoxically look frequent) -> smoothed-floor p, high nll
+        + [
+            (f"t{i}", " ".join(f"tok{i}x{j}" for j in range(20)))
+            for i in range(3)
+        ]
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = perplexity_buckets(docs, vocab_cap=200, alpha=0.5).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], set()).add(r["doc_id"])
+    assert by_bucket["head"] == {"h0", "h1", "h2"}
+    assert by_bucket["middle"] == {"m0", "m1", "m2"}
+    assert by_bucket["tail"] == {"t0", "t1", "t2"}
+    # head really is the low-nll end
+    nll = {r["doc_id"]: r["avg_nll"] for r in out}
+    assert max(nll[d] for d in by_bucket["head"]) <= min(
+        nll[d] for d in by_bucket["tail"]
+    )
+
+
+def test_perplexity_buckets_per_group_cuts(spark):
+    """With by=, each group gets its own tertiles: a doc that would be
+    'tail' against the easy group's cuts is 'head' within its own
+    hard group."""
+    from entity_linking_in_biomedical_spark.operators.lm import perplexity_buckets
+
+    easy = "the cat sat on the mat "
+    rows = [(f"e{i}", easy * (i + 2), "en") for i in range(3)] + [
+        (f"x{i}", " ".join(f"w{i}y{j}" for j in range(10 + i * 5)), "xx")
+        for i in range(3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    out = {
+        r["doc_id"]: r["bucket"]
+        for r in perplexity_buckets(docs, by="lang", vocab_cap=50).collect()
+    }
+    # every group contains a head: cuts are per-group, not global
+    assert any(out[f"e{i}"] == "head" for i in range(3))
+    assert any(out[f"x{i}"] == "head" for i in range(3))
+
+
+def test_perplexity_buckets_approx_mode_smoke(spark):
+    """The sketch path (the 10^12-doc form) must produce the same
+    buckets as exact on a well-separated distribution."""
+    from entity_linking_in_biomedical_spark.operators.lm import perplexity_buckets
+
+    rows = [(f"h{i}", "alpha beta " * 20) for i in range(4)] + [
+        # in-vocab singleton bigrams (large cap — see the terciles test)
+        (f"t{i}", " ".join(f"q{i}z{j}" for j in range(15)))
+        for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    for mode in (True, False):
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in perplexity_buckets(docs, vocab_cap=200, exact=mode).collect()
+        }
+        # the sketch may place a degenerate two-value tertile boundary
+        # on either side of the gap, so assert the stable property:
+        # the clean docs are 'head', the soup docs are not
+        assert all(got[f"h{i}"] == "head" for i in range(4))
+        assert all(got[f"t{i}"] != "head" for i in range(4))
