@@ -1608,6 +1608,77 @@ order by doc_id
 """
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup canonicalization (operators/dedup.py::
+    near_dup_clusters quality_col=): same MinHash/LSH pairs -> CC
+    closure as dedup_clusters, but each cluster's survivor is its
+    HIGHEST-quality_score member (ties -> min doc_id) instead of the
+    min id — web near-dup sets are re-crawls/mirrors of mixed
+    cleanliness, and keep-min discards the good copy whenever a junk
+    mirror sorts first. Oracle replays the closure plus the identical
+    (q desc, id asc) argmax window; quality_score is 6-decimal-rounded
+    on both engines so the ordering keys are bit-equal."""
+    from entity_linking_in_biomedical_spark.functions.text_metrics import (
+        quality_score,
+    )
+    from entity_linking_in_biomedical_spark.operators.dedup import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents").withColumn("__q", quality_score("text"))
+    return (
+        near_dup_clusters(docs, jaccard_threshold=0.5, quality_col="__q")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "dup_cluster_id",
+            F.col("is_canonical").cast("bigint").alias("is_canonical"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_dedup_keep_best(thr=0.5) -> str:
+    inner = _oracle_minhash_dedup(thr=thr)
+    return f"""
+with recursive pairs as ({inner}),
+und as (
+  select a_id as a, b_id as b from pairs
+  union all select b_id as a, a_id as b from pairs
+),
+cc(n, m) as (
+  select a, a from und
+  union
+  select und.b, cc.m from cc join und on und.a = cc.n where cc.m < und.b
+),
+lbl as (select n, min(m) as cluster_id from cc group by n),
+alln as (select cast(doc_id as varchar) as n from documents),
+asg as (
+  select alln.n, coalesce(lbl.cluster_id, alln.n) as cluster_id
+  from alln left join lbl on lbl.n = alln.n
+),
+sizes as (
+  select cluster_id, cast(count(*) as bigint) as cluster_size
+  from asg group by cluster_id
+),
+feat as (
+  select cast(doc_id as varchar) as n, length(text) as n_chars,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) as alpha,
+         {_TOKS} as toks
+  from documents
+),
+q as (select n, {_QUALITY_EXPR} as q from feat),
+ranked as (
+  select asg.n, asg.cluster_id, sizes.cluster_size,
+         row_number() over (partition by asg.cluster_id
+                            order by q.q desc, asg.n asc) as rn
+  from asg join sizes using (cluster_id) join q using (n)
+)
+select cast(n as bigint) as doc_id, cluster_id as dup_cluster_id,
+       cast(rn = 1 as bigint) as is_canonical, cluster_size
+from ranked
+order by doc_id
+"""
+
+
 # mixture for the stratified-sample query: covers a fractional rate, a
 # coarse rate, a keep-all stratum (predicate folds to true), a heavy
 # down-sample, and an UNLISTED stratum (fr) that must be dropped
@@ -2942,6 +3013,72 @@ from frag order by seq_id, doc_id
 """
 
 
+def q_pack_interleaved(spark, sf_dir):
+    """Interleaved multimodal packing manifest (operators/packing.py::
+    pack_interleaved): every document becomes the input_hint span shape
+    (one text span + two media spans), each media span costs a fixed
+    16-token placeholder budget, and the concat-and-chunk layout at
+    seq_len=256 runs through the same two-level distributed prefix sum
+    as pack_sequences. The oracle replays the span arithmetic (text
+    token count + 2*16) with a single window cumsum."""
+    from entity_linking_in_biomedical_spark.operators.packing import pack_interleaved
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+
+    def _m(ref):
+        return F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            ref.alias("media_ref"),
+            F.lit(1).alias("offset"),
+        )
+
+    docs = base.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            _m(F.concat(F.lit("img://shared-"), (d % 50).cast("string"))),
+            _m(F.concat(F.lit("img://uniq-"), d.cast("string"))),
+        ).alias("spans"),
+    )
+    return pack_interleaved(
+        docs, 256, media_token_budget=16, bucket_size=100
+    ).orderBy("seq_id", "doc_id")
+
+
+ORACLE_PACK_INTERLEAVED = f"""
+with n as (
+  select doc_id, cast(len({_TOKS}) as bigint) as t from documents
+), lens as (
+  select doc_id, t as n_text_tokens, cast(2 as bigint) as n_media,
+         t + 32 as L
+  from n
+), o as (
+  select doc_id, n_text_tokens, n_media, L,
+         coalesce(sum(L) over (order by doc_id
+            rows between unbounded preceding and 1 preceding), 0) as o
+  from lens
+), frag as (
+  select doc_id, n_text_tokens, n_media, L, o,
+         unnest(range(cast(o // 256 as bigint),
+                      cast((o + L - 1) // 256 + 1 as bigint))) as seq_id
+  from o
+)
+select cast(seq_id as bigint) as seq_id, doc_id,
+  cast(greatest(o, seq_id * 256) - o as bigint) as frag_start,
+  cast(least(o + L, (seq_id + 1) * 256) - greatest(o, seq_id * 256) as bigint)
+    as frag_len,
+  n_text_tokens, n_media
+from frag order by seq_id, doc_id
+"""
+
+
 
 def q_temperature_mixture(spark, sf_dir):
     """Temperature-based mixture resampling (mC4/XLM-R rule, tau=0.5)
@@ -3545,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lm_nll": q_lm_nll,
         "pack_sequences": q_pack_sequences,
+        "pack_interleaved": q_pack_interleaved,
         "temperature_mixture": q_temperature_mixture,
         "length_quantiles": q_length_quantiles,
         "url_canonicalize": q_url_canonicalize,
@@ -3555,6 +3693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "decontaminate": q_decontaminate,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "stratified_sample": q_stratified_sample,
         "token_budget_sample": q_token_budget_sample,
         "hash_split": q_hash_split,
@@ -3618,6 +3757,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": ORACLE_TOKEN_COUNT,
         "lm_nll": ORACLE_LM_NLL,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
+        "pack_interleaved": ORACLE_PACK_INTERLEAVED,
         "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
         "length_quantiles": ORACLE_LENGTH_QUANTILES,
         "url_canonicalize": _oracle_url_canonicalize(),
@@ -3628,6 +3768,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": ORACLE_CONTAMINATION,
         "decontaminate": ORACLE_DECONTAMINATE,
         "dedup_clusters": _oracle_dedup_clusters(),
+        "dedup_keep_best": _oracle_dedup_keep_best(),
         "stratified_sample": _oracle_stratified_sample(),
         "token_budget_sample": _oracle_token_budget_sample(),
         "hash_split": _oracle_hash_split(),

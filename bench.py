@@ -292,11 +292,13 @@ def main() -> None:
         "ngram_jaccard",
         "doc_clusters_cc",
         "dedup_clusters",
+        "dedup_keep_best",
         "simhash_dedup",
         "lang_id",
         "token_count",
         "lm_nll",
         "pack_sequences",
+        "pack_interleaved",
         "quality_score",
         "doc_fingerprint",
         "pii_redact",

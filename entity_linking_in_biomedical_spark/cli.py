@@ -204,6 +204,7 @@ def _cmd_curate(args: argparse.Namespace) -> int:
         min_quality=args.min_quality,
         near_dup=not args.no_near_dup,
         max_avg_nll=args.max_avg_nll,
+        ppl_keep=tuple(args.ppl_keep.split(",")) if args.ppl_keep else None,
     )
     res = curate_corpus(docs, test=test, cfg=cfg)
     if args.shard_size:
@@ -314,6 +315,11 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--min-quality", type=float, default=0.3)
     cu.add_argument("--no-near-dup", action="store_true")
     cu.add_argument("--max-avg-nll", type=float, help="enable the LM gate at this threshold")
+    cu.add_argument(
+        "--ppl-keep",
+        help="CCNet relative LM gate: comma list of tertile buckets to"
+        " keep (head,middle,tail), e.g. 'head,middle'",
+    )
     cu.add_argument("--test-set", help="parquet (test_id, text): decontaminate against it")
     cu.add_argument(
         "--shard-size",

@@ -514,6 +514,7 @@ def near_dup_clusters(
     bands: int = MINHASH_DEDUP_BANDS,
     jaccard_threshold: float = 0.7,
     max_bucket: int = MINHASH_DEDUP_MAX_BUCKET,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTERING + canonical selection: the corpus transform
     that follows pair detection in a curation run. MinHash/LSH pairs
@@ -528,6 +529,18 @@ def near_dup_clusters(
     -> one row per INPUT doc: (doc_id string, dup_cluster_id string,
     is_canonical, cluster_size). Docs in no pair are their own
     singleton cluster. Filtering is_canonical gives the cleaned corpus.
+
+    ``quality_col`` switches canonical selection from keep-min-id to
+    KEEP-BEST: the cluster member with the highest ``quality_col``
+    value survives (ties broken by ascending doc id, so the rule stays
+    deterministic and engine-independent). This is what curation runs
+    that score documents actually want — near-dup sets on the web are
+    re-crawls and mirrors of mixed cleanliness, and keep-min throws
+    away the good copy whenever a junk mirror happens to sort first.
+    Cluster ids remain the min-label (membership is unaffected); only
+    the survivor choice changes. Costs one extra join of (id, quality)
+    onto the assignment frame plus one window over dup_cluster_id —
+    both on the same short keys the base transform already shuffles.
 
     Scale shape: pair generation is the bucketed LSH op (capped
     buckets, id-only joins); CC runs on the pair graph only —
@@ -557,17 +570,35 @@ def near_dup_clusters(
     sizes = assign.groupBy("cluster_id").agg(
         F.count("*").cast("bigint").alias("cluster_size")
     )
-    return assign.join(sizes, "cluster_id").select(
+    out = assign.join(sizes, "cluster_id").select(
         F.col("node").alias("doc_id"),
         F.col("cluster_id").alias("dup_cluster_id"),
         (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
         "cluster_size",
     )
+    if quality_col is None:
+        return out
+    from pyspark.sql import Window
+
+    q = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(quality_col).alias("__q"),
+    )
+    w = Window.partitionBy("dup_cluster_id").orderBy(
+        F.col("__q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        out.drop("is_canonical")
+        .join(q, "doc_id")
+        .withColumn("is_canonical", F.row_number().over(w) == 1)
+        .select("doc_id", "dup_cluster_id", "is_canonical", "cluster_size")
+    )
 
 
 def drop_near_duplicates(docs: DataFrame, id_col: str = "doc_id", **kw) -> DataFrame:
     """Cleaned corpus: only each near-dup cluster's canonical doc
-    survives (keep-min rule over :func:`near_dup_clusters`)."""
+    survives over :func:`near_dup_clusters` — keep-min rule by
+    default, keep-best when ``quality_col`` is passed through."""
     keep = (
         near_dup_clusters(docs, id_col=id_col, **kw)
         .filter("is_canonical")

@@ -30,7 +30,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.prefix_sum import bucketed_prefix_sum
-from ..functions.text_metrics import token_count
+from ..functions.text_metrics import token_count, tokens
+
+
+def _pack_manifest(
+    n: DataFrame,
+    seq_len: int,
+    id_col: str,
+    bucket_size: int,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared packing tail: ``n`` carries (id_col, __ord bigint, __len
+    bigint > 0 [, *extra]); returns the fragment manifest (seq_id,
+    id_col, frag_start, frag_len [, *extra]). Two-level distributed
+    prefix sum, then a per-row fragment explode — no shuffle after the
+    prefix sum."""
+    s = F.lit(int(seq_len)).cast("bigint")
+    o = bucketed_prefix_sum(
+        n.withColumn("__bkt", F.expr(f"__ord div {int(bucket_size)}")),
+        "__bkt",
+        ("__ord",),
+        "__len",
+        "__o",
+    )
+
+    # fragment explode: sequences floor(o/S) .. floor((o+L-1)/S)
+    frag = o.select(
+        F.col(id_col),
+        "__o",
+        "__len",
+        *extra,
+        F.explode(
+            F.sequence(
+                F.expr("__o div " + str(int(seq_len))),
+                F.expr(f"(__o + __len - 1) div {int(seq_len)}"),
+            )
+        ).alias("seq_id"),
+    )
+    start_g = F.greatest(F.col("__o"), F.col("seq_id") * s)
+    end_g = F.least(F.col("__o") + F.col("__len"), (F.col("seq_id") + 1) * s)
+    return frag.select(
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        id_col,
+        (start_g - F.col("__o")).cast("bigint").alias("frag_start"),
+        (end_g - start_g).cast("bigint").alias("frag_len"),
+        *extra,
+    )
 
 
 def pack_sequences(
@@ -54,35 +99,70 @@ def pack_sequences(
     order_col = order_col or id_col
     s = F.lit(int(seq_len)).cast("bigint")
 
-    n = (
-        docs.select(
-            F.col(id_col),
-            F.col(order_col).cast("bigint").alias("__ord"),
-            token_count(text_col).cast("bigint").alias("__len"),
-        )
-        .filter(F.col("__len") > 0)
-        .withColumn("__bkt", F.expr(f"__ord div {int(bucket_size)}"))
-    )
-
-    o = bucketed_prefix_sum(n, "__bkt", ("__ord",), "__len", "__o")
-
-    # fragment explode: sequences floor(o/S) .. floor((o+L-1)/S)
-    frag = o.select(
+    n = docs.select(
         F.col(id_col),
-        "__o",
-        "__len",
-        F.explode(
-            F.sequence(
-                F.expr("__o div " + str(int(seq_len))),
-                F.expr(f"(__o + __len - 1) div {int(seq_len)}"),
-            )
-        ).alias("seq_id"),
+        F.col(order_col).cast("bigint").alias("__ord"),
+        token_count(text_col).cast("bigint").alias("__len"),
+    ).filter(F.col("__len") > 0)
+    return _pack_manifest(n, seq_len, id_col, bucket_size)
+
+
+def pack_interleaved(
+    docs: DataFrame,
+    seq_len: int,
+    media_token_budget: int = 64,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    order_col: str | None = None,
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """Packing manifest for INTERLEAVED text+media documents (the
+    input_hint span shape: array<struct<kind,text,media_ref,offset>>):
+    each doc's stream length = sum of its text spans' token counts plus
+    ``media_token_budget`` per media span — the fixed placeholder/patch
+    budget a multimodal trainer reserves per asset (Flamingo/MM1-style
+    interleaved packing quotes budgets in exactly these units). The
+    concat-and-chunk layout is then identical to :func:`pack_sequences`.
+
+    -> (seq_id, doc_id, frag_start, frag_len, n_text_tokens, n_media):
+    one row per (sequence, document-fragment), with the doc's span
+    accounting carried so a packer can materialize examples without
+    re-reading the spans. Zero-length docs (no text tokens AND no
+    media) are dropped.
+
+    Scale shape: the per-doc length is ONE row-local higher-order
+    aggregate over the span array (no explode, no shuffle), then the
+    same two-level distributed prefix sum as pack_sequences — a global
+    ORDER BY window would collapse to one partition at 10^12 docs.
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    if media_token_budget < 0:
+        raise ValueError("media_token_budget must be non-negative")
+    order_col = order_col or id_col
+
+    sp = F.col(spans_col)
+    text_toks = F.aggregate(
+        F.filter(sp, lambda s: s["kind"] == F.lit("text")),
+        F.lit(0).cast("bigint"),
+        lambda acc, s: acc + F.size(tokens(F.coalesce(s["text"], F.lit("")))),
     )
-    start_g = F.greatest(F.col("__o"), F.col("seq_id") * s)
-    end_g = F.least(F.col("__o") + F.col("__len"), (F.col("seq_id") + 1) * s)
-    return frag.select(
-        F.col("seq_id").cast("bigint").alias("seq_id"),
+    n_media = F.size(F.filter(sp, lambda s: s["kind"] == F.lit("media")))
+    n = docs.select(
+        F.col(id_col),
+        F.col(order_col).cast("bigint").alias("__ord"),
+        text_toks.cast("bigint").alias("n_text_tokens"),
+        n_media.cast("bigint").alias("n_media"),
+    ).select(
         id_col,
-        (start_g - F.col("__o")).cast("bigint").alias("frag_start"),
-        (end_g - start_g).cast("bigint").alias("frag_len"),
+        "__ord",
+        "n_text_tokens",
+        "n_media",
+        (
+            F.col("n_text_tokens")
+            + F.col("n_media") * F.lit(int(media_token_budget)).cast("bigint")
+        ).alias("__len"),
+    ).filter(F.col("__len") > 0)
+    return _pack_manifest(
+        n, seq_len, id_col, bucket_size, extra=("n_text_tokens", "n_media")
     )

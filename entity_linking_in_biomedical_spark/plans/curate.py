@@ -6,8 +6,9 @@ standard order (CCNet/RefinedWeb/GPT-3 appendix C):
     cleaning] -> [optional corpus-wide keep-first line dedup] ->
     language filter -> heuristic quality gate -> exact dedup
     (keep-first) -> near-dup canonicalization (MinHash/LSH + connected
-    components) -> LM perplexity gate (bigram LM fit on the survivors)
-    -> test-set decontamination
+    components) -> LM perplexity gate (bigram LM fit on the survivors;
+    absolute max-avg-nll threshold and/or CCNet's relative
+    head/middle/tail bucket keep) -> test-set decontamination
 
 The two optional line-granularity gates REWRITE text before any
 doc-level signal is computed (operators/boilerplate.py).
@@ -48,6 +49,8 @@ class CurateConfig:
     near_dup: bool = True
     jaccard_threshold: float = 0.7
     max_avg_nll: float | None = None  # None skips the LM gate
+    ppl_keep: tuple[str, ...] | None = None  # CCNet buckets kept, e.g. ("head","middle")
+    ppl_exact: bool = True  # exact tertiles; False = approx_percentile sketch
     lm_vocab_cap: int = 50_000
     lm_alpha: float = 0.5
     decontam_ngram: int = 13
@@ -163,6 +166,30 @@ def curate_corpus(
             .select(id_col)
         )
         cur = gate("lm_nll", cur.join(bad, id_col, "left_anti"))
+
+    if cfg.ppl_keep:
+        # CCNet's RELATIVE gate (Wenzek et al. 2020 §4.4): bucket the
+        # survivors at the avg_nll tertiles and keep only the named
+        # buckets — unlike max_avg_nll this needs no absolute
+        # threshold, so it transfers across corpora. Fit-on-survivors
+        # like the absolute gate; one semi-join on the id
+        from ..operators.lm import perplexity_buckets
+
+        bad = (
+            perplexity_buckets(
+                cur,
+                id_col=id_col,
+                text_col=text_col,
+                exact=cfg.ppl_exact,
+                vocab_cap=cfg.lm_vocab_cap,
+                alpha=cfg.lm_alpha,
+            )
+            .filter(~F.col("bucket").isin(*cfg.ppl_keep))
+            .select(id_col)
+        )
+        # docs below the scorer's 2-bigram domain are never flagged and
+        # pass through ungated, matching the absolute gate's stance
+        cur = gate("ppl_bucket", cur.join(bad, id_col, "left_anti"))
 
     if test is not None:
         from ..operators.contamination import decontaminate

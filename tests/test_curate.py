@@ -134,3 +134,48 @@ def test_curate_interleaved_no_media_dedup_passthrough(spark):
     kept = {r["doc_id"] for r in res["clean"].collect()}
     assert kept == {"a"}  # exact keep-first on projected text
     # b's media span untouched pre-cut: media_dedup=False never rewrites
+
+
+def test_curate_ppl_bucket_gate_keeps_named_tertiles(spark):
+    """ppl_keep=('head','middle') is CCNet's relative LM gate: the
+    highest-nll THIRD of the scored survivors drops, with no absolute
+    threshold to tune; the funnel records the cut; sub-2-token docs
+    pass through ungated (the scorer never sees them)."""
+    rows = (
+        # head: one massively repeated bigram (lengths differ so the
+        # pipeline's unconditional exact-dedup gate keeps all three)
+        [(i, "alpha beta " * (30 + i), "en") for i in range(3)]
+        # middle: a 4-cycle of medium-frequency bigrams
+        + [(10 + i, "cc dd ee ff " * (8 + i), "en") for i in range(3)]
+        # tail: per-doc singleton bigrams
+        + [
+            (20 + i, " ".join(f"tok{i}x{j}" for j in range(20)), "en")
+            for i in range(3)
+        ]
+        # 1-token doc: below the scorer's domain, must survive
+        + [(30, "solo", "en")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    cfg = CurateConfig(
+        langs=(),
+        min_quality=None,
+        near_dup=False,
+        ppl_keep=("head", "middle"),
+        lm_vocab_cap=200,
+    )
+    res = curate_corpus(docs, cfg=cfg)
+    kept = sorted(r["doc_id"] for r in res["clean"].collect())
+    assert kept == [0, 1, 2, 10, 11, 12, 30]
+    assert ("ppl_bucket", 7) in res["funnel"]
+    # head-only keeps just the cleanest third (plus the unscored doc)
+    res2 = curate_corpus(
+        docs,
+        cfg=CurateConfig(
+            langs=(),
+            min_quality=None,
+            near_dup=False,
+            ppl_keep=("head",),
+            lm_vocab_cap=200,
+        ),
+    )
+    assert sorted(r["doc_id"] for r in res2["clean"].collect()) == [0, 1, 2, 30]

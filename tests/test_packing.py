@@ -99,3 +99,129 @@ def test_pack_sequences_property_random_corpora(spark):
         want = _reference(docs, seq_len)
         got = sorted((r["seq_id"], r["doc_id"], r["frag_start"], r["frag_len"]) for r in rows)
         assert got == sorted(want), (trial, n_docs, seq_len, bucket)
+
+
+# ---- interleaved (span-shaped) packing --------------------------------------
+
+SPAN_SCHEMA = (
+    "doc_id int, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def _span_docs(spark, rows):
+    return spark.createDataFrame(rows, SPAN_SCHEMA)
+
+
+def _t(text):
+    return ("text", text, None, 0)
+
+
+def _m(ref):
+    return ("media", None, ref, 1)
+
+
+def _reference_interleaved(rows, seq_len, budget):
+    out = []
+    o = 0
+    for i, spans in sorted(rows):
+        nt = sum(len(_toks(s[1] or "")) for s in spans if s[0] == "text")
+        nm = sum(1 for s in spans if s[0] == "media")
+        L = nt + nm * budget
+        if L == 0:
+            continue
+        for seq_id in range(o // seq_len, (o + L - 1) // seq_len + 1):
+            s = max(o, seq_id * seq_len)
+            e = min(o + L, (seq_id + 1) * seq_len)
+            out.append((seq_id, i, s - o, e - s, nt, nm))
+        o += L
+    return out
+
+
+INTERLEAVED = [
+    (1, [_t("a b c"), _m("img://1"), _t("d e")]),  # 5 text + 1 media
+    (2, [_m("img://2a"), _m("img://2b")]),  # media-only: 2*budget
+    (3, []),  # empty span list -> dropped
+    (4, [_t("")]),  # zero tokens, no media -> dropped
+    (5, [_t("f g h i j k l m n o p q")]),  # text-only, 12 tokens
+]
+
+
+def test_pack_interleaved_matches_reference(spark):
+    from entity_linking_in_biomedical_spark.operators.packing import pack_interleaved
+
+    df = _span_docs(spark, INTERLEAVED)
+    for seq_len, budget in ((8, 4), (16, 64), (3, 0)):
+        rows = pack_interleaved(
+            df, seq_len, media_token_budget=budget, bucket_size=2
+        ).collect()
+        got = sorted(
+            (
+                r["seq_id"],
+                r["doc_id"],
+                r["frag_start"],
+                r["frag_len"],
+                r["n_text_tokens"],
+                r["n_media"],
+            )
+            for r in rows
+        )
+        assert got == sorted(
+            _reference_interleaved(INTERLEAVED, seq_len, budget)
+        ), (seq_len, budget)
+
+
+def test_pack_interleaved_stream_tiles_exactly(spark):
+    """The manifest must tile [0, total) with no gaps or overlaps:
+    fragment lengths sum to the corpus stream length and every
+    sequence except the last carries exactly seq_len tokens."""
+    from entity_linking_in_biomedical_spark.operators.packing import pack_interleaved
+
+    df = _span_docs(spark, INTERLEAVED)
+    rows = pack_interleaved(df, 8, media_token_budget=4, bucket_size=2).collect()
+    total = sum(r["frag_len"] for r in rows)
+    want = sum(
+        nt + nm * 4
+        for nt, nm in (
+            (5, 1),
+            (0, 2),
+            (12, 0),
+        )
+    )
+    assert total == want
+    per_seq = {}
+    for r in rows:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["frag_len"]
+    last = max(per_seq)
+    assert all(v == 8 for s, v in per_seq.items() if s != last)
+    assert 0 < per_seq[last] <= 8
+
+
+def test_pack_interleaved_bucket_invariance(spark):
+    from entity_linking_in_biomedical_spark.operators.packing import pack_interleaved
+
+    rows = [
+        (
+            i,
+            [_t("w " * (i % 5)), _m(f"img://{i}")] if i % 3 else [_t("w " * (i % 5))],
+        )
+        for i in range(1, 80)
+    ]
+    df = _span_docs(spark, rows)
+    a = sorted(
+        map(tuple, pack_interleaved(df, 16, 7, bucket_size=5).collect())
+    )
+    b = sorted(
+        map(tuple, pack_interleaved(df, 16, 7, bucket_size=1_000_000).collect())
+    )
+    assert a == b == sorted(_reference_interleaved(rows, 16, 7))
+
+
+def test_pack_interleaved_rejects_bad_args(spark):
+    from entity_linking_in_biomedical_spark.operators.packing import pack_interleaved
+
+    df = _span_docs(spark, INTERLEAVED)
+    with pytest.raises(ValueError):
+        pack_interleaved(df, 0)
+    with pytest.raises(ValueError):
+        pack_interleaved(df, 8, media_token_budget=-1)

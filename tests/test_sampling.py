@@ -396,3 +396,60 @@ def test_dsir_fit_score_reproduces_weights_and_streams(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert streamed == {d: (n, w) for d, n, w in want}
+
+
+def test_near_dup_clusters_keep_best_quality(spark):
+    """quality_col= switches the survivor to the HIGHEST-quality
+    cluster member (tie -> min doc id); cluster ids and membership are
+    unchanged from the keep-min form; singletons stay canonical."""
+    from entity_linking_in_biomedical_spark.operators.dedup import (
+        drop_near_duplicates,
+        near_dup_clusters,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    variant = base.replace("tok7", "changed7")
+    rows = [
+        # doc 1 is the min id but the WORST copy; doc 3 is the best
+        (1, base, 0.2),
+        (2, variant, 0.5),
+        (3, variant, 0.9),
+        (4, "completely different tiny doc", 0.1),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, q double")
+    out = {
+        r["doc_id"]: (r["dup_cluster_id"], r["is_canonical"], r["cluster_size"])
+        for r in near_dup_clusters(
+            docs, jaccard_threshold=0.5, quality_col="q"
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out["1"] == ("1", False, 3), "min id loses: it is the worst copy"
+    assert out["2"] == ("1", False, 3)
+    assert out["3"] == ("1", True, 3), "highest quality survives"
+    assert out["4"] == ("4", True, 1)
+
+    survivors = sorted(
+        r["doc_id"]
+        for r in drop_near_duplicates(
+            docs, jaccard_threshold=0.5, quality_col="q"
+        ).collect()
+    )
+    assert survivors == [3, 4]
+
+
+def test_near_dup_clusters_keep_best_tie_breaks_min_id(spark):
+    from entity_linking_in_biomedical_spark.operators.dedup import near_dup_clusters
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    variant = base.replace("tok7", "changed7")
+    docs = spark.createDataFrame(
+        [(7, base, 0.5), (2, variant, 0.5)], "doc_id bigint, text string, q double"
+    )
+    out = {
+        r["doc_id"]: r["is_canonical"]
+        for r in near_dup_clusters(
+            docs, jaccard_threshold=0.5, quality_col="q"
+        ).collect()
+    }
+    assert out == {"2": True, "7": False}, "equal quality -> min STRING id wins"
