@@ -420,6 +420,185 @@ from events group by 1, 2 order by hour, event_type
 """
 
 
+_ASOF_TOL_US = 7_200_000_000  # 2h attribution window
+
+
+def q_asof_attribution(spark, sf_dir):
+    """Point-in-time attribution via the distributed as-of join
+    (operators/temporal.py): each purchase event picks up the most
+    recent prior view's value for the same user, nulled past a 2h
+    tolerance (pandas merge_asof / DuckDB ASOF semantics — the oracle
+    IS DuckDB's native ASOF JOIN, an independent implementation).
+    Unmatched rows carry -1 sentinels so the value hash exercises the
+    miss path too. One shuffle per side on user_id; no pair blow-up."""
+    from entity_linking_in_biomedical_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(
+        purchases, views, "user_id", "ts", "ts", ["view_value"], tolerance_us=_ASOF_TOL_US
+    )
+    from entity_linking_in_biomedical_spark.operators.temporal import epoch_micros
+
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        epoch_micros("ts").alias("purchase_us"),
+        F.coalesce(epoch_micros("ts_right"), F.lit(-1))
+        .cast("bigint")
+        .alias("view_us"),
+        F.coalesce(F.round("view_value_right", 2), F.lit(-1.0))
+        .cast("double")
+        .alias("view_value"),
+    ).orderBy("purchase_id")
+
+
+ORACLE_ASOF_ATTRIBUTION = f"""
+with p as (select event_id, user_id, ts from events where event_type = 'purchase'),
+     v as (select user_id, ts, max(value) as view_value
+           from events where event_type = 'view' group by 1, 2),
+     a as (select p.event_id, p.user_id, p.ts as pts, v.ts as vts, v.view_value
+           from p asof left join v on p.user_id = v.user_id and p.ts >= v.ts)
+select event_id as purchase_id, user_id,
+       epoch_us(pts) as purchase_us,
+       cast(coalesce(case when epoch_us(pts) - epoch_us(vts) <= {_ASOF_TOL_US}
+                          then epoch_us(vts) end, -1) as bigint) as view_us,
+       cast(coalesce(case when epoch_us(pts) - epoch_us(vts) <= {_ASOF_TOL_US}
+                          then round(view_value, 2) end, -1.0) as double) as view_value
+from a order by purchase_id
+"""
+
+
+_SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (operators/temporal.py): 30-minute
+    inactivity splits a user's event stream into sessions; output is
+    the per-session rollup. The oracle replays the lag+running-sum
+    boundary rule as DuckDB window SQL."""
+    from entity_linking_in_biomedical_spark.operators.temporal import (
+        epoch_micros,
+        sessionize,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", _SESSION_GAP_US, order_tiebreak="event_id")
+    return (
+        s.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min(epoch_micros("ts")).alias("start_us"),
+            F.max(epoch_micros("ts")).alias("end_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+ORACLE_SESSIONIZE = f"""
+with o as (
+  select user_id, event_id, epoch_us(ts) as us,
+         case when lag(epoch_us(ts)) over w is null
+                or epoch_us(ts) - lag(epoch_us(ts)) over w > {_SESSION_GAP_US}
+              then 1 else 0 end as b
+  from events
+  window w as (partition by user_id order by ts, event_id)
+), s as (
+  select user_id, us,
+         sum(b) over (partition by user_id order by us, event_id
+                      rows unbounded preceding) as session_seq
+  from o
+)
+select user_id, cast(session_seq as bigint) as session_seq,
+       cast(count(*) as bigint) as n_events,
+       min(us) as start_us, max(us) as end_us
+from s group by 1, 2 order by user_id, session_seq
+"""
+
+
+_RANGE_LO_US, _RANGE_HI_US = 1, 3_600_000_000  # purchase strictly after, within 1h
+
+
+def q_range_join_pairs(spark, sf_dir):
+    """Bucketed interval join (operators/temporal.py): click->purchase
+    pairs for the same user where the purchase lands within (0s, 1h]
+    of the click. The oracle is the naive inequality join; the Spark
+    plan is the 2-bucket equi-join form (no BroadcastNestedLoop) —
+    test_temporal.py asserts the plan shape."""
+    from entity_linking_in_biomedical_spark.operators.temporal import (
+        epoch_micros,
+        range_join,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    out = range_join(clicks, purchases, "user_id", "ts", "pts", _RANGE_LO_US, _RANGE_HI_US)
+    return out.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (epoch_micros("pts") - epoch_micros("ts")).alias("gap_us"),
+    ).orderBy("click_id", "purchase_id")
+
+
+ORACLE_RANGE_JOIN = f"""
+with c as (select user_id, event_id as click_id, ts from events where event_type = 'click'),
+     p as (select user_id, event_id as purchase_id, ts from events where event_type = 'purchase')
+select c.user_id, c.click_id, p.purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) as gap_us
+from c join p on c.user_id = p.user_id
+ and epoch_us(p.ts) - epoch_us(c.ts) between {_RANGE_LO_US} and {_RANGE_HI_US}
+order by click_id, purchase_id
+"""
+
+
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q_event_funnel(spark, sf_dir):
+    """Strict-order conversion funnel (operators/temporal.py) over the
+    events table: signup -> view -> click -> purchase, earliest-
+    completion chaining. One lazy plan; per-step counts + step-over-
+    step conversion."""
+    from entity_linking_in_biomedical_spark.operators.temporal import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type", _FUNNEL_STEPS).orderBy("step_idx")
+
+
+ORACLE_EVENT_FUNNEL = """
+with s1 as (select user_id, min(ts) as t from events where event_type = 'signup' group by 1),
+     s2 as (select e.user_id, min(e.ts) as t from events e join s1 using (user_id)
+            where e.event_type = 'view' and e.ts > s1.t group by 1),
+     s3 as (select e.user_id, min(e.ts) as t from events e join s2 using (user_id)
+            where e.event_type = 'click' and e.ts > s2.t group by 1),
+     s4 as (select e.user_id, min(e.ts) as t from events e join s3 using (user_id)
+            where e.event_type = 'purchase' and e.ts > s3.t group by 1),
+     c as (select 1 as step_idx, 'signup' as step, (select count(*) from s1) as n
+           union all select 2, 'view', (select count(*) from s2)
+           union all select 3, 'click', (select count(*) from s3)
+           union all select 4, 'purchase', (select count(*) from s4))
+select cast(step_idx as int) as step_idx, step, cast(n as bigint) as n_keys,
+       cast(round(case when lag(n) over (order by step_idx) is null then 1.0
+                       when lag(n) over (order by step_idx) = 0 then 0.0
+                       else cast(n as double) / lag(n) over (order by step_idx) end,
+                  6) as double) as conversion
+from c order by step_idx
+"""
+
+
 def q_norm_key(spark, sf_dir):
     """P6: the blocking normalizer as a column function."""
     from entity_linking_in_biomedical_spark.functions.normalize import norm_key
@@ -3666,6 +3845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_deterministic": q_cap_deterministic,
         "revenue_3way": q_revenue_3way,
         "events_hourly": q_events_hourly,
+        "asof_attribution": q_asof_attribution,
+        "sessionize": q_sessionize,
+        "range_join_pairs": q_range_join_pairs,
+        "event_funnel": q_event_funnel,
         "exact_dedup": q_exact_dedup,
         "fingerprint_dedup": q_fingerprint_dedup,
         "minhash_dedup": q_minhash_dedup,
@@ -3741,6 +3924,10 @@ def oracle_sql() -> dict[str, str]:
         "cap_deterministic": ORACLE_CAP,
         "revenue_3way": ORACLE_REVENUE_3WAY,
         "events_hourly": ORACLE_EVENTS_HOURLY,
+        "asof_attribution": ORACLE_ASOF_ATTRIBUTION,
+        "sessionize": ORACLE_SESSIONIZE,
+        "range_join_pairs": ORACLE_RANGE_JOIN,
+        "event_funnel": ORACLE_EVENT_FUNNEL,
         "exact_dedup": ORACLE_EXACT_DEDUP,
         "fingerprint_dedup": ORACLE_FP_DEDUP,
         "minhash_dedup": _oracle_minhash_dedup(),

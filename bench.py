@@ -331,6 +331,10 @@ def main() -> None:
         "media_dedup",
         "media_dedup_incremental",
         "curate_interleaved",
+        "asof_attribution",
+        "sessionize",
+        "range_join_pairs",
+        "event_funnel",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir))
 
