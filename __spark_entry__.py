@@ -942,6 +942,146 @@ from lbl group by cluster_id having count(*) > 1 order by cluster_id
 """
 
 
+def q_cluster_sizes(spark, sf_dir):
+    """Cluster-size histogram (operators/clustering.
+    cluster_size_histogram) over the same near-dup CC assignment as
+    `doc_clusters_cc`, singletons included (the per-snapshot shape
+    report that catches runaway mega-clusters). Oracle: the recursive-
+    CTE CC + a size histogram, singleton count derived as
+    |documents| - |paired nodes|."""
+    from entity_linking_in_biomedical_spark.operators.clustering import (
+        cluster_size_histogram,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, jaccard_threshold=0.5)
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    nodes = docs.select(F.col("doc_id").cast("string").alias("node"))
+    assign, _ = connected_components(edges, nodes=nodes)
+    return cluster_size_histogram(assign).orderBy("cluster_size")
+
+
+def _oracle_cluster_sizes(thr=0.5) -> str:
+    inner = _oracle_ngram_jaccard(thr)
+    return f"""
+with recursive pairs as ({inner}),
+und as (
+  select a_id as a, b_id as b from pairs
+  union all select b_id as a, a_id as b from pairs
+),
+cc(n, m) as (
+  select a, a from und
+  union
+  select und.b, cc.m from cc join und on und.a = cc.n where cc.m < und.b
+),
+lbl as (select n, min(m) as cluster_id from cc group by n),
+sizes as (select cluster_id, count(*) as sz from lbl group by 1),
+hist as (
+  select sz, count(*) as n from sizes group by 1
+  union all
+  select 1, (select count(*) from documents) - (select count(*) from lbl)
+)
+select cast(sz as bigint) as cluster_size, cast(sum(n) as bigint) as n_clusters
+from hist group by sz having sum(n) > 0 order by cluster_size
+"""
+
+
+def q_blocking_stats(spark, sf_dir):
+    """Blocking-channel skew/pair-mass profile (operators/profiling.
+    blocking_key_stats): the pre-flight numbers that predict a
+    blocking join's shuffle cost — bucket count, max bucket,
+    candidate-pair mass, skew ratio — for three channels over the
+    documents table (exact norm key, 8-char norm prefix, sorted-token
+    fingerprint). One map-side-partial groupBy + scalar aggregate per
+    channel."""
+    from entity_linking_in_biomedical_spark.functions.normalize import norm_key
+    from entity_linking_in_biomedical_spark.operators.profiling import (
+        blocking_key_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = norm_key(F.substring("text", 1, 40))
+    out = (
+        blocking_key_stats(docs, norm, "norm40")
+        .unionByName(blocking_key_stats(docs, F.substring(norm, 1, 8), "prefix8"))
+        .unionByName(blocking_key_stats(docs, fingerprint("text"), "fingerprint"))
+    )
+    return out.orderBy("channel")
+
+
+_NORM40_SQL = NORM_KEY_SQL.format(col="substr(text, 1, 40)")
+
+
+def _oracle_blocking_stats() -> str:
+    fp_sql = "md5(array_to_string(list_sort(list_distinct({toks})), ' '))".format(
+        toks=_TOKS
+    )
+    chans = [
+        ("fingerprint", fp_sql),
+        ("norm40", _NORM40_SQL),
+        ("prefix8", f"substr({_NORM40_SQL}, 1, 8)"),
+    ]
+    parts = []
+    for name, expr in chans:
+        parts.append(
+            f"""
+select '{name}' as channel,
+       cast(count(*) as bigint) as n_keys,
+       cast(sum(n) as bigint) as n_items,
+       cast(max(n) as bigint) as max_bucket,
+       cast(sum(n * (n - 1)) / 2 as bigint) as candidate_pairs,
+       round(max(n) * count(*) / sum(n), 6) as skew
+from (select {expr} as bk, count(*) as n from documents group by 1)
+"""
+        )
+    return " union all ".join(parts) + " order by channel"
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot diff (operators/diffing.diff_snapshots): added /
+    removed / changed ids between the documents table and a second
+    snapshot PLANTED in-query (every 13th doc dropped, every 10th
+    survivor's text revised, every 17th re-added under a shifted id) —
+    the change-feed derivation for sources without an Iceberg
+    changelog. Full-outer join on the id carrying only md5
+    fingerprints; unchanged rows drop out."""
+    from entity_linking_in_biomedical_spark.operators.diffing import diff_snapshots
+
+    docs = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    old = docs.select("doc_id", "text")
+    kept = docs.filter(i % 13 != 0).select(
+        "doc_id",
+        F.when(i % 10 == 0, F.concat(F.col("text"), F.lit(" [rev2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(i % 17 == 0).select(
+        (i + 5_000_000).alias("doc_id"), "text"
+    )
+    new = kept.unionByName(added)
+    return diff_snapshots(old, new, "doc_id", ["text"]).orderBy("id")
+
+
+ORACLE_SNAPSHOT_DIFF = """
+with old as (select doc_id as id, md5(text) as fp from documents),
+new as (
+  select doc_id as id,
+         md5(case when doc_id % 10 = 0 then text || ' [rev2]' else text end) as fp
+  from documents where doc_id % 13 <> 0
+  union all
+  select doc_id + 5000000 as id, md5(text) as fp from documents where doc_id % 17 = 0
+),
+j as (select coalesce(old.id, new.id) as id, old.fp as fo, new.fp as fn
+      from old full outer join new on old.id = new.id)
+select id, case when fo is null then 'added'
+                when fn is null then 'removed'
+                when fo <> fn then 'changed' end as change
+from j where fo is null or fn is null or fo <> fn
+order by id
+"""
+
+
 def q_cc_incremental(spark, sf_dir):
     """Incremental CC maintenance (operators/clustering.
     merge_into_clusters): a deterministic BASE match graph over the
@@ -3860,6 +4000,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_interleaved": q_curate_interleaved,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_clusters_cc": q_doc_clusters_cc,
+        "cluster_sizes": q_cluster_sizes,
+        "blocking_stats": q_blocking_stats,
+        "snapshot_diff": q_snapshot_diff,
         "cc_incremental": q_cc_incremental,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -3939,6 +4082,9 @@ def oracle_sql() -> dict[str, str]:
         "curate_interleaved": _oracle_curate_interleaved(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "doc_clusters_cc": _oracle_doc_clusters(),
+        "cluster_sizes": _oracle_cluster_sizes(),
+        "blocking_stats": _oracle_blocking_stats(),
+        "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "cc_incremental": ORACLE_CC_INCREMENTAL,
         "lang_id": ORACLE_LANG_ID,
         "token_count": ORACLE_TOKEN_COUNT,

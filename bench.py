@@ -101,6 +101,7 @@ def main() -> None:
     # the winning run, which run() doesn't model)
     heavy = {
         "cc_incremental",
+        "cluster_sizes",
         "lm_nll",
         "ngram_jaccard",
         "doc_clusters_cc",
@@ -335,6 +336,9 @@ def main() -> None:
         "sessionize",
         "range_join_pairs",
         "event_funnel",
+        "cluster_sizes",
+        "blocking_stats",
+        "snapshot_diff",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -255,3 +255,23 @@ def merge_clusters_foreach_batch(load, save, edge_cols=("src", "dst")):
         save(updated, batch_id)
 
     return _apply
+
+
+def cluster_size_histogram(assignments: DataFrame) -> DataFrame:
+    """Cluster-size histogram over a (node, cluster_id) assignment —
+    the shape report an ER run publishes per snapshot (mega-cluster
+    detection: a runaway transitive closure shows up here first,
+    long before downstream joins melt down).
+
+    Output: (cluster_size, n_clusters), singletons included when the
+    assignment includes them (connected_components with ``nodes=``
+    assigns every node). Two cascaded map-side-partial groupBys; the
+    second's domain is the number of DISTINCT sizes — tiny at any
+    scale.
+    """
+    sizes = assignments.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .select(F.col("cluster_size").cast("bigint").alias("cluster_size"), "n_clusters")
+    )

@@ -47,3 +47,31 @@ def length_quantiles(
     g = df.groupBy(by) if by else df.groupBy()
     out = g.agg(*aggs)
     return out
+
+
+def blocking_key_stats(df: DataFrame, key, channel: str) -> DataFrame:
+    """One-row skew/pair-mass profile of a blocking channel: the
+    numbers that predict a blocking join's shuffle cost and skew
+    BEFORE running it (the pre-flight check the er_pipeline's
+    ``blocking_skew_bound`` applies analytically).
+
+    ``key``: the channel's blocking-key column/expression.
+    Output row: ``channel, n_keys, n_items, max_bucket,
+    candidate_pairs`` (sum of n*(n-1)/2 over buckets — the within-
+    channel self-join mass) and ``skew`` (max bucket over mean
+    bucket, rounded to 6).
+
+    Cost: one map-side-partial groupBy on the key + a scalar
+    aggregate — same shape at 500 rows and 10^12.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    per_key = df.select(key.alias("_bk")).groupBy("_bk").agg(F.count("*").alias("n"))
+    n = F.col("n")
+    return per_key.agg(
+        F.lit(channel).alias("channel"),
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum(n).cast("bigint").alias("n_items"),
+        F.max(n).cast("bigint").alias("max_bucket"),
+        (F.sum(n * (n - F.lit(1))) / F.lit(2)).cast("bigint").alias("candidate_pairs"),
+        F.round(F.max(n) * F.count("*") / F.sum(n), 6).alias("skew"),
+    )
