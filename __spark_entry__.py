@@ -3970,6 +3970,354 @@ order by doc_id
 """
 
 
+def q_cluster_eval(spark, sf_dir):
+    """Clustering report card (operators/evaluation.cluster_pair_metrics):
+    pairwise P/R/F1 + B-cubed P/R/F1 of a predicted clustering against
+    a gold clustering, computed from cluster-size aggregates only (no
+    pair materialization). Pred = the 8-char normalized-prefix blocking
+    channel (over-merges); gold = the sorted-token fingerprint (the
+    exact fuzzy-dup truth the documents table plants) — a deliberately
+    imperfect pred so every metric is strictly inside (0, 1)."""
+    from entity_linking_in_biomedical_spark.functions.normalize import norm_key
+    from entity_linking_in_biomedical_spark.operators.evaluation import (
+        cluster_pair_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = norm_key(F.substring("text", 1, 40))
+    assign = docs.select(
+        "doc_id",
+        F.substring(norm, 1, 8).alias("pred"),
+        fingerprint("text").alias("gold"),
+    )
+    return cluster_pair_metrics(assign, "doc_id", "pred", "gold")
+
+
+_PREFIX8_SQL = f"substr({NORM_KEY_SQL.format(col='substr(text, 1, 40)')}, 1, 8)"
+_FP_SQL = f"md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))"
+
+ORACLE_CLUSTER_EVAL = f"""
+with a as (
+  select cast(doc_id as varchar) as id, {_PREFIX8_SQL} as p, {_FP_SQL} as g
+  from documents
+),
+cells as (select p, g, count(*) as c from a group by 1, 2),
+ps as (select p, count(*) as pn from a group by 1),
+gs as (select g, count(*) as gn from a group by 1),
+j as (select cells.c, cells.p, cells.g, ps.pn, gs.gn
+      from cells join ps using (p) join gs using (g)),
+agg as (
+  select cast(sum(c) as bigint) as n_items,
+         cast(count(distinct p) as bigint) as n_pred,
+         cast(count(distinct g) as bigint) as n_gold,
+         sum(c * (c - 1) / 2.0) as tp,
+         sum(c * c * 1.0 / pn) as b3p_num,
+         sum(c * c * 1.0 / gn) as b3r_num
+  from j
+),
+pp as (select sum(pn * (pn - 1) / 2.0) as pred_pairs from ps),
+gg as (select sum(gn * (gn - 1) / 2.0) as gold_pairs from gs),
+m as (
+  select n_items, n_pred, n_gold,
+         case when pred_pairs > 0 then tp / pred_pairs else 1.0 end as ppv,
+         case when gold_pairs > 0 then tp / gold_pairs else 1.0 end as rec,
+         b3p_num / n_items as b3p, b3r_num / n_items as b3r
+  from agg, pp, gg
+)
+select n_items, n_pred, n_gold,
+       round(ppv, 6) as pair_precision,
+       round(rec, 6) as pair_recall,
+       round(case when ppv + rec > 0 then 2 * ppv * rec / (ppv + rec)
+             else 0.0 end, 6) as pair_f1,
+       round(b3p, 6) as b3_precision,
+       round(b3r, 6) as b3_recall,
+       round(case when b3p + b3r > 0 then 2 * b3p * b3r / (b3p + b3r)
+             else 0.0 end, 6) as b3_f1
+from m
+"""
+
+
+def q_blocking_quality(spark, sf_dir):
+    """Blocking report card (operators/evaluation.blocking_quality):
+    pair completeness / reduction ratio / pair quality of the purged
+    8-char-prefix blocking channel against the fingerprint gold
+    clustering (Christen 2012 ch.7 — the numbers that say whether a
+    blocking scheme may ship). Blocks of size <2 or >50 are purged
+    before pair generation, mirroring the engine's bucket caps."""
+    from entity_linking_in_biomedical_spark.functions.normalize import norm_key
+    from entity_linking_in_biomedical_spark.operators.evaluation import (
+        blocking_quality,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = norm_key(F.substring("text", 1, 40))
+    b = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.substring(norm, 1, 8).alias("bk"),
+    )
+    sizes = b.groupBy("bk").agg(F.count("*").alias("n"))
+    kept = b.join(
+        sizes.filter((F.col("n") >= 2) & (F.col("n") <= 50)).select("bk"), "bk"
+    )
+    cand = (
+        kept.alias("x")
+        .join(kept.alias("y"), "bk")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a_id"), F.col("y.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    assign = docs.select("doc_id", fingerprint("text").alias("gold"))
+    return blocking_quality(cand, assign, "doc_id", "gold")
+
+
+ORACLE_BLOCKING_QUALITY = f"""
+with b as (
+  select cast(doc_id as varchar) as id, {_PREFIX8_SQL} as bk from documents
+),
+sz as (select bk from b group by bk having count(*) between 2 and 50),
+k as (select b.id, b.bk from b join sz using (bk)),
+cand as (
+  select distinct x.id as a_id, y.id as b_id
+  from k x join k y on x.bk = y.bk and x.id < y.id
+),
+g as (select cast(doc_id as varchar) as id, {_FP_SQL} as gold from documents),
+gp as (select sum(n * (n - 1) / 2.0) as gold_pairs
+       from (select count(*) as n from g group by gold)),
+ni as (select count(*) * 1.0 as n from g),
+mt as (
+  select count(*) * 1.0 as cand_pairs,
+         sum(case when ga.gold = gb.gold then 1.0 else 0.0 end) as true_cand
+  from cand join g ga on cand.a_id = ga.id join g gb on cand.b_id = gb.id
+)
+select cast(cand_pairs as bigint) as cand_pairs,
+       cast(gold_pairs as bigint) as gold_pairs,
+       round(case when gold_pairs > 0 then true_cand / gold_pairs
+             else 1.0 end, 6) as pair_completeness,
+       round(1.0 - cand_pairs / (n * (n - 1) / 2.0), 6) as reduction_ratio,
+       round(case when cand_pairs > 0 then true_cand / cand_pairs
+             else 0.0 end, 6) as pair_quality
+from mt, gp, ni
+"""
+
+
+def q_meta_blocking(spark, sf_dir):
+    """Meta-blocking (operators/meta_blocking.meta_block_prune):
+    CBS-weighted candidate graph from redundant 8-token-window shingle
+    blocks, with block purging, weight pruning (>=2 shared blocks) and
+    top-3 cardinality-node pruning. Sub-group boilerplate is planted
+    into every 9th document with its marker token interleaved every 4
+    tokens so each 8-token window carries the sub-group key — planted
+    docs share >=6 blocks within their (doc_id % 45) sub-group at any
+    sf without ever forming one corpus-wide mega-block."""
+    from entity_linking_in_biomedical_spark.operators.meta_blocking import (
+        meta_block_prune,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sub = F.concat(F.lit("m"), (F.col("doc_id") % 45).cast("string"))
+    tail = F.concat_ws(
+        " ",
+        F.lit(""),
+        sub,
+        F.lit("alpha beta gamma"),
+        sub,
+        F.lit("delta epsilon zeta"),
+        sub,
+        F.lit("eta theta iota"),
+        sub,
+    )
+    planted = F.when(
+        F.col("doc_id") % 9 == 0, F.concat(F.col("text"), tail)
+    ).otherwise(F.col("text"))
+    from entity_linking_in_biomedical_spark.functions.text_metrics import tokens
+
+    toks = tokens(planted)
+    n = F.size(toks)
+    k = 8
+    windows = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    blocks = docs.select(
+        F.col("doc_id").cast("string").alias("did"), F.explode(windows).alias("bk")
+    ).withColumnRenamed("did", "doc_id")
+    out = meta_block_prune(
+        blocks, "doc_id", "bk", max_block=500, min_common=2, top_k=3
+    )
+    return out.orderBy("a_id", "b_id")
+
+
+def _oracle_meta_blocking() -> str:
+    tail = (
+        "' ' || s || ' alpha beta gamma ' || s || ' delta epsilon zeta ' || s"
+        " || ' eta theta iota ' || s"
+    )
+    toks = TOKENS_SQL.format(col="t")
+    return f"""
+with p0 as (
+  select cast(doc_id as varchar) as doc_id, text,
+         'm' || cast(doc_id % 45 as varchar) as s
+  from documents
+),
+p as (
+  select doc_id,
+         case when cast(doc_id as bigint) % 9 = 0 then text || {tail}
+              else text end as t
+  from p0
+),
+tk as (select doc_id, {toks} as toks from p),
+w as (
+  select distinct doc_id,
+         md5(array_to_string(list_slice(toks, i, i + 7), ' ')) as bk
+  from tk, unnest(generate_series(1, len(toks) - 7)) as u(i)
+  where len(toks) >= 8
+),
+sz as (select bk from w group by bk having count(*) between 2 and 500),
+k as (select w.doc_id, w.bk from w join sz using (bk)),
+e as (
+  select x.doc_id as a_id, y.doc_id as b_id, count(*) as common_blocks
+  from k x join k y on x.bk = y.bk and x.doc_id < y.doc_id
+  group by 1, 2
+  having count(*) >= 2
+),
+per as (
+  select a_id as node, a_id, b_id, common_blocks from e
+  union all
+  select b_id as node, a_id, b_id, common_blocks from e
+),
+rk as (
+  select a_id, b_id, common_blocks,
+         row_number() over (partition by node
+                            order by common_blocks desc, a_id, b_id) as r
+  from per
+)
+select distinct a_id, b_id, cast(common_blocks as bigint) as common_blocks
+from rk where r <= 3
+order by a_id, b_id
+"""
+
+
+def q_fs_em_weights(spark, sf_dir):
+    """Fellegi-Sunter probabilistic linkage calibration
+    (operators/fs_linkage.fellegi_sunter_weights): EM-fitted m/u
+    probabilities -> per-pattern log2 match weights over comparison
+    vectors of within-nation customer pairs (segment agreement,
+    account-balance proximity, name-suffix agreement). Pattern counting
+    is one corpus-scale groupBy; EM runs driver-side over the <=2^3-row
+    pattern table (the bounded-collect discipline of the IDF fit); the
+    DuckDB twin replays the identical 15 EM iterations as unrolled
+    CTEs."""
+    from entity_linking_in_biomedical_spark.operators.fs_linkage import (
+        fellegi_sunter_weights,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = (
+        cust.alias("a")
+        .join(
+            cust.alias("b"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            .cast("int")
+            .alias("g_seg"),
+            (
+                F.abs(
+                    F.col("a.c_acctbal").cast("double")
+                    - F.col("b.c_acctbal").cast("double")
+                )
+                < 500.0
+            )
+            .cast("int")
+            .alias("g_bal"),
+            (
+                F.substring(F.col("a.c_name"), 17, 2)
+                == F.substring(F.col("b.c_name"), 17, 2)
+            )
+            .cast("int")
+            .alias("g_name"),
+        )
+    )
+    w = fellegi_sunter_weights(pairs, ["g_seg", "g_bal", "g_name"], iters=15)
+    return w.orderBy("g_seg", "g_bal", "g_name")
+
+
+def _oracle_fs_em(iters: int = 15) -> str:
+    """Unrolled-CTE twin of fs_linkage.em_fit: each EM iteration is one
+    CTE recomputing the 7 scalar parameters from the pattern table, with
+    the same clamps as numpy's np.clip / min-max."""
+    gs = ["g_seg", "g_bal", "g_name"]
+    eps = "1e-9"
+
+    def prod(params: list[str]) -> str:
+        return " * ".join(
+            f"(case when {g} = 1 then {p} else 1.0 - {p} end)"
+            for g, p in zip(gs, params)
+        )
+
+    ms = ["m1", "m2", "m3"]
+    us = ["u1", "u2", "u3"]
+    ctes = [
+        f"""pairs as (
+  select cast(a.c_mktsegment = b.c_mktsegment as int) as g_seg,
+         cast(abs(cast(a.c_acctbal as double) - cast(b.c_acctbal as double))
+              < 500.0 as int) as g_bal,
+         cast(substr(a.c_name, 17, 2) = substr(b.c_name, 17, 2) as int)
+           as g_name
+  from customer a join customer b
+    on a.c_nationkey = b.c_nationkey and a.c_custkey < b.c_custkey
+)""",
+        "pat as (select g_seg, g_bal, g_name, count(*) as n from pairs"
+        " group by 1, 2, 3)",
+        "it0 as (select 0.1 as lam, 0.9 as m1, 0.9 as m2, 0.9 as m3,"
+        " 0.1 as u1, 0.1 as u2, 0.1 as u3)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""e{i} as (
+  select pat.*, lam * ({prod(ms)}) as num,
+         (1.0 - lam) * ({prod(us)}) as den0
+  from pat, it{i - 1}
+)"""
+        )
+        mexp = ", ".join(
+            f"least(greatest(sum(n * (num / (num + den0)) * {g}) /"
+            f" sum(n * (num / (num + den0))), {eps}), 1.0 - {eps}) as {m}"
+            for g, m in zip(gs, ms)
+        )
+        uexp = ", ".join(
+            f"least(greatest(sum(n * (1.0 - num / (num + den0)) * {g}) /"
+            f" sum(n * (1.0 - num / (num + den0))), {eps}), 1.0 - {eps}) as {u}"
+            for g, u in zip(gs, us)
+        )
+        ctes.append(
+            f"""it{i} as (
+  select least(greatest(sum(n * (num / (num + den0))) / sum(n), {eps}),
+               1.0 - {eps}) as lam,
+         {mexp}, {uexp}
+  from e{i}
+)"""
+        )
+    ctes.append(
+        f"""fin as (
+  select pat.g_seg, pat.g_bal, pat.g_name, pat.n,
+         ({prod(ms)}) as pm, ({prod(us)}) as pu, lam
+  from pat, it{iters}
+)"""
+    )
+    final = """select g_seg, g_bal, g_name, cast(n as bigint) as n_pairs,
+       round(log2(pm / pu), 6) as match_weight,
+       round(lam * pm / (lam * pm + (1.0 - lam) * pu), 6) as match_prob
+from fin
+order by g_seg, g_bal, g_name"""
+    return "with " + ",\n".join(ctes) + "\n" + final
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4049,6 +4397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_hard_negatives": q_semi_hard_negatives,
         "er_synthetic": q_er_synthetic,
         "er_incremental": q_er_incremental,
+        "cluster_eval": q_cluster_eval,
+        "blocking_quality": q_blocking_quality,
+        "meta_blocking": q_meta_blocking,
+        "fs_em_weights": q_fs_em_weights,
     }
 
 
@@ -4134,4 +4486,8 @@ def oracle_sql() -> dict[str, str]:
         # er_incremental: snapshot composition must reproduce the SAME
         # frozen golden — hash-equality is the incremental==batch proof
         "er_incremental": _oracle_er_synthetic(),
+        "cluster_eval": ORACLE_CLUSTER_EVAL,
+        "blocking_quality": ORACLE_BLOCKING_QUALITY,
+        "meta_blocking": _oracle_meta_blocking(),
+        "fs_em_weights": _oracle_fs_em(),
     }

@@ -339,6 +339,10 @@ def main() -> None:
         "cluster_sizes",
         "blocking_stats",
         "snapshot_diff",
+        "cluster_eval",
+        "blocking_quality",
+        "meta_blocking",
+        "fs_em_weights",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -1,0 +1,174 @@
+"""Clustering / blocking evaluation metrics for entity resolution.
+
+The reference repo evaluates linking quality with per-mention accuracy
+over labeled pairs (reference ``src/train.py`` eval loop; BASELINE's
+north rule asks for pairwise F1 >= 0.99 on labeled mention-entity
+pairs at shared blocking keys). A production ER system additionally
+needs *clustering*-level evaluation — pairwise precision/recall/F1 and
+B-cubed (Bagga & Baldwin 1998; Amigo et al. 2009) — and *blocking*
+evaluation — pair completeness and reduction ratio (Christen 2012,
+"Data Matching", ch. 7). These are the standard report cards a
+record-linkage run emits next to its output.
+
+All metrics here are computed from cluster-SIZE aggregates only — the
+candidate/true pair sets are never materialized, so the operators are
+one-groupBy-deep and survive 10^12 rows:
+
+  pairwise:  TP = sum over (pred, gold) cells of C(c, 2);
+             P  = TP / sum over pred clusters of C(p, 2);
+             R  = TP / sum over gold clusters of C(g, 2).
+  B-cubed:   per-item precision = cell/pred_size, recall =
+             cell/gold_size; corpus metric = mean over items, i.e.
+             (1/N) * sum over cells of c * (c / size).
+
+Shape at scale: one groupBy on (pred, gold), one on each of pred /
+gold for sizes, two joins on cluster ids (cluster-count-sized frames,
+orders of magnitude smaller than the corpus), one scalar aggregate.
+No pair explosion anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _pairs(n):
+    return (n * (n - F.lit(1)) / F.lit(2)).cast("double")
+
+
+def cluster_pair_metrics(
+    assign: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+) -> DataFrame:
+    """One-row clustering report card: pairwise P/R/F1 + B-cubed
+    P/R/F1 of a predicted clustering against a gold clustering.
+
+    ``assign``: one row per item with its predicted and gold cluster
+    ids. Items must appear exactly once (enforce upstream); NULL
+    cluster ids are treated as singletons via coalesce to the item id.
+
+    -> (n_items, n_pred, n_gold, pair_precision, pair_recall, pair_f1,
+        b3_precision, b3_recall, b3_f1), doubles rounded to 6.
+    """
+    a = assign.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.coalesce(F.col(pred_col).cast("string"), F.col(id_col).cast("string")).alias(
+            "_p"
+        ),
+        F.coalesce(F.col(gold_col).cast("string"), F.col(id_col).cast("string")).alias(
+            "_g"
+        ),
+    )
+    cells = a.groupBy("_p", "_g").agg(F.count("*").alias("c"))
+    psz = a.groupBy("_p").agg(F.count("*").alias("p_n"))
+    gsz = a.groupBy("_g").agg(F.count("*").alias("g_n"))
+    j = cells.join(psz, "_p").join(gsz, "_g")
+    agg = j.agg(
+        F.sum("c").cast("bigint").alias("n_items"),
+        F.countDistinct("_p").cast("bigint").alias("n_pred"),
+        F.countDistinct("_g").cast("bigint").alias("n_gold"),
+        F.sum(_pairs(F.col("c"))).alias("tp"),
+        # each pred cluster's C(p,2) is replicated once per cell it
+        # spans; divide by the number of cells sharing the cluster by
+        # summing C(p,2)/cells_in_p — cheaper: sum over DISTINCT
+        # clusters via the size frames below instead.
+        F.sum(F.col("c") * F.col("c") / F.col("p_n")).alias("b3p_num"),
+        F.sum(F.col("c") * F.col("c") / F.col("g_n")).alias("b3r_num"),
+    )
+    pred_pairs = psz.agg(F.sum(_pairs(F.col("p_n"))).alias("pred_pairs"))
+    gold_pairs = gsz.agg(F.sum(_pairs(F.col("g_n"))).alias("gold_pairs"))
+    out = agg.crossJoin(pred_pairs).crossJoin(gold_pairs)
+    pp = F.when(F.col("pred_pairs") > 0, F.col("tp") / F.col("pred_pairs")).otherwise(
+        F.lit(1.0)
+    )
+    pr = F.when(F.col("gold_pairs") > 0, F.col("tp") / F.col("gold_pairs")).otherwise(
+        F.lit(1.0)
+    )
+    b3p = F.col("b3p_num") / F.col("n_items")
+    b3r = F.col("b3r_num") / F.col("n_items")
+    return out.select(
+        "n_items",
+        "n_pred",
+        "n_gold",
+        F.round(pp, 6).alias("pair_precision"),
+        F.round(pr, 6).alias("pair_recall"),
+        F.round(
+            F.when(pp + pr > 0, 2 * pp * pr / (pp + pr)).otherwise(F.lit(0.0)), 6
+        ).alias("pair_f1"),
+        F.round(b3p, 6).alias("b3_precision"),
+        F.round(b3r, 6).alias("b3_recall"),
+        F.round(
+            F.when(b3p + b3r > 0, 2 * b3p * b3r / (b3p + b3r)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("b3_f1"),
+    )
+
+
+def blocking_quality(
+    cand_pairs: DataFrame,
+    assign: DataFrame,
+    id_col: str = "doc_id",
+    gold_col: str = "gold",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """One-row blocking report card against a gold clustering:
+
+      pair_completeness  = |candidate pairs that are true matches|
+                           / |true matched pairs|        (blocking recall)
+      reduction_ratio    = 1 - |candidate pairs| / C(N, 2)
+      pair_quality       = true candidates / |candidate pairs|
+                           (blocking precision)
+
+    ``cand_pairs``: (a_id, b_id) with a < b, deduplicated (the output
+    shape of every blocking channel in this repo). True-pair counts
+    come from gold cluster sizes (no gold-pair materialization); the
+    true-candidate count is ONE equi-join of the candidate set against
+    the item->gold map on each endpoint. Scale shape: two joins keyed
+    on item id + one scalar aggregate.
+    """
+    g = assign.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.coalesce(F.col(gold_col).cast("string"), F.col(id_col).cast("string")).alias(
+            "_g"
+        ),
+    )
+    n_items = g.agg(F.count("*").cast("double").alias("n")).select(
+        "n", _pairs(F.col("n")).alias("all_pairs")
+    )
+    gold_pairs = (
+        g.groupBy("_g")
+        .agg(F.count("*").alias("n"))
+        .agg(F.sum(_pairs(F.col("n"))).alias("gold_pairs"))
+    )
+    cp = cand_pairs.select(
+        F.col(a_col).cast("string").alias("_a"), F.col(b_col).cast("string").alias("_b")
+    )
+    matched = (
+        cp.join(g.select(F.col("_id").alias("_a"), F.col("_g").alias("_ga")), "_a")
+        .join(g.select(F.col("_id").alias("_b"), F.col("_g").alias("_gb")), "_b")
+        .agg(
+            F.count("*").cast("double").alias("cand_pairs"),
+            F.sum((F.col("_ga") == F.col("_gb")).cast("double")).alias("true_cand"),
+        )
+    )
+    out = matched.crossJoin(gold_pairs).crossJoin(n_items)
+    return out.select(
+        F.col("cand_pairs").cast("bigint").alias("cand_pairs"),
+        F.col("gold_pairs").cast("bigint").alias("gold_pairs"),
+        F.round(
+            F.when(F.col("gold_pairs") > 0, F.col("true_cand") / F.col("gold_pairs"))
+            .otherwise(F.lit(1.0)),
+            6,
+        ).alias("pair_completeness"),
+        F.round(F.lit(1.0) - F.col("cand_pairs") / F.col("all_pairs"), 6).alias(
+            "reduction_ratio"
+        ),
+        F.round(
+            F.when(F.col("cand_pairs") > 0, F.col("true_cand") / F.col("cand_pairs"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("pair_quality"),
+    )

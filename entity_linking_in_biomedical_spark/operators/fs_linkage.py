@@ -1,0 +1,146 @@
+"""Fellegi-Sunter probabilistic record linkage: EM-estimated m/u
+probabilities and per-pattern match weights over comparison vectors.
+
+Fellegi & Sunter (1969) score a candidate pair by the log-likelihood
+ratio of its field-agreement pattern under the match vs non-match
+populations; the m_k (P[field k agrees | match]) and u_k (P[agrees |
+non-match]) parameters are estimated *unsupervised* via EM over the
+pattern frequency table (Winkler 1988). This is the core of modern
+linkage engines (e.g. Splink) and complements this repo's
+similarity-score channel (operators/scoring.py): scoring ranks
+candidates inside a block; FS calibrates *how much evidence* each
+agreement pattern carries, with no labels.
+
+Scale shape — the part that must be distributed is, and the part that
+must not be isn't:
+
+  1. Comparison-vector construction + pattern counting: ONE
+     map-side-partial groupBy over the candidate-pair frame
+     (corpus-scale work, no driver involvement).
+  2. EM: runs driver-side in numpy over the aggregated pattern table,
+     which has at most 2^K rows for K comparison fields REGARDLESS of
+     corpus size (K <= ~10 in practice) — the same bounded-collect
+     discipline as the IDF fit (operators/scoring.py:46).
+  3. Weight assignment: a broadcast join of the <=2^K-row weight table
+     back onto the pairs.
+
+EM update (binary agreement fields, pattern g with count n_g):
+  E: w_g = lam * prod_k m_k^g_k (1-m_k)^(1-g_k)
+           / (that + (1-lam) * prod_k u_k^g_k (1-u_k)^(1-g_k))
+  M: lam  = sum n_g w_g / sum n_g
+     m_k  = sum n_g w_g g_k / sum n_g w_g
+     u_k  = sum n_g (1-w_g) g_k / sum n_g (1-w_g)
+Deterministic: fixed init, fixed iteration count, patterns processed
+in sorted order, float64 throughout — replayable by an unrolled-CTE
+SQL twin (see __spark_entry__'s oracle generator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EPS = 1e-9
+
+
+def em_fit(
+    pattern_counts: list[tuple[tuple[int, ...], int]],
+    iters: int = 15,
+    init_lambda: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> tuple[float, list[float], list[float]]:
+    """Pure-python/numpy EM over a (pattern -> count) table. Separated
+    from the Spark plumbing so the unit tests can drive it directly.
+    Returns (lambda, m[k], u[k]). Parameters are clamped to
+    [EPS, 1-EPS] so degenerate fields cannot produce 0/0."""
+    import numpy as np
+
+    pats = np.array([p for p, _ in pattern_counts], dtype=np.float64)
+    ns = np.array([c for _, c in pattern_counts], dtype=np.float64)
+    k = pats.shape[1]
+    lam = float(init_lambda)
+    m = np.full(k, init_m, dtype=np.float64)
+    u = np.full(k, init_u, dtype=np.float64)
+    clip = lambda x: np.clip(x, EPS, 1.0 - EPS)  # noqa: E731
+    for _ in range(iters):
+        pm = np.prod(np.where(pats == 1.0, m, 1.0 - m), axis=1)
+        pu = np.prod(np.where(pats == 1.0, u, 1.0 - u), axis=1)
+        num = lam * pm
+        w = num / (num + (1.0 - lam) * pu)
+        sw = float((ns * w).sum())
+        snw = float((ns * (1.0 - w)).sum())
+        lam = min(max(sw / float(ns.sum()), EPS), 1.0 - EPS)
+        m = clip((ns * w) @ pats / sw)
+        u = clip((ns * (1.0 - w)) @ pats / snw)
+    return lam, [float(x) for x in m], [float(x) for x in u]
+
+
+def fellegi_sunter_weights(
+    pairs: DataFrame,
+    agreement_cols: list[str],
+    iters: int = 15,
+    init_lambda: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> DataFrame:
+    """Per-pattern Fellegi-Sunter calibration table.
+
+    ``pairs``: candidate pairs with boolean/0-1 ``agreement_cols``
+    (the comparison vector). -> one row per observed pattern:
+    (g_<field>..., n_pairs, match_weight, match_prob) where
+    match_weight = log2 LR of the pattern and match_prob its posterior
+    under the EM-fitted mixture. Rounded to 6 for cross-engine replay.
+    """
+    import math
+
+    gs = [F.col(c).cast("int").alias(c) for c in agreement_cols]
+    counts = (
+        pairs.select(*gs)
+        .groupBy(*agreement_cols)
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    rows = counts.collect()  # <= 2^K rows by construction
+    table = sorted(
+        (tuple(int(r[c]) for c in agreement_cols), int(r["n_pairs"])) for r in rows
+    )
+    lam, m, u = em_fit(table, iters, init_lambda, init_m, init_u)
+
+    spark = SparkSession.getActiveSession()
+    out_rows = []
+    for pat, n in table:
+        pm = 1.0
+        pu = 1.0
+        for gk, mk, uk in zip(pat, m, u):
+            pm *= mk if gk else (1.0 - mk)
+            pu *= uk if gk else (1.0 - uk)
+        weight = math.log2(pm / pu)
+        prob = lam * pm / (lam * pm + (1.0 - lam) * pu)
+        out_rows.append(tuple(pat) + (n, weight, prob))
+    schema = (
+        ", ".join(f"{c} int" for c in agreement_cols)
+        + ", n_pairs bigint, match_weight double, match_prob double"
+    )
+    # Round via F.round (half-up, matching the SQL twin), NOT python's
+    # round() (banker's) — the cross-engine hash compares the rounded
+    # representation.
+    return spark.createDataFrame(out_rows, schema).select(
+        *agreement_cols,
+        "n_pairs",
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("match_prob", 6).alias("match_prob"),
+    )
+
+
+def score_pairs(pairs: DataFrame, weights: DataFrame, agreement_cols: list[str]) -> DataFrame:
+    """Attach the calibrated weight/posterior to every pair via a
+    broadcast join on the (tiny) pattern table."""
+    keyed = pairs.select(
+        "*", *[F.col(c).cast("int").alias(f"__g_{c}") for c in agreement_cols]
+    )
+    w = weights.select(
+        *[F.col(c).alias(f"__g_{c}") for c in agreement_cols],
+        "match_weight",
+        "match_prob",
+    )
+    out = keyed.join(F.broadcast(w), [f"__g_{c}" for c in agreement_cols], "left")
+    return out.drop(*[f"__g_{c}" for c in agreement_cols])

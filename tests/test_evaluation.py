@@ -1,0 +1,141 @@
+"""Unit tests for operators/evaluation.py, operators/meta_blocking.py
+and operators/fs_linkage.py — hand-checkable fixtures with closed-form
+expected metrics, plus invariants (perfect clustering scores 1.0
+everywhere; EM posterior monotone in agreement count)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from entity_linking_in_biomedical_spark.operators.evaluation import (
+    blocking_quality,
+    cluster_pair_metrics,
+)
+from entity_linking_in_biomedical_spark.operators.fs_linkage import (
+    em_fit,
+    fellegi_sunter_weights,
+    score_pairs,
+)
+from entity_linking_in_biomedical_spark.operators.meta_blocking import (
+    meta_block_prune,
+)
+
+
+def _assign(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, pred string, gold string")
+
+
+def test_cluster_pair_metrics_hand_computed(spark):
+    # gold: {a,b,c}, {d,e};  pred: {a,b}, {c,d}, {e}
+    rows = [
+        ("a", "p1", "g1"),
+        ("b", "p1", "g1"),
+        ("c", "p2", "g1"),
+        ("d", "p2", "g2"),
+        ("e", "p3", "g2"),
+    ]
+    r = cluster_pair_metrics(_assign(spark, rows)).collect()[0]
+    # pred pairs: C(2,2)+C(2,2)=2; gold pairs: C(3,2)+C(2,2)=4; TP: {a,b}=1
+    assert r["n_items"] == 5 and r["n_pred"] == 3 and r["n_gold"] == 2
+    assert r["pair_precision"] == pytest.approx(1 / 2)
+    assert r["pair_recall"] == pytest.approx(1 / 4)
+    assert r["pair_f1"] == pytest.approx(2 * 0.5 * 0.25 / 0.75, abs=1e-6)
+    # B3 precision per item: a,b: 2/2; c: 1/2; d: 1/2; e: 1/1 -> mean 4/5
+    assert r["b3_precision"] == pytest.approx(4 / 5)
+    # B3 recall per item: a,b: 2/3; c: 1/3; d: 1/2; e: 1/2 -> mean 8/3/5+... =
+    rec = (2 / 3 + 2 / 3 + 1 / 3 + 1 / 2 + 1 / 2) / 5
+    assert r["b3_recall"] == pytest.approx(rec, abs=1e-6)
+
+
+def test_cluster_pair_metrics_perfect_and_null(spark):
+    rows = [("a", "p1", "g1"), ("b", "p1", "g1"), ("c", None, None)]
+    r = cluster_pair_metrics(_assign(spark, rows)).collect()[0]
+    # NULL ids coalesce to the item id -> c is its own singleton in both
+    assert r["pair_f1"] == 1.0 and r["b3_f1"] == 1.0
+    assert r["n_pred"] == r["n_gold"] == 2
+
+
+def test_blocking_quality_hand_computed(spark):
+    # gold clusters {a,b,c} + {d}; candidates (a,b),(a,d)
+    assign = spark.createDataFrame(
+        [("a", "g1"), ("b", "g1"), ("c", "g1"), ("d", "g2")],
+        "doc_id string, gold string",
+    )
+    cand = spark.createDataFrame([("a", "b"), ("a", "d")], "a_id string, b_id string")
+    r = blocking_quality(cand, assign, "doc_id", "gold").collect()[0]
+    assert r["cand_pairs"] == 2 and r["gold_pairs"] == 3
+    assert r["pair_completeness"] == pytest.approx(1 / 3)
+    assert r["reduction_ratio"] == pytest.approx(1 - 2 / 6)
+    assert r["pair_quality"] == pytest.approx(1 / 2)
+
+
+def test_meta_block_prune_cbs_weights(spark):
+    # a,b share 3 blocks; a,c share 1; block k4 is oversized -> purged
+    rows = (
+        [("a", k) for k in ("k1", "k2", "k3", "k5")]
+        + [("b", k) for k in ("k1", "k2", "k3")]
+        + [("c", "k5"), ("c", "k1")]
+        + [(f"z{i}", "k4") for i in range(10)]
+        + [("a", "k4"), ("b", "k4")]
+    )
+    blocks = spark.createDataFrame(rows, "doc_id string, bk string")
+    out = meta_block_prune(blocks, max_block=5, min_common=2).collect()
+    got = {(r["a_id"], r["b_id"]): r["common_blocks"] for r in out}
+    # k4 (size 12 > 5) contributes nothing; (a,c) share k1,k5 -> kept at 2;
+    # (b,c) share only k1 -> pruned by min_common=2
+    assert got == {("a", "b"): 3, ("a", "c"): 2}
+
+
+def test_meta_block_prune_top_k(spark):
+    # star: hub h shares 2 blocks with each of 4 spokes; top_k=2 keeps the
+    # lexicographically-first ties per node, but every spoke retains its own
+    # edge to the hub (CNP keeps an edge if EITHER endpoint ranks it).
+    rows = []
+    for i, s in enumerate(["s1", "s2", "s3", "s4"]):
+        rows += [("h", f"b{i}a"), ("h", f"b{i}b"), (s, f"b{i}a"), (s, f"b{i}b")]
+    blocks = spark.createDataFrame(rows, "doc_id string, bk string")
+    out = meta_block_prune(blocks, max_block=10, min_common=2, top_k=2).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in out}
+    assert pairs == {("h", "s1"), ("h", "s2"), ("h", "s3"), ("h", "s4")}
+
+
+def test_em_fit_separates_planted_mixture():
+    # two populations: matches agree on both fields 90% of the time,
+    # non-matches 10% — EM must recover m >> u and a small lambda.
+    counts = {
+        (1, 1): 81 * 10 + 1 * 990,
+        (1, 0): 9 * 10 + 9 * 990,
+        (0, 1): 9 * 10 + 9 * 990,
+        (0, 0): 1 * 10 + 81 * 990,
+    }
+    lam, m, u = em_fit(sorted((k, v) for k, v in counts.items()), iters=100)
+    assert m[0] > 0.5 > 0.25 > u[0] and m[1] > 0.5 > 0.25 > u[1]
+    assert lam < 0.5
+
+
+def test_fellegi_sunter_weights_monotone(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(200):  # matches
+        rows.append((int(rng.random() < 0.9), int(rng.random() < 0.85)))
+    for _ in range(2000):  # non-matches
+        rows.append((int(rng.random() < 0.1), int(rng.random() < 0.15)))
+    pairs = spark.createDataFrame(rows, "g1 int, g2 int")
+    w = fellegi_sunter_weights(pairs, ["g1", "g2"], iters=50)
+    byp = {(r["g1"], r["g2"]): r for r in w.collect()}
+    assert byp[(1, 1)]["match_weight"] > byp[(1, 0)]["match_weight"]
+    assert byp[(0, 1)]["match_weight"] > byp[(0, 0)]["match_weight"]
+    assert byp[(1, 1)]["match_prob"] > 0.5 > byp[(0, 0)]["match_prob"]
+    assert sum(r["n_pairs"] for r in byp.values()) == 2200
+    # score_pairs attaches the same numbers via broadcast join
+    scored = score_pairs(pairs, w, ["g1", "g2"])
+    row = scored.filter((F.col("g1") == 1) & (F.col("g2") == 1)).first()
+    assert row["match_weight"] == byp[(1, 1)]["match_weight"]
+    # weight is the log2 LR of the fitted params (spot-check identity)
+    r11 = byp[(1, 1)]
+    assert not math.isnan(r11["match_weight"])
