@@ -102,6 +102,36 @@ def test_meta_block_prune_top_k(spark):
     assert pairs == {("h", "s1"), ("h", "s2"), ("h", "s3"), ("h", "s4")}
 
 
+def test_cluster_pair_metrics_certifies_north_rule_on_pipeline(spark, corpus):
+    """The distributed report card must agree with the local pairwise-F1
+    twin (tests/test_pipeline.pairwise_f1) on REAL pipeline output, and
+    certify the north rule (pairwise F1 >= 0.99) distributedly — the
+    form that runs at corpus scale where itertools.combinations
+    cannot."""
+    from entity_linking_in_biomedical_spark.plans.pipeline import run_pipeline
+    from tests.test_pipeline import clusters_from_spark, pairwise_f1
+
+    docs, ents, labels, abbr, split = corpus.to_spark(spark)
+    emb = corpus.embeddings_df(spark)
+    result = run_pipeline(spark, docs, ents, embeddings=emb, abbr_map=abbr)
+    got = clusters_from_spark(result)
+    gold = {
+        (l["doc_id"], l["span_seq"]): l["cluster_id"]
+        for l in corpus.labels
+        if (l["doc_id"], l["span_seq"]) in got
+    }
+    keys = sorted(set(got) & set(gold))
+    local_f1 = pairwise_f1(got, gold)
+    assign = spark.createDataFrame(
+        [(f"{d}:{s}", str(got[(d, s)]), str(gold[(d, s)])) for d, s in keys],
+        "doc_id string, pred string, gold string",
+    )
+    r = cluster_pair_metrics(assign).collect()[0]
+    assert r["pair_f1"] == pytest.approx(local_f1, abs=1e-6)
+    assert r["pair_f1"] >= 0.99  # the north-rule contract, distributed form
+    assert r["b3_f1"] >= 0.99
+
+
 def test_em_fit_separates_planted_mixture():
     # two populations: matches agree on both fields 90% of the time,
     # non-matches 10% — EM must recover m >> u and a small lambda.
