@@ -4002,8 +4002,8 @@ with a as (
   from documents
 ),
 cells as (select p, g, count(*) as c from a group by 1, 2),
-ps as (select p, count(*) as pn from a group by 1),
-gs as (select g, count(*) as gn from a group by 1),
+ps as (select p, sum(c) as pn from cells group by 1),
+gs as (select g, sum(c) as gn from cells group by 1),
 j as (select cells.c, cells.p, cells.g, ps.pn, gs.gn
       from cells join ps using (p) join gs using (g)),
 agg as (

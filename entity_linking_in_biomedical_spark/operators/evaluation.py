@@ -61,9 +61,20 @@ def cluster_pair_metrics(
             "_g"
         ),
     )
-    cells = a.groupBy("_p", "_g").agg(F.count("*").alias("c"))
-    psz = a.groupBy("_p").agg(F.count("*").alias("p_n"))
-    gsz = a.groupBy("_g").agg(F.count("*").alias("g_n"))
+    # ONE corpus-wide shuffle (to the (pred, gold) cells); cluster sizes
+    # are re-aggregated from the cells frame, which is cluster-count-
+    # sized, not corpus-sized. The lazy localCheckpoint makes single
+    # evaluation STRUCTURAL (the surf_keys discipline,
+    # plans/pipeline.py): cells' five consumers (sizes x2, join, both
+    # scalar pair sums) all plan over the one materialized RDD instead
+    # of re-running the corpus aggregation per consumer.
+    cells = (
+        a.groupBy("_p", "_g")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    psz = cells.groupBy("_p").agg(F.sum("c").alias("p_n"))
+    gsz = cells.groupBy("_g").agg(F.sum("c").alias("g_n"))
     j = cells.join(psz, "_p").join(gsz, "_g")
     agg = j.agg(
         F.sum("c").cast("bigint").alias("n_items"),

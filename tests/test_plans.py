@@ -329,3 +329,42 @@ def test_round5_new_ops_stay_jvm_side_and_partial_agg(spark):
     # one fit round: pure column expressions, map-side partial combine
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "partial" in plan
+
+
+def test_evaluation_family_plan_shape(spark):
+    """cluster_pair_metrics: ONE corpus-wide shuffle (to the (pred,
+    gold) cells) — cluster sizes re-aggregate the cells frame, never
+    the scan; the only nested-loop joins are the 1-row scalar attaches
+    (a cross join against a single aggregate row IS the right plan).
+    meta_block_prune: no cartesian/BNLJ anywhere, map-side partial
+    aggregation on the CBS groupBy. All JVM-side, zero Python."""
+    from entity_linking_in_biomedical_spark.operators.evaluation import (
+        cluster_pair_metrics,
+    )
+    from entity_linking_in_biomedical_spark.operators.meta_blocking import (
+        meta_block_prune,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assign = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 5).cast("string").alias("pred"),
+        (F.col("doc_id") % 7).cast("string").alias("gold"),
+    )
+    plan = plan_of(cluster_pair_metrics(assign))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial" in plan.lower()
+    # single evaluation of the corpus aggregation is STRUCTURAL: the
+    # cells frame is a lazy localCheckpoint, so the downstream plan
+    # contains ZERO parquet scans — the corpus feeds only the one
+    # checkpointed (pred, gold) aggregation, computed once for all
+    # five consumers.
+    assert "Scan parquet" not in plan
+
+    blocks = spark.createDataFrame(
+        [(str(i), f"k{i % 9}") for i in range(60)], "doc_id string, bk string"
+    )
+    plan = plan_of(meta_block_prune(blocks, top_k=2))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "partial" in plan.lower()
