@@ -4318,6 +4318,147 @@ order by g_seg, g_bal, g_name"""
     return "with " + ",\n".join(ctes) + "\n" + final
 
 
+def q_fs_em_levels(spark, sf_dir):
+    """Multi-level (Splink-style) Fellegi-Sunter calibration
+    (operators/fs_linkage.fellegi_sunter_weights_levels): graded
+    agreement levels instead of binary — balance proximity in 3 bands,
+    name-suffix agreement in 3 grades (last-two / last-one / none),
+    segment binary — EM-fitted per-level m/u distributions, log2 match
+    weights per observed pattern. The DuckDB twin replays the identical
+    deterministic init and 15 EM iterations as unrolled CTEs over the
+    <=18-row pattern table."""
+    from entity_linking_in_biomedical_spark.operators.fs_linkage import (
+        fellegi_sunter_weights_levels,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    diff = F.abs(
+        F.col("a.c_acctbal").cast("double") - F.col("b.c_acctbal").cast("double")
+    )
+    pairs = (
+        cust.alias("a")
+        .join(
+            cust.alias("b"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.when(diff < 250.0, 2).when(diff < 1000.0, 1).otherwise(0).alias(
+                "l_bal"
+            ),
+            F.when(
+                F.substring(F.col("a.c_name"), 17, 2)
+                == F.substring(F.col("b.c_name"), 17, 2),
+                2,
+            )
+            .when(
+                F.substring(F.col("a.c_name"), 18, 1)
+                == F.substring(F.col("b.c_name"), 18, 1),
+                1,
+            )
+            .otherwise(0)
+            .alias("l_name"),
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            .cast("int")
+            .alias("l_seg"),
+        )
+    )
+    w = fellegi_sunter_weights_levels(
+        pairs, ["l_bal", "l_name", "l_seg"], n_levels=[3, 3, 2], iters=15
+    )
+    return w.orderBy("l_bal", "l_name", "l_seg")
+
+
+def _oracle_fs_em_levels(iters: int = 15) -> str:
+    """Unrolled-CTE twin of fs_linkage.em_fit_levels for the
+    fs_em_levels query's field/level layout ([3, 3, 2]), replaying the
+    deterministic _init_levels literals and per-parameter clamps."""
+    fields = [("l_bal", 3), ("l_name", 3), ("l_seg", 2)]
+    eps = "1e-9"
+
+    def pname(prefix: str, k: int, l: int) -> str:
+        return f"{prefix}{k}_{l}"
+
+    def level_case(col: str, k: int, L: int, prefix: str) -> str:
+        whens = " ".join(
+            f"when {l} then {pname(prefix, k, l)}" for l in range(L)
+        )
+        return f"(case {col} {whens} end)"
+
+    def prod(prefix: str) -> str:
+        return " * ".join(
+            level_case(c, k, L, prefix) for k, (c, L) in enumerate(fields)
+        )
+
+    # deterministic init literals (_init_levels): m -> 0.8 on top level,
+    # 0.2/(L-1) elsewhere; u -> 0.8 on level 0, 0.2/(L-1) elsewhere
+    init = ["0.1 as lam"]
+    for k, (_, L) in enumerate(fields):
+        rest = 0.2 / (L - 1)
+        for l in range(L):
+            init.append(f"{0.8 if l == L - 1 else rest!r} as {pname('m', k, l)}")
+        for l in range(L):
+            init.append(f"{0.8 if l == 0 else rest!r} as {pname('u', k, l)}")
+    ctes = [
+        """pairs as (
+  select case when abs(cast(a.c_acctbal as double)
+                   - cast(b.c_acctbal as double)) < 250.0 then 2
+              when abs(cast(a.c_acctbal as double)
+                   - cast(b.c_acctbal as double)) < 1000.0 then 1
+              else 0 end as l_bal,
+         case when substr(a.c_name, 17, 2) = substr(b.c_name, 17, 2) then 2
+              when substr(a.c_name, 18, 1) = substr(b.c_name, 18, 1) then 1
+              else 0 end as l_name,
+         cast(a.c_mktsegment = b.c_mktsegment as int) as l_seg
+  from customer a join customer b
+    on a.c_nationkey = b.c_nationkey and a.c_custkey < b.c_custkey
+)""",
+        "pat as (select l_bal, l_name, l_seg, count(*) as n from pairs"
+        " group by 1, 2, 3)",
+        "it0 as (select " + ", ".join(init) + ")",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""e{i} as (
+  select pat.*, lam * ({prod('m')}) as num,
+         (1.0 - lam) * ({prod('u')}) as den0
+  from pat, it{i - 1}
+)"""
+        )
+        params = [
+            f"least(greatest(sum(n * (num / (num + den0))) / sum(n), {eps}),"
+            f" 1.0 - {eps}) as lam"
+        ]
+        for k, (c, L) in enumerate(fields):
+            for l in range(L):
+                params.append(
+                    f"least(greatest(sum(n * (num / (num + den0)) *"
+                    f" cast({c} = {l} as int)) / sum(n * (num / (num + den0))),"
+                    f" {eps}), 1.0 - {eps}) as {pname('m', k, l)}"
+                )
+            for l in range(L):
+                params.append(
+                    f"least(greatest(sum(n * (1.0 - num / (num + den0)) *"
+                    f" cast({c} = {l} as int)) /"
+                    f" sum(n * (1.0 - num / (num + den0))),"
+                    f" {eps}), 1.0 - {eps}) as {pname('u', k, l)}"
+                )
+        ctes.append(f"it{i} as (\n  select " + ",\n         ".join(params) + f"\n  from e{i}\n)")
+    ctes.append(
+        f"""fin as (
+  select pat.l_bal, pat.l_name, pat.l_seg, pat.n,
+         ({prod('m')}) as pm, ({prod('u')}) as pu, lam
+  from pat, it{iters}
+)"""
+    )
+    final = """select l_bal, l_name, l_seg, cast(n as bigint) as n_pairs,
+       round(log2(pm / pu), 6) as match_weight,
+       round(lam * pm / (lam * pm + (1.0 - lam) * pu), 6) as match_prob
+from fin
+order by l_bal, l_name, l_seg"""
+    return "with " + ",\n".join(ctes) + "\n" + final
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4401,6 +4542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_quality": q_blocking_quality,
         "meta_blocking": q_meta_blocking,
         "fs_em_weights": q_fs_em_weights,
+        "fs_em_levels": q_fs_em_levels,
     }
 
 
@@ -4490,4 +4632,5 @@ def oracle_sql() -> dict[str, str]:
         "blocking_quality": ORACLE_BLOCKING_QUALITY,
         "meta_blocking": _oracle_meta_blocking(),
         "fs_em_weights": _oracle_fs_em(),
+        "fs_em_levels": _oracle_fs_em_levels(),
     }

@@ -343,6 +343,7 @@ def main() -> None:
         "blocking_quality",
         "meta_blocking",
         "fs_em_weights",
+        "fs_em_levels",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir))
 

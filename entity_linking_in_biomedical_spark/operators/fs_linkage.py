@@ -144,3 +144,112 @@ def score_pairs(pairs: DataFrame, weights: DataFrame, agreement_cols: list[str])
     )
     out = keyed.join(F.broadcast(w), [f"__g_{c}" for c in agreement_cols], "left")
     return out.drop(*[f"__g_{c}" for c in agreement_cols])
+
+
+# --- multi-level (Splink-style) comparisons --------------------------------
+# Production linkage grades each field into ordered agreement LEVELS
+# (e.g. exact / fuzzy / disagree), not just 0/1 — the m/u parameters
+# become per-level categorical distributions. Same EM, same bounded
+# pattern table (at most prod(n_levels) rows regardless of corpus
+# size), same unrolled-CTE SQL replay.
+
+
+def _init_levels(n_levels: list[int]) -> tuple[list[list[float]], list[list[float]]]:
+    """Deterministic closed-form init: matches concentrate on the top
+    level (0.8 there, 0.2 split over the rest); non-matches concentrate
+    on level 0. Exactly replayable in SQL as literals."""
+    m, u = [], []
+    for L in n_levels:
+        rest = 0.2 / (L - 1) if L > 1 else 0.0
+        m.append([rest] * (L - 1) + [0.8])
+        u.append([0.8] + [rest] * (L - 1))
+    return m, u
+
+
+def em_fit_levels(
+    pattern_counts: list[tuple[tuple[int, ...], int]],
+    n_levels: list[int],
+    iters: int = 15,
+    init_lambda: float = 0.1,
+) -> tuple[float, list[list[float]], list[list[float]]]:
+    """EM over categorical agreement levels: pattern g assigns field k
+    the level g_k in [0, n_levels[k]). Returns (lambda, m[k][l],
+    u[k][l]). Per-parameter clamping mirrors the binary em_fit (clip to
+    [EPS, 1-EPS], no renormalization) so the SQL twin replays it with
+    least/greatest."""
+    import numpy as np
+
+    pats = [p for p, _ in pattern_counts]
+    ns = np.array([c for _, c in pattern_counts], dtype=np.float64)
+    m0, u0 = _init_levels(n_levels)
+    m = [np.array(v) for v in m0]
+    u = [np.array(v) for v in u0]
+    lam = float(init_lambda)
+    onehots = [
+        np.array([[1.0 if p[k] == l else 0.0 for l in range(L)] for p in pats])
+        for k, L in enumerate(n_levels)
+    ]
+    for _ in range(iters):
+        pm = np.ones(len(pats))
+        pu = np.ones(len(pats))
+        for k in range(len(n_levels)):
+            pm = pm * (onehots[k] @ m[k])
+            pu = pu * (onehots[k] @ u[k])
+        num = lam * pm
+        w = num / (num + (1.0 - lam) * pu)
+        sw = float((ns * w).sum())
+        snw = float((ns * (1.0 - w)).sum())
+        lam = min(max(sw / float(ns.sum()), EPS), 1.0 - EPS)
+        for k in range(len(n_levels)):
+            m[k] = np.clip((ns * w) @ onehots[k] / sw, EPS, 1.0 - EPS)
+            u[k] = np.clip((ns * (1.0 - w)) @ onehots[k] / snw, EPS, 1.0 - EPS)
+    return lam, [[float(x) for x in v] for v in m], [[float(x) for x in v] for v in u]
+
+
+def fellegi_sunter_weights_levels(
+    pairs: DataFrame,
+    level_cols: list[str],
+    n_levels: list[int],
+    iters: int = 15,
+    init_lambda: float = 0.1,
+) -> DataFrame:
+    """Multi-level calibration table: one row per observed level
+    pattern with (level cols..., n_pairs, match_weight, match_prob).
+    Same scale shape as the binary form: ONE map-side-partial groupBy,
+    driver EM over <= prod(n_levels) rows, F.round for cross-engine
+    replay."""
+    import math
+
+    counts = (
+        pairs.select(*[F.col(c).cast("int").alias(c) for c in level_cols])
+        .groupBy(*level_cols)
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    rows = counts.collect()
+    table = sorted(
+        (tuple(int(r[c]) for c in level_cols), int(r["n_pairs"])) for r in rows
+    )
+    lam, m, u = em_fit_levels(table, n_levels, iters, init_lambda)
+
+    spark = SparkSession.getActiveSession()
+    out_rows = []
+    for pat, n in table:
+        pm = 1.0
+        pu = 1.0
+        for k, l in enumerate(pat):
+            pm *= m[k][l]
+            pu *= u[k][l]
+        out_rows.append(
+            tuple(pat)
+            + (n, math.log2(pm / pu), lam * pm / (lam * pm + (1.0 - lam) * pu))
+        )
+    schema = (
+        ", ".join(f"{c} int" for c in level_cols)
+        + ", n_pairs bigint, match_weight double, match_prob double"
+    )
+    return spark.createDataFrame(out_rows, schema).select(
+        *level_cols,
+        "n_pairs",
+        F.round("match_weight", 6).alias("match_weight"),
+        F.round("match_prob", 6).alias("match_prob"),
+    )

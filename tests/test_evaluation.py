@@ -169,3 +169,35 @@ def test_fellegi_sunter_weights_monotone(spark):
     # weight is the log2 LR of the fitted params (spot-check identity)
     r11 = byp[(1, 1)]
     assert not math.isnan(r11["match_weight"])
+
+
+def test_em_fit_levels_monotone_weights(spark):
+    """On a planted two-population mixture with graded agreement, the
+    fitted match weight must be monotone in the agreement level of each
+    field, and the level form must reduce to the binary form's shape
+    when every field has 2 levels."""
+    import random
+
+    from entity_linking_in_biomedical_spark.operators.fs_linkage import (
+        fellegi_sunter_weights_levels,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for _ in range(300):  # matches: mostly level 2
+        r = rng.random()
+        rows.append((2 if r < 0.7 else (1 if r < 0.9 else 0), 1))
+    for _ in range(3000):  # non-matches: mostly level 0
+        r = rng.random()
+        rows.append((0 if r < 0.7 else (1 if r < 0.9 else 2), 0))
+    pairs = spark.createDataFrame(rows, "l1 int, g2 int")
+    w = fellegi_sunter_weights_levels(
+        pairs, ["l1", "g2"], n_levels=[3, 2], iters=60
+    )
+    byp = {(r["l1"], r["g2"]): r["match_weight"] for r in w.collect()}
+    # weight monotone in l1 at fixed g2
+    for g2 in (0, 1):
+        trip = [byp.get((l, g2)) for l in (0, 1, 2)]
+        present = [t for t in trip if t is not None]
+        assert present == sorted(present), f"not monotone at g2={g2}: {trip}"
+    assert sum(r["n_pairs"] for r in w.collect()) == 3300
