@@ -4012,16 +4012,24 @@ agg as (
          cast(count(distinct g) as bigint) as n_gold,
          sum(c * (c - 1) / 2.0) as tp,
          sum(c * c * 1.0 / pn) as b3p_num,
-         sum(c * c * 1.0 / gn) as b3r_num
+         sum(c * c * 1.0 / gn) as b3r_num,
+         sum(c * ln(c * 1.0 / (pn * gn))) as mi_s1
   from j
 ),
-pp as (select sum(pn * (pn - 1) / 2.0) as pred_pairs from ps),
-gg as (select sum(gn * (gn - 1) / 2.0) as gold_pairs from gs),
+pp as (select sum(pn * (pn - 1) / 2.0) as pred_pairs,
+              sum(pn * ln(pn)) as p_slns from ps),
+gg as (select sum(gn * (gn - 1) / 2.0) as gold_pairs,
+              sum(gn * ln(gn)) as g_slns from gs),
 m as (
-  select n_items, n_pred, n_gold,
+  select n_items, n_pred, n_gold, tp, pred_pairs, gold_pairs,
          case when pred_pairs > 0 then tp / pred_pairs else 1.0 end as ppv,
          case when gold_pairs > 0 then tp / gold_pairs else 1.0 end as rec,
-         b3p_num / n_items as b3p, b3r_num / n_items as b3r
+         b3p_num / n_items as b3p, b3r_num / n_items as b3r,
+         (mi_s1 + n_items * ln(n_items)) / n_items as mi,
+         (n_items * ln(n_items) - p_slns) / n_items as hp,
+         (n_items * ln(n_items) - g_slns) / n_items as hg,
+         pred_pairs * gold_pairs /
+           (n_items * (n_items - 1.0) / 2.0) as exp_tp
   from agg, pp, gg
 )
 select n_items, n_pred, n_gold,
@@ -4032,7 +4040,12 @@ select n_items, n_pred, n_gold,
        round(b3p, 6) as b3_precision,
        round(b3r, 6) as b3_recall,
        round(case when b3p + b3r > 0 then 2 * b3p * b3r / (b3p + b3r)
-             else 0.0 end, 6) as b3_f1
+             else 0.0 end, 6) as b3_f1,
+       round(case when (pred_pairs + gold_pairs) / 2.0 - exp_tp != 0
+             then (tp - exp_tp) / ((pred_pairs + gold_pairs) / 2.0 - exp_tp)
+             else 1.0 end, 6) as ari,
+       round(case when hp + hg > 0 then 2 * mi / (hp + hg)
+             else 1.0 end, 6) as nmi
 from m
 """
 

@@ -50,7 +50,13 @@ def cluster_pair_metrics(
     cluster ids are treated as singletons via coalesce to the item id.
 
     -> (n_items, n_pred, n_gold, pair_precision, pair_recall, pair_f1,
-        b3_precision, b3_recall, b3_f1), doubles rounded to 6.
+        b3_precision, b3_recall, b3_f1, ari, nmi), doubles rounded to 6.
+
+    ARI (Hubert & Arabie 1985) and NMI (arithmetic-mean normalization,
+    natural log) come from the SAME aggregates: ARI from the three pair
+    sums; NMI from sum c*ln(c/(p_n*g_n)) over cells plus sum s*ln(s)
+    over each size table, using MI = (S1 + N ln N)/N and
+    H = (N ln N - sum s ln s)/N — no additional corpus pass.
     """
     a = assign.select(
         F.col(id_col).cast("string").alias("_id"),
@@ -87,9 +93,18 @@ def cluster_pair_metrics(
         # clusters via the size frames below instead.
         F.sum(F.col("c") * F.col("c") / F.col("p_n")).alias("b3p_num"),
         F.sum(F.col("c") * F.col("c") / F.col("g_n")).alias("b3r_num"),
+        F.sum(
+            F.col("c") * F.log(F.col("c") / (F.col("p_n") * F.col("g_n")))
+        ).alias("mi_s1"),
     )
-    pred_pairs = psz.agg(F.sum(_pairs(F.col("p_n"))).alias("pred_pairs"))
-    gold_pairs = gsz.agg(F.sum(_pairs(F.col("g_n"))).alias("gold_pairs"))
+    pred_pairs = psz.agg(
+        F.sum(_pairs(F.col("p_n"))).alias("pred_pairs"),
+        F.sum(F.col("p_n") * F.log("p_n")).alias("p_slns"),
+    )
+    gold_pairs = gsz.agg(
+        F.sum(_pairs(F.col("g_n"))).alias("gold_pairs"),
+        F.sum(F.col("g_n") * F.log("g_n")).alias("g_slns"),
+    )
     out = agg.crossJoin(pred_pairs).crossJoin(gold_pairs)
     pp = F.when(F.col("pred_pairs") > 0, F.col("tp") / F.col("pred_pairs")).otherwise(
         F.lit(1.0)
@@ -99,6 +114,16 @@ def cluster_pair_metrics(
     )
     b3p = F.col("b3p_num") / F.col("n_items")
     b3r = F.col("b3r_num") / F.col("n_items")
+    n = F.col("n_items").cast("double")
+    all_pairs = n * (n - 1) / 2
+    exp = F.col("pred_pairs") * F.col("gold_pairs") / all_pairs
+    ari_den = (F.col("pred_pairs") + F.col("gold_pairs")) / 2 - exp
+    ari = F.when(ari_den != 0, (F.col("tp") - exp) / ari_den).otherwise(F.lit(1.0))
+    lnn = F.log(n)
+    mi = (F.col("mi_s1") + n * lnn) / n
+    hp = (n * lnn - F.col("p_slns")) / n
+    hg = (n * lnn - F.col("g_slns")) / n
+    nmi = F.when(hp + hg > 0, 2 * mi / (hp + hg)).otherwise(F.lit(1.0))
     return out.select(
         "n_items",
         "n_pred",
@@ -114,6 +139,8 @@ def cluster_pair_metrics(
             F.when(b3p + b3r > 0, 2 * b3p * b3r / (b3p + b3r)).otherwise(F.lit(0.0)),
             6,
         ).alias("b3_f1"),
+        F.round(ari, 6).alias("ari"),
+        F.round(nmi, 6).alias("nmi"),
     )
 
 

@@ -48,6 +48,15 @@ def test_cluster_pair_metrics_hand_computed(spark):
     # B3 recall per item: a,b: 2/3; c: 1/3; d: 1/2; e: 1/2 -> mean 8/3/5+... =
     rec = (2 / 3 + 2 / 3 + 1 / 3 + 1 / 2 + 1 / 2) / 5
     assert r["b3_recall"] == pytest.approx(rec, abs=1e-6)
+    # ARI: tp=1, pred_pairs=2, gold_pairs=4, C(5,2)=10 -> exp=0.8
+    assert r["ari"] == pytest.approx((1 - 0.8) / ((2 + 4) / 2 - 0.8), abs=1e-6)
+    # NMI (natural log, arithmetic-mean normalization), from the cells
+    cells = [(2, 2, 3), (1, 2, 3), (1, 2, 2), (1, 1, 2)]  # (c, p_n, g_n)
+    n = 5
+    mi = sum(c / n * math.log(c * n / (pn * gn)) for c, pn, gn in cells)
+    hp = -sum(s / n * math.log(s / n) for s in (2, 2, 1))
+    hg = -sum(s / n * math.log(s / n) for s in (3, 2))
+    assert r["nmi"] == pytest.approx(2 * mi / (hp + hg), abs=1e-6)
 
 
 def test_cluster_pair_metrics_perfect_and_null(spark):
@@ -55,6 +64,7 @@ def test_cluster_pair_metrics_perfect_and_null(spark):
     r = cluster_pair_metrics(_assign(spark, rows)).collect()[0]
     # NULL ids coalesce to the item id -> c is its own singleton in both
     assert r["pair_f1"] == 1.0 and r["b3_f1"] == 1.0
+    assert r["ari"] == 1.0 and r["nmi"] == 1.0
     assert r["n_pred"] == r["n_gold"] == 2
 
 
