@@ -4472,6 +4472,72 @@ order by l_bal, l_name, l_seg"""
     return "with " + ",\n".join(ctes) + "\n" + final
 
 
+def q_fs_tf_adjust(spark, sf_dir):
+    """Term-frequency evidence adjustment (operators/fs_linkage.
+    term_frequencies + tf_adjusted_weight — Winkler 1989 / Splink
+    tf_adjustments): agreeing on a rare field value is stronger
+    evidence than agreeing on a common one, so agreeing pairs get
+    weight += log2(u_k / tf(value)). Report: per segment value, the
+    within-nation agreeing-pair count and the adjusted weight delta
+    (base weight 0, field-average u fixed at 0.2 so the twin needs no
+    EM replay). The tf table is dictionary-sized and broadcast."""
+    from entity_linking_in_biomedical_spark.operators.fs_linkage import (
+        term_frequencies,
+        tf_adjusted_weight,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    tf = term_frequencies(cust, "c_mktsegment")
+    pairs = (
+        cust.alias("a")
+        .join(
+            cust.alias("b"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            .cast("int")
+            .alias("g_seg"),
+            F.col("a.c_mktsegment").alias("c_mktsegment"),
+        )
+        .withColumn("match_weight", F.lit(0.0))
+    )
+    adj = tf_adjusted_weight(
+        pairs, tf, "g_seg", "c_mktsegment", u_k=0.2
+    )
+    return (
+        adj.filter(F.col("g_seg") == 1)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.avg("match_weight_tf"), 6).alias("w_tf"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_FS_TF = """
+with tf as (
+  select c_mktsegment as seg,
+         count(*) * 1.0 / (select count(*) from customer) as tf
+  from customer group by 1
+),
+p as (
+  select a.c_mktsegment as seg
+  from customer a join customer b
+    on a.c_nationkey = b.c_nationkey and a.c_custkey < b.c_custkey
+   and a.c_mktsegment = b.c_mktsegment
+)
+select seg as c_mktsegment,
+       cast(count(*) as bigint) as n_pairs,
+       round(log2(0.2 / greatest(tf, 1e-6)), 6) as w_tf
+from p join tf using (seg)
+group by seg, tf
+order by seg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4556,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_blocking": q_meta_blocking,
         "fs_em_weights": q_fs_em_weights,
         "fs_em_levels": q_fs_em_levels,
+        "fs_tf_adjust": q_fs_tf_adjust,
     }
 
 
@@ -4646,4 +4713,5 @@ def oracle_sql() -> dict[str, str]:
         "meta_blocking": _oracle_meta_blocking(),
         "fs_em_weights": _oracle_fs_em(),
         "fs_em_levels": _oracle_fs_em_levels(),
+        "fs_tf_adjust": ORACLE_FS_TF,
     }

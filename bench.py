@@ -344,6 +344,7 @@ def main() -> None:
         "meta_blocking",
         "fs_em_weights",
         "fs_em_levels",
+        "fs_tf_adjust",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir))
 

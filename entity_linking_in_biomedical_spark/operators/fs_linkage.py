@@ -253,3 +253,54 @@ def fellegi_sunter_weights_levels(
         F.round("match_weight", 6).alias("match_weight"),
         F.round("match_prob", 6).alias("match_prob"),
     )
+
+
+# --- term-frequency adjustments (Winkler 1989 / Splink tf_adjustments) ------
+# A match weight treats every agreement on a field as equal evidence,
+# but agreeing on a RARE value (surname "Zubrzycki") is far stronger
+# evidence than agreeing on a common one ("Smith"): under the
+# non-match population, P[agree on value v] ~ f_v (the value's relative
+# frequency), so the field's u-probability should be value-specific.
+# The standard adjustment replaces the field's average u with f_v for
+# agreeing pairs: delta = log2(u_k / f_v), added to the pattern weight
+# (positive for rarer-than-average values, negative for common ones).
+
+
+def term_frequencies(items: DataFrame, value_col: str) -> DataFrame:
+    """Relative frequency of each value of ``value_col`` across the
+    item table (NULLs dropped): one map-side-partial groupBy + a 1-row
+    total broadcast back. -> (value, tf) with sum(tf) == 1."""
+    vals = items.select(F.col(value_col).alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    counts = vals.groupBy("value").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "value", (F.col("c") / F.col("t")).alias("tf")
+    )
+
+
+def tf_adjusted_weight(
+    pairs: DataFrame,
+    tf: DataFrame,
+    agree_col: str,
+    value_col: str,
+    u_k: float,
+    weight_col: str = "match_weight",
+    out_col: str = "match_weight_tf",
+    min_tf: float = 1e-6,
+) -> DataFrame:
+    """Add the value-specific evidence correction to an already-scored
+    pair frame: for pairs agreeing on the field (``agree_col`` = 1),
+    weight += log2(u_k / max(tf(value), min_tf)); disagreeing pairs are
+    unchanged. ``tf`` is the (value, tf) table from term_frequencies —
+    dictionary-sized, broadcast. ``u_k`` is the field's EM-fitted
+    average u (fellegi_sunter_weights output feeds it). min_tf floors
+    singleton values so one-off strings cannot dominate the score."""
+    t = tf.select(F.col("value").alias(value_col), "tf")
+    joined = pairs.join(F.broadcast(t), value_col, "left")
+    adj = F.when(
+        (F.col(agree_col).cast("int") == 1) & F.col("tf").isNotNull(),
+        F.log2(F.lit(float(u_k)) / F.greatest(F.col("tf"), F.lit(float(min_tf)))),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn(out_col, F.col(weight_col) + adj).drop("tf")

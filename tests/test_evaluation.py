@@ -211,3 +211,33 @@ def test_em_fit_levels_monotone_weights(spark):
         present = [t for t in trip if t is not None]
         assert present == sorted(present), f"not monotone at g2={g2}: {trip}"
     assert sum(r["n_pairs"] for r in w.collect()) == 3300
+
+
+def test_tf_adjustment_rewards_rare_values(spark):
+    """Agreeing on a rare value must gain weight; on a common value it
+    must lose it (relative to the field-average u): delta =
+    log2(u_k / tf(value))."""
+    from entity_linking_in_biomedical_spark.operators.fs_linkage import (
+        term_frequencies,
+        tf_adjusted_weight,
+    )
+
+    items = spark.createDataFrame(
+        [(i, "smith" if i < 90 else "zubrzycki") for i in range(100)],
+        "id int, surname string",
+    )
+    tf = term_frequencies(items, "surname")
+    got = {r["value"]: r["tf"] for r in tf.collect()}
+    assert got == {"smith": pytest.approx(0.9), "zubrzycki": pytest.approx(0.1)}
+
+    pairs = spark.createDataFrame(
+        [(1, "smith", 2.0), (1, "zubrzycki", 2.0), (0, "smith", -1.0)],
+        "g int, surname string, match_weight double",
+    )
+    out = tf_adjusted_weight(pairs, tf, "g", "surname", u_k=0.5)
+    rows = {(r["g"], r["surname"]): r["match_weight_tf"] for r in out.collect()}
+    assert rows[(1, "zubrzycki")] == pytest.approx(2.0 + math.log2(0.5 / 0.1))
+    assert rows[(1, "smith")] == pytest.approx(2.0 + math.log2(0.5 / 0.9))
+    assert rows[(1, "zubrzycki")] > rows[(1, "smith")]
+    # disagreeing pairs untouched
+    assert rows[(0, "smith")] == -1.0
