@@ -4538,6 +4538,102 @@ order by seg
 """
 
 
+def q_review_queue(spark, sf_dir):
+    """Clerical-review queue (operators/fs_linkage.clerical_review_queue
+    — Fellegi & Sunter's 'possible link' band): EM-score the
+    within-nation customer pairs via the broadcast pattern join
+    (score_pairs), keep posteriors in (0.02, 0.99), order
+    most-uncertain-first with id tie-breaks, cap at 200. Both engines
+    replay the same EM (unrolled CTEs on the oracle side), the same
+    rounded posteriors, and the same total order, so the 200 exported
+    rows are identical."""
+    from entity_linking_in_biomedical_spark.operators.fs_linkage import (
+        clerical_review_queue,
+        fellegi_sunter_weights,
+        score_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = (
+        cust.alias("a")
+        .join(
+            cust.alias("b"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("a_key"),
+            F.col("b.c_custkey").alias("b_key"),
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            .cast("int")
+            .alias("g_seg"),
+            (
+                F.abs(
+                    F.col("a.c_acctbal").cast("double")
+                    - F.col("b.c_acctbal").cast("double")
+                )
+                < 500.0
+            )
+            .cast("int")
+            .alias("g_bal"),
+            (
+                F.substring(F.col("a.c_name"), 17, 2)
+                == F.substring(F.col("b.c_name"), 17, 2)
+            )
+            .cast("int")
+            .alias("g_name"),
+        )
+    )
+    w = fellegi_sunter_weights(pairs, ["g_seg", "g_bal", "g_name"], iters=15)
+    scored = score_pairs(pairs, w, ["g_seg", "g_bal", "g_name"])
+    queue = clerical_review_queue(
+        scored, low=0.02, high=0.99, cap=200, order_cols=("a_key", "b_key")
+    )
+    return queue.select(
+        "a_key", "b_key", "g_seg", "g_bal", "g_name", "match_weight", "match_prob"
+    ).orderBy("a_key", "b_key")
+
+
+def _oracle_review_queue(iters: int = 15) -> str:
+    """The fs_em_weights unrolled-CTE EM, with pairs carrying their ids
+    so the band filter + uncertainty order + cap replay exactly."""
+    base = _oracle_fs_em(iters)
+    # reuse everything up to (and incl.) the fin CTE; swap the pairs CTE
+    # for an id-carrying one and the final select for the queue.
+    body = base[len("with ") : base.rindex("\nselect ")]
+    body = body.replace(
+        """pairs as (
+  select cast(a.c_mktsegment = b.c_mktsegment as int) as g_seg,""",
+        """pairs as (
+  select a.c_custkey as a_key, b.c_custkey as b_key,
+         cast(a.c_mktsegment = b.c_mktsegment as int) as g_seg,""",
+        1,
+    )
+    return (
+        "with "
+        + body
+        + """,
+wt as (
+  select g_seg, g_bal, g_name,
+         round(log2(pm / pu), 6) as match_weight,
+         round(lam * pm / (lam * pm + (1.0 - lam) * pu), 6) as match_prob
+  from fin
+),
+scored as (
+  select pairs.a_key, pairs.b_key, pairs.g_seg, pairs.g_bal, pairs.g_name,
+         wt.match_weight, wt.match_prob
+  from pairs join wt using (g_seg, g_bal, g_name)
+),
+queue as (
+  select * from scored
+  where match_prob > 0.02 and match_prob < 0.99
+  order by abs(match_prob - 0.5), a_key, b_key
+  limit 200
+)
+select * from queue order by a_key, b_key"""
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4623,6 +4719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_em_weights": q_fs_em_weights,
         "fs_em_levels": q_fs_em_levels,
         "fs_tf_adjust": q_fs_tf_adjust,
+        "review_queue": q_review_queue,
     }
 
 
@@ -4714,4 +4811,5 @@ def oracle_sql() -> dict[str, str]:
         "fs_em_weights": _oracle_fs_em(),
         "fs_em_levels": _oracle_fs_em_levels(),
         "fs_tf_adjust": ORACLE_FS_TF,
+        "review_queue": _oracle_review_queue(),
     }

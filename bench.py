@@ -345,6 +345,7 @@ def main() -> None:
         "fs_em_weights",
         "fs_em_levels",
         "fs_tf_adjust",
+        "review_queue",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir))
 

@@ -304,3 +304,31 @@ def tf_adjusted_weight(
         F.log2(F.lit(float(u_k)) / F.greatest(F.col("tf"), F.lit(float(min_tf)))),
     ).otherwise(F.lit(0.0))
     return joined.withColumn(out_col, F.col(weight_col) + adj).drop("tf")
+
+
+def clerical_review_queue(
+    scored_pairs: DataFrame,
+    prob_col: str = "match_prob",
+    low: float = 0.1,
+    high: float = 0.9,
+    cap: int = 1000,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The possible-match band every linkage deployment exports for
+    human review (Fellegi & Sunter's three-way decision rule: link /
+    possible link / non-link): pairs whose posterior falls inside
+    (low, high), most-uncertain first (|prob - 0.5| ascending), capped
+    deterministically. ``order_cols`` break ties so the queue is
+    replayable; the cap is a global LIMIT after a total order — fine
+    for a review queue (cap-sized by definition), never used on an
+    uncapped corpus path."""
+    band = scored_pairs.filter(
+        (F.col(prob_col) > low) & (F.col(prob_col) < high)
+    )
+    u = F.abs(F.col(prob_col) - 0.5).alias("_u")
+    return (
+        band.withColumn("_u", u)
+        .orderBy(F.asc("_u"), *[F.asc(c) for c in order_cols])
+        .limit(cap)
+        .drop("_u")
+    )

@@ -241,3 +241,29 @@ def test_tf_adjustment_rewards_rare_values(spark):
     assert rows[(1, "zubrzycki")] > rows[(1, "smith")]
     # disagreeing pairs untouched
     assert rows[(0, "smith")] == -1.0
+
+
+def test_clerical_review_queue_band_and_determinism(spark):
+    """Band filter is exclusive, ordering is most-uncertain-first with
+    id tie-breaks, and the cap is deterministic across partitionings."""
+    from entity_linking_in_biomedical_spark.operators.fs_linkage import (
+        clerical_review_queue,
+    )
+
+    rows = [
+        ("a", 0.95),  # above band -> auto-link
+        ("b", 0.05),  # below band -> auto-nonlink
+        ("c", 0.52),
+        ("d", 0.48),
+        ("e", 0.30),
+        ("f", 0.52),
+    ]
+    pairs = spark.createDataFrame(rows, "pid string, match_prob double")
+    q = clerical_review_queue(
+        pairs, low=0.1, high=0.9, cap=3, order_cols=("pid",)
+    ).collect()
+    assert [r["pid"] for r in q] == ["c", "d", "f"]  # |p-0.5| ties by pid
+    q2 = clerical_review_queue(
+        pairs.repartition(7), low=0.1, high=0.9, cap=3, order_cols=("pid",)
+    ).collect()
+    assert [r["pid"] for r in q2] == ["c", "d", "f"]
