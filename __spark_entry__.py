@@ -4634,6 +4634,50 @@ select * from queue order by a_key, b_key"""
     )
 
 
+def q_cluster_impurity(spark, sf_dir):
+    """Over-merge offender report (operators/evaluation.
+    cluster_impurity_report): the pred clusters losing the most
+    pairwise precision vs the gold clustering — size, gold clusters
+    spanned, purity, wrong intra-cluster pairs; top-20 by wrong pairs
+    with deterministic tie-breaks. Same pred/gold channels as
+    cluster_eval."""
+    from entity_linking_in_biomedical_spark.functions.normalize import norm_key
+    from entity_linking_in_biomedical_spark.operators.evaluation import (
+        cluster_impurity_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = norm_key(F.substring("text", 1, 40))
+    assign = docs.select(
+        "doc_id",
+        F.substring(norm, 1, 8).alias("pred"),
+        fingerprint("text").alias("gold"),
+    )
+    return cluster_impurity_report(assign, "doc_id", "pred", "gold", top_k=20)
+
+
+ORACLE_CLUSTER_IMPURITY = f"""
+with a as (
+  select {_PREFIX8_SQL} as p, {_FP_SQL} as g from documents
+),
+cells as (select p, g, count(*) as c from a group by 1, 2),
+per as (
+  select p, sum(c) as size, count(*) as n_gold_spanned, max(c) as max_cell,
+         sum(c * (c - 1) / 2.0) as good
+  from cells group by p
+)
+select p as pred_cluster,
+       cast(size as bigint) as size,
+       cast(n_gold_spanned as bigint) as n_gold_spanned,
+       round(max_cell * 1.0 / size, 6) as purity,
+       cast(size * (size - 1) / 2.0 - good as bigint) as wrong_pairs
+from per
+where size * (size - 1) / 2.0 - good > 0
+order by wrong_pairs desc, pred_cluster
+limit 20
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -4720,6 +4764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_em_levels": q_fs_em_levels,
         "fs_tf_adjust": q_fs_tf_adjust,
         "review_queue": q_review_queue,
+        "cluster_impurity": q_cluster_impurity,
     }
 
 
@@ -4812,4 +4857,5 @@ def oracle_sql() -> dict[str, str]:
         "fs_em_levels": _oracle_fs_em_levels(),
         "fs_tf_adjust": ORACLE_FS_TF,
         "review_queue": _oracle_review_queue(),
+        "cluster_impurity": ORACLE_CLUSTER_IMPURITY,
     }

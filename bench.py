@@ -346,6 +346,7 @@ def main() -> None:
         "fs_em_levels",
         "fs_tf_adjust",
         "review_queue",
+        "cluster_impurity",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir))
 

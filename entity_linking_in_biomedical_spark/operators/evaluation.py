@@ -210,3 +210,54 @@ def blocking_quality(
             6,
         ).alias("pair_quality"),
     )
+
+
+def cluster_impurity_report(
+    assign: DataFrame,
+    id_col: str = "doc_id",
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+    top_k: int = 20,
+) -> DataFrame:
+    """The debugging artifact behind a bad report card: the predicted
+    clusters that lose the most pairwise precision, i.e. the over-merge
+    offenders. For each pred cluster: its size, how many gold clusters
+    it spans, the purity (largest gold cell / size), and the number of
+    WRONG intra-cluster pairs it contributes (C(size,2) - sum over gold
+    cells of C(cell,2)). Top-k by wrong pairs, deterministic tie-break
+    on the cluster id.
+
+    Same scale shape as the report card: one corpus shuffle to the
+    (pred, gold) cells, then cluster-count-sized aggregation + one
+    window-free ORDER/LIMIT on a top_k-sized result.
+    """
+    a = assign.select(
+        F.coalesce(F.col(pred_col).cast("string"), F.col(id_col).cast("string")).alias(
+            "_p"
+        ),
+        F.coalesce(F.col(gold_col).cast("string"), F.col(id_col).cast("string")).alias(
+            "_g"
+        ),
+    )
+    cells = a.groupBy("_p", "_g").agg(F.count("*").alias("c"))
+    per = cells.groupBy("_p").agg(
+        F.sum("c").cast("bigint").alias("size"),
+        F.count("*").cast("bigint").alias("n_gold_spanned"),
+        F.max("c").cast("bigint").alias("max_cell"),
+        F.sum(_pairs(F.col("c"))).alias("good_pairs"),
+    )
+    wrong = (
+        _pairs(F.col("size").cast("double")) - F.col("good_pairs")
+    ).cast("bigint")
+    return (
+        per.select(
+            F.col("_p").alias("pred_cluster"),
+            "size",
+            "n_gold_spanned",
+            F.round(F.col("max_cell") / F.col("size"), 6).alias("purity"),
+            wrong.alias("wrong_pairs"),
+        )
+        .filter(F.col("wrong_pairs") > 0)
+        .orderBy(F.desc("wrong_pairs"), F.asc("pred_cluster"))
+        .limit(top_k)
+    )

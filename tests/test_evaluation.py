@@ -267,3 +267,24 @@ def test_clerical_review_queue_band_and_determinism(spark):
         pairs.repartition(7), low=0.1, high=0.9, cap=3, order_cols=("pid",)
     ).collect()
     assert [r["pid"] for r in q2] == ["c", "d", "f"]
+
+
+def test_cluster_impurity_report(spark):
+    """Over-merged pred cluster surfaces with the right wrong-pair
+    count; pure clusters are absent."""
+    from entity_linking_in_biomedical_spark.operators.evaluation import (
+        cluster_impurity_report,
+    )
+
+    rows = (
+        [(f"x{i}", "big", "g1") for i in range(3)]
+        + [(f"y{i}", "big", "g2") for i in range(2)]
+        + [("z0", "pure", "g3"), ("z1", "pure", "g3")]
+    )
+    out = cluster_impurity_report(_assign(spark, rows)).collect()
+    assert len(out) == 1  # 'pure' contributes no wrong pairs
+    r = out[0]
+    # big: size 5 -> C(5,2)=10 pairs; good = C(3,2)+C(2,2)=4 -> wrong 6
+    assert r["pred_cluster"] == "big" and r["size"] == 5
+    assert r["n_gold_spanned"] == 2 and r["wrong_pairs"] == 6
+    assert r["purity"] == pytest.approx(3 / 5)
