@@ -232,6 +232,25 @@ def _cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_evaluate(args: argparse.Namespace) -> int:
+    """One JSON line with the report card; optionally the impurity
+    report as parquet — the post-run quality gate a linkage deployment
+    wires into its job DAG."""
+    from .operators.evaluation import cluster_impurity_report, cluster_pair_metrics
+
+    spark = _session(args.master)
+    assign = spark.read.parquet(args.assignments)
+    card = cluster_pair_metrics(
+        assign, args.id_col, args.pred_col, args.gold_col
+    ).collect()[0]
+    if args.impurity_out:
+        cluster_impurity_report(
+            assign, args.id_col, args.pred_col, args.gold_col, top_k=args.top_k
+        ).write.mode("overwrite").parquet(args.impurity_out)
+    print(json.dumps({**card.asDict(), "impurity_out": args.impurity_out}))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="entity_linking_in_biomedical_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -353,6 +372,26 @@ def build_parser() -> argparse.ArgumentParser:
     pre.add_argument("--out", required=True, help="output directory")
     pre.add_argument("--master", help="Spark master (omit under spark-submit)")
     pre.set_defaults(fn=_cmd_preprocess)
+
+    ev = sub.add_parser(
+        "evaluate",
+        help="clustering report card (pair/B-cubed/ARI/NMI) + impurity report",
+    )
+    ev.add_argument(
+        "--assignments",
+        required=True,
+        help="parquet with one row per item: id + pred + gold cluster columns",
+    )
+    ev.add_argument("--id-col", default="doc_id")
+    ev.add_argument("--pred-col", default="pred")
+    ev.add_argument("--gold-col", default="gold")
+    ev.add_argument(
+        "--impurity-out",
+        help="optional parquet for the top-k over-merge offender report",
+    )
+    ev.add_argument("--top-k", type=int, default=20)
+    ev.add_argument("--master", help="Spark master (omit under spark-submit)")
+    ev.set_defaults(fn=_cmd_evaluate)
     return ap
 
 

@@ -320,3 +320,37 @@ def test_cli_link_snapshot_two_rounds(cli_inputs, tmp_path, spark):
     assert set(mc2.columns) == {
         "doc_id", "span_seq", "surface", "norm", "cluster_id",
     }
+
+
+def test_cli_evaluate_report_card(tmp_path):
+    """evaluate: one JSON report-card line + the impurity parquet,
+    agreeing with the operator's documented fixture values."""
+    import duckdb
+    import json as _json
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    assign = tmp_path / "assign.parquet"
+    # gold {a,b,c},{d,e}; pred {a,b},{c,d},{e} — the hand-computed
+    # fixture from test_evaluation.py
+    duckdb.connect().execute(
+        f"""copy (select * from (values
+              ('a','p1','g1'),('b','p1','g1'),('c','p2','g1'),
+              ('d','p2','g2'),('e','p3','g2'))
+              t(doc_id, pred, gold)) to '{assign}' (format parquet)"""
+    )
+    imp = tmp_path / "impurity"
+    r = subprocess.run(
+        [sys.executable, "-m", "entity_linking_in_biomedical_spark", "evaluate",
+         "--assignments", str(assign), "--impurity-out", str(imp),
+         "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    card = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert card["n_items"] == 5 and card["pair_precision"] == 0.5
+    assert card["pair_recall"] == 0.25 and card["ari"] is not None
+    rows = duckdb.connect().execute(
+        f"select * from read_parquet('{imp}/*.parquet') order by pred_cluster"
+    ).fetchall()
+    # p1 is pure; p2 spans g1+g2 (1 wrong pair); p3 singleton
+    assert rows == [("p2", 2, 2, 0.5, 1)]
