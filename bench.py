@@ -111,6 +111,9 @@ def main() -> None:
         "contamination",
         "dup_passages",
         "dedup_passages_apply",
+        "meta_blocking",
+        "review_queue",
+        "fs_em_levels",
     }
 
     # per-query repeat counts recorded in the output JSON so readers can
