@@ -41,14 +41,22 @@ def meta_block_prune(
     """``blocks``: long frame (item id, blocking key), one row per
     membership (duplicates ignored). -> (a_id, b_id, common_blocks)
     with a_id < b_id, CBS-weighted and pruned."""
-    b = blocks.select(
-        F.col(id_col).cast("string").alias("id"), F.col(key_col).alias("bk")
-    ).dropDuplicates(["id", "bk"])
+    # Lazy checkpoints make single evaluation structural (the surf_keys
+    # discipline): without them the self-join's two sides each re-run
+    # the caller's (often expensive) key derivation — e.g. a shingle
+    # explode — and CNP's union re-runs the whole edge aggregation.
+    b = (
+        blocks.select(
+            F.col(id_col).cast("string").alias("id"), F.col(key_col).alias("bk")
+        )
+        .dropDuplicates(["id", "bk"])
+        .localCheckpoint(eager=False)
+    )
     sizes = b.groupBy("bk").agg(F.count("*").alias("n"))
     kept = b.join(
         sizes.filter((F.col("n") >= 2) & (F.col("n") <= max_block)).select("bk"),
         "bk",
-    )
+    ).localCheckpoint(eager=False)
     edges = (
         kept.alias("x")
         .join(kept.alias("y"), "bk")
@@ -59,6 +67,7 @@ def meta_block_prune(
         .filter(F.col("common_blocks") >= min_common)
     )
     if top_k is not None:
+        edges = edges.localCheckpoint(eager=False)
         # CNP: keep each node's top_k heaviest edges (an edge survives
         # if EITHER endpoint retains it — the standard redefined-CNP).
         per = edges.select(
