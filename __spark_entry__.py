@@ -4583,6 +4583,9 @@ def q_review_queue(spark, sf_dir):
             .cast("int")
             .alias("g_name"),
         )
+        # two consumers (EM pattern count + scoring join): materialize
+        # the pair build once instead of running the self-join twice
+        .localCheckpoint(eager=False)
     )
     w = fellegi_sunter_weights(pairs, ["g_seg", "g_bal", "g_name"], iters=15)
     scored = score_pairs(pairs, w, ["g_seg", "g_bal", "g_name"])
