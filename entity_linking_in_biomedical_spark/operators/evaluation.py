@@ -4,11 +4,12 @@ The reference repo evaluates linking quality with per-mention accuracy
 over labeled pairs (reference ``src/train.py`` eval loop; BASELINE's
 north rule asks for pairwise F1 >= 0.99 on labeled mention-entity
 pairs at shared blocking keys). A production ER system additionally
-needs *clustering*-level evaluation — pairwise precision/recall/F1 and
-B-cubed (Bagga & Baldwin 1998; Amigo et al. 2009) — and *blocking*
-evaluation — pair completeness and reduction ratio (Christen 2012,
-"Data Matching", ch. 7). These are the standard report cards a
-record-linkage run emits next to its output.
+needs *clustering*-level evaluation — pairwise precision/recall/F1,
+B-cubed (Bagga & Baldwin 1998; Amigo et al. 2009), ARI (Hubert &
+Arabie 1985) and NMI — *blocking* evaluation — pair completeness and
+reduction ratio (Christen 2012, "Data Matching", ch. 7) — and the
+per-cluster impurity report behind a bad score. These are the standard
+report cards a record-linkage run emits next to its output.
 
 All metrics here are computed from cluster-SIZE aggregates only — the
 candidate/true pair sets are never materialized, so the operators are
