@@ -70,8 +70,14 @@ def em_fit(
         sw = float((ns * w).sum())
         snw = float((ns * (1.0 - w)).sum())
         lam = min(max(sw / float(ns.sum()), EPS), 1.0 - EPS)
-        m = clip((ns * w) @ pats / sw)
-        u = clip((ns * (1.0 - w)) @ pats / snw)
+        # degenerate mixtures (all posterior mass on one side) would
+        # 0/0 the starved side's update into NaN; freeze it instead.
+        # The SQL twins never hit this (their inputs carry both
+        # populations), so replay parity is unaffected.
+        if sw > 0.0:
+            m = clip((ns * w) @ pats / sw)
+        if snw > 0.0:
+            u = clip((ns * (1.0 - w)) @ pats / snw)
     return lam, [float(x) for x in m], [float(x) for x in u]
 
 
@@ -201,8 +207,11 @@ def em_fit_levels(
         snw = float((ns * (1.0 - w)).sum())
         lam = min(max(sw / float(ns.sum()), EPS), 1.0 - EPS)
         for k in range(len(n_levels)):
-            m[k] = np.clip((ns * w) @ onehots[k] / sw, EPS, 1.0 - EPS)
-            u[k] = np.clip((ns * (1.0 - w)) @ onehots[k] / snw, EPS, 1.0 - EPS)
+            # same degenerate-side freeze as the binary em_fit
+            if sw > 0.0:
+                m[k] = np.clip((ns * w) @ onehots[k] / sw, EPS, 1.0 - EPS)
+            if snw > 0.0:
+                u[k] = np.clip((ns * (1.0 - w)) @ onehots[k] / snw, EPS, 1.0 - EPS)
     return lam, [[float(x) for x in v] for v in m], [[float(x) for x in v] for v in u]
 
 

@@ -288,3 +288,18 @@ def test_cluster_impurity_report(spark):
     assert r["pred_cluster"] == "big" and r["size"] == 5
     assert r["n_gold_spanned"] == 2 and r["wrong_pairs"] == 6
     assert r["purity"] == pytest.approx(3 / 5)
+
+
+def test_em_fit_degenerate_single_pattern_no_nan():
+    """A one-pattern table (every pair identical) must not NaN out:
+    the starved side's parameters freeze instead of dividing 0/0."""
+    from entity_linking_in_biomedical_spark.operators.fs_linkage import (
+        em_fit,
+        em_fit_levels,
+    )
+
+    lam, m, u = em_fit([((1, 1), 100)], iters=50)
+    assert all(not math.isnan(x) for x in [lam] + m + u)
+    lam2, m2, u2 = em_fit_levels([((2, 1), 100)], n_levels=[3, 2], iters=50)
+    flat = [lam2] + [x for v in m2 for x in v] + [x for v in u2 for x in v]
+    assert all(not math.isnan(x) for x in flat)
