@@ -340,3 +340,63 @@ def test_meta_block_prune_jaccard_scheme(spark):
     assert ("a", "b") in keys and ("c", "d") not in keys
     with pytest.raises(ValueError):
         meta_block_prune(blocks, scheme="nope")
+
+
+def _pure_card(pairs):
+    """Pure-python twin of cluster_pair_metrics for differential
+    property testing."""
+    from collections import Counter
+
+    n = len(pairs)
+    cells = Counter(pairs)
+    psz = Counter(p for p, _ in pairs)
+    gsz = Counter(g for _, g in pairs)
+    c2 = lambda x: x * (x - 1) / 2  # noqa: E731
+    tp = sum(c2(c) for c in cells.values())
+    pred_pairs = sum(c2(c) for c in psz.values())
+    gold_pairs = sum(c2(c) for c in gsz.values())
+    pp = tp / pred_pairs if pred_pairs else 1.0
+    pr = tp / gold_pairs if gold_pairs else 1.0
+    b3p = sum(c * c / psz[p] for (p, _), c in cells.items()) / n
+    b3r = sum(c * c / gsz[g] for (_, g), c in cells.items()) / n
+    exp = pred_pairs * gold_pairs / c2(n) if n > 1 else 0.0
+    den = (pred_pairs + gold_pairs) / 2 - exp
+    ari = (tp - exp) / den if den else 1.0
+    mi = sum(
+        c / n * math.log(c * n / (psz[p] * gsz[g])) for (p, g), c in cells.items()
+    )
+    hp = -sum(c / n * math.log(c / n) for c in psz.values())
+    hg = -sum(c / n * math.log(c / n) for c in gsz.values())
+    nmi = 2 * mi / (hp + hg) if hp + hg > 0 else 1.0
+    return dict(
+        pair_precision=pp, pair_recall=pr, b3_precision=b3p, b3_recall=b3r,
+        ari=ari, nmi=nmi,
+    )
+
+
+def test_cluster_metrics_differential_random(spark):
+    """Differential property test vs the pure-python twin on seeded
+    random partitions, plus the pred/gold swap symmetry (precision and
+    recall exchange; ARI/NMI invariant)."""
+    import random
+
+    rng = random.Random(3)
+    for trial in range(6):
+        n = rng.randint(2, 40)
+        pairs = [
+            (f"p{rng.randint(0, 5)}", f"g{rng.randint(0, 5)}") for _ in range(n)
+        ]
+        want = _pure_card(pairs)
+        assign = spark.createDataFrame(
+            [(str(i), p, g) for i, (p, g) in enumerate(pairs)],
+            "doc_id string, pred string, gold string",
+        )
+        got = cluster_pair_metrics(assign).collect()[0]
+        for k, v in want.items():
+            assert got[k] == pytest.approx(v, abs=2e-6), (trial, k, pairs)
+        swapped = cluster_pair_metrics(
+            assign.select("doc_id", F.col("gold").alias("pred"), F.col("pred").alias("gold"))
+        ).collect()[0]
+        assert swapped["pair_precision"] == got["pair_recall"]
+        assert swapped["b3_precision"] == got["b3_recall"]
+        assert swapped["ari"] == got["ari"] and swapped["nmi"] == got["nmi"]
