@@ -4064,14 +4064,17 @@ def q_blocking_quality(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     norm = norm_key(F.substring("text", 1, 40))
+    # lazy checkpoints: b feeds sizes + the purge join, kept feeds both
+    # self-join sides — without them the norm-key scan re-runs per
+    # consumer (same single-evaluation discipline as meta_block_prune)
     b = docs.select(
         F.col("doc_id").cast("string").alias("id"),
         F.substring(norm, 1, 8).alias("bk"),
-    )
+    ).localCheckpoint(eager=False)
     sizes = b.groupBy("bk").agg(F.count("*").alias("n"))
     kept = b.join(
         sizes.filter((F.col("n") >= 2) & (F.col("n") <= 50)).select("bk"), "bk"
-    )
+    ).localCheckpoint(eager=False)
     cand = (
         kept.alias("x")
         .join(kept.alias("y"), "bk")
@@ -4099,8 +4102,11 @@ gp as (select sum(n * (n - 1) / 2.0) as gold_pairs
 ni as (select count(*) * 1.0 as n from g),
 mt as (
   select count(*) * 1.0 as cand_pairs,
-         sum(case when ga.gold = gb.gold then 1.0 else 0.0 end) as true_cand
-  from cand join g ga on cand.a_id = ga.id join g gb on cand.b_id = gb.id
+         coalesce(sum(case when ga.gold = gb.gold then 1.0 else 0.0 end),
+                  0.0) as true_cand
+  from cand
+  left join g ga on cand.a_id = ga.id
+  left join g gb on cand.b_id = gb.id
 )
 select cast(cand_pairs as bigint) as cand_pairs,
        cast(gold_pairs as bigint) as gold_pairs,
@@ -4117,17 +4123,20 @@ def q_meta_blocking(spark, sf_dir):
     """Meta-blocking (operators/meta_blocking.meta_block_prune):
     CBS-weighted candidate graph from redundant 8-token-window shingle
     blocks, with block purging, weight pruning (>=2 shared blocks) and
-    top-3 cardinality-node pruning. Sub-group boilerplate is planted
+    top-3 cardinality-node pruning. Pair-group boilerplate is planted
     into every 9th document with its marker token interleaved every 4
-    tokens so each 8-token window carries the sub-group key — planted
-    docs share >=6 blocks within their (doc_id % 45) sub-group at any
-    sf without ever forming one corpus-wide mega-block."""
+    tokens so each 8-token window carries the pair key — adjacent
+    multiples of 9 (floor(doc_id / 18)) share >=6 blocks. The pair
+    groups have exactly TWO members at ANY scale factor, so the planted
+    signal can neither exceed the block purge cap (a doc_id % K
+    sub-group would, once n_docs/K > max_block) nor go vacuous at
+    small sf."""
     from entity_linking_in_biomedical_spark.operators.meta_blocking import (
         meta_block_prune,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sub = F.concat(F.lit("m"), (F.col("doc_id") % 45).cast("string"))
+    sub = F.concat(F.lit("m"), F.floor(F.col("doc_id") / 18).cast("string"))
     tail = F.concat_ws(
         " ",
         F.lit(""),
@@ -4172,7 +4181,7 @@ def _oracle_meta_blocking() -> str:
     return f"""
 with p0 as (
   select cast(doc_id as varchar) as doc_id, text,
-         'm' || cast(doc_id % 45 as varchar) as s
+         'm' || cast(doc_id // 18 as varchar) as s
   from documents
 ),
 p as (

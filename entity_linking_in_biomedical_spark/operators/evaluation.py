@@ -33,8 +33,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _singleton(id_col: str):
+    # NULL-cluster fallback lives in its own namespace: coalescing to
+    # the bare item id would merge a NULL-pred item whose id string
+    # equals a real cluster id into that cluster.
+    return F.concat(F.lit("\x00singleton:"), F.col(id_col).cast("string"))
+
+
 def _pairs(n):
-    return (n * (n - F.lit(1)) / F.lit(2)).cast("double")
+    # cast BEFORE the multiply: n*(n-1) in bigint wraps negative for
+    # clusters above ~3e9 members (doubles lose exactness only past
+    # 2^53 pairs, far beyond any meaningful metric)
+    nd = n.cast("double")
+    return nd * (nd - F.lit(1.0)) / F.lit(2.0)
 
 
 def cluster_pair_metrics(
@@ -48,7 +59,8 @@ def cluster_pair_metrics(
 
     ``assign``: one row per item with its predicted and gold cluster
     ids. Items must appear exactly once (enforce upstream); NULL
-    cluster ids are treated as singletons via coalesce to the item id.
+    cluster ids are treated as singletons (namespaced by the item id so
+    they can never collide with a real cluster id).
 
     -> (n_items, n_pred, n_gold, pair_precision, pair_recall, pair_f1,
         b3_precision, b3_recall, b3_f1, ari, nmi), doubles rounded to 6.
@@ -61,12 +73,12 @@ def cluster_pair_metrics(
     """
     a = assign.select(
         F.col(id_col).cast("string").alias("_id"),
-        F.coalesce(F.col(pred_col).cast("string"), F.col(id_col).cast("string")).alias(
-            "_p"
-        ),
-        F.coalesce(F.col(gold_col).cast("string"), F.col(id_col).cast("string")).alias(
-            "_g"
-        ),
+        F.coalesce(
+            F.col(pred_col).cast("string"), _singleton(id_col)
+        ).alias("_p"),
+        F.coalesce(
+            F.col(gold_col).cast("string"), _singleton(id_col)
+        ).alias("_g"),
     )
     # ONE corpus-wide shuffle (to the (pred, gold) cells); cluster sizes
     # are re-aggregated from the cells frame, which is cluster-count-
@@ -94,8 +106,14 @@ def cluster_pair_metrics(
         # clusters via the size frames below instead.
         F.sum(F.col("c") * F.col("c") / F.col("p_n")).alias("b3p_num"),
         F.sum(F.col("c") * F.col("c") / F.col("g_n")).alias("b3r_num"),
+        # p_n * g_n as double: the bigint product wraps past ~3e9-member
+        # clusters (same overflow class as _pairs)
         F.sum(
-            F.col("c") * F.log(F.col("c") / (F.col("p_n") * F.col("g_n")))
+            F.col("c")
+            * F.log(
+                F.col("c")
+                / (F.col("p_n").cast("double") * F.col("g_n").cast("double"))
+            )
         ).alias("mi_s1"),
     )
     pred_pairs = psz.agg(
@@ -170,9 +188,9 @@ def blocking_quality(
     """
     g = assign.select(
         F.col(id_col).cast("string").alias("_id"),
-        F.coalesce(F.col(gold_col).cast("string"), F.col(id_col).cast("string")).alias(
-            "_g"
-        ),
+        F.coalesce(
+            F.col(gold_col).cast("string"), _singleton(id_col)
+        ).alias("_g"),
     )
     n_items = g.agg(F.count("*").cast("double").alias("n")).select(
         "n", _pairs(F.col("n")).alias("all_pairs")
@@ -185,12 +203,22 @@ def blocking_quality(
     cp = cand_pairs.select(
         F.col(a_col).cast("string").alias("_a"), F.col(b_col).cast("string").alias("_b")
     )
+    # LEFT joins so candidate pairs with an endpoint absent from the
+    # assignment table still count toward cand_pairs/reduction_ratio
+    # (they just can't be true matches); coalesce so an empty candidate
+    # set reports completeness 0.0, not NULL.
     matched = (
-        cp.join(g.select(F.col("_id").alias("_a"), F.col("_g").alias("_ga")), "_a")
-        .join(g.select(F.col("_id").alias("_b"), F.col("_g").alias("_gb")), "_b")
+        cp.join(
+            g.select(F.col("_id").alias("_a"), F.col("_g").alias("_ga")), "_a", "left"
+        )
+        .join(
+            g.select(F.col("_id").alias("_b"), F.col("_g").alias("_gb")), "_b", "left"
+        )
         .agg(
             F.count("*").cast("double").alias("cand_pairs"),
-            F.sum((F.col("_ga") == F.col("_gb")).cast("double")).alias("true_cand"),
+            F.coalesce(
+                F.sum((F.col("_ga") == F.col("_gb")).cast("double")), F.lit(0.0)
+            ).alias("true_cand"),
         )
     )
     out = matched.crossJoin(gold_pairs).crossJoin(n_items)
@@ -233,12 +261,12 @@ def cluster_impurity_report(
     window-free ORDER/LIMIT on a top_k-sized result.
     """
     a = assign.select(
-        F.coalesce(F.col(pred_col).cast("string"), F.col(id_col).cast("string")).alias(
-            "_p"
-        ),
-        F.coalesce(F.col(gold_col).cast("string"), F.col(id_col).cast("string")).alias(
-            "_g"
-        ),
+        F.coalesce(
+            F.col(pred_col).cast("string"), _singleton(id_col)
+        ).alias("_p"),
+        F.coalesce(
+            F.col(gold_col).cast("string"), _singleton(id_col)
+        ).alias("_g"),
     )
     cells = a.groupBy("_p", "_g").agg(F.count("*").alias("c"))
     per = cells.groupBy("_p").agg(

@@ -55,6 +55,11 @@ def em_fit(
     [EPS, 1-EPS] so degenerate fields cannot produce 0/0."""
     import numpy as np
 
+    if not pattern_counts:
+        raise ValueError(
+            "empty pattern table: the candidate-pair frame has no rows, "
+            "so there is nothing to fit (check the blocking stage)"
+        )
     pats = np.array([p for p, _ in pattern_counts], dtype=np.float64)
     ns = np.array([c for _, c in pattern_counts], dtype=np.float64)
     k = pats.shape[1]
@@ -109,9 +114,16 @@ def fellegi_sunter_weights(
     table = sorted(
         (tuple(int(r[c]) for c in agreement_cols), int(r["n_pairs"])) for r in rows
     )
-    lam, m, u = em_fit(table, iters, init_lambda, init_m, init_u)
-
     spark = SparkSession.getActiveSession()
+    schema_empty = (
+        ", ".join(f"{c} int" for c in agreement_cols)
+        + ", n_pairs bigint, match_weight double, match_prob double"
+    )
+    if not table:
+        # empty candidate-pair frame: nothing to fit — return an empty
+        # calibration table (score_pairs left-joins it to NULL scores)
+        return spark.createDataFrame([], schema_empty)
+    lam, m, u = em_fit(table, iters, init_lambda, init_m, init_u)
     out_rows = []
     for pat, n in table:
         pm = 1.0
@@ -185,6 +197,11 @@ def em_fit_levels(
     least/greatest."""
     import numpy as np
 
+    if not pattern_counts:
+        raise ValueError(
+            "empty pattern table: the candidate-pair frame has no rows, "
+            "so there is nothing to fit (check the blocking stage)"
+        )
     pats = [p for p, _ in pattern_counts]
     ns = np.array([c for _, c in pattern_counts], dtype=np.float64)
     m0, u0 = _init_levels(n_levels)
@@ -238,9 +255,15 @@ def fellegi_sunter_weights_levels(
     table = sorted(
         (tuple(int(r[c]) for c in level_cols), int(r["n_pairs"])) for r in rows
     )
-    lam, m, u = em_fit_levels(table, n_levels, iters, init_lambda)
-
     spark = SparkSession.getActiveSession()
+    schema_empty = (
+        ", ".join(f"{c} int" for c in level_cols)
+        + ", n_pairs bigint, match_weight double, match_prob double"
+    )
+    if not table:
+        # same empty-input contract as the binary form
+        return spark.createDataFrame([], schema_empty)
+    lam, m, u = em_fit_levels(table, n_levels, iters, init_lambda)
     out_rows = []
     for pat, n in table:
         pm = 1.0

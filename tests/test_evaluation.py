@@ -400,3 +400,48 @@ def test_cluster_metrics_differential_random(spark):
         assert swapped["pair_precision"] == got["pair_recall"]
         assert swapped["b3_precision"] == got["b3_recall"]
         assert swapped["ari"] == got["ari"] and swapped["nmi"] == got["nmi"]
+
+
+def test_fs_weights_empty_pairs_and_blocking_quality_missing_endpoints(spark):
+    """Review-hardening contracts: an empty candidate frame returns an
+    empty calibration table (and em_fit raises a clean ValueError);
+    blocking_quality counts candidate pairs with endpoints missing from
+    the assignment table (left joins) and reports 0.0 completeness on
+    an empty candidate set, never NULL."""
+    from entity_linking_in_biomedical_spark.operators.fs_linkage import (
+        fellegi_sunter_weights,
+        fellegi_sunter_weights_levels,
+    )
+
+    empty = spark.createDataFrame([], "g1 int, g2 int")
+    assert fellegi_sunter_weights(empty, ["g1", "g2"]).count() == 0
+    assert (
+        fellegi_sunter_weights_levels(empty, ["g1", "g2"], n_levels=[2, 2]).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="empty pattern table"):
+        em_fit([])
+
+    assign = spark.createDataFrame(
+        [("a", "g1"), ("b", "g1")], "doc_id string, gold string"
+    )
+    # (a, zzz): endpoint zzz unlabeled -> still a candidate pair
+    cand = spark.createDataFrame(
+        [("a", "b"), ("a", "zzz")], "a_id string, b_id string"
+    )
+    r = blocking_quality(cand, assign, "doc_id", "gold").collect()[0]
+    assert r["cand_pairs"] == 2  # not silently dropped to 1
+    assert r["pair_quality"] == pytest.approx(1 / 2)
+    r0 = blocking_quality(
+        spark.createDataFrame([], "a_id string, b_id string"), assign
+    ).collect()[0]
+    assert r0["pair_completeness"] == 0.0 and r0["pair_quality"] == 0.0
+
+
+def test_cluster_metrics_null_id_namespace_no_collision(spark):
+    """A NULL-pred item whose id equals a real cluster id must stay a
+    singleton, not merge into that cluster."""
+    # item id '42' with NULL pred, while a real cluster id '42' exists
+    rows = [("a", "42", "g1"), ("b", "42", "g1"), ("42", None, "g1")]
+    r = cluster_pair_metrics(_assign(spark, rows)).collect()[0]
+    assert r["n_pred"] == 2  # cluster '42' (a,b) + the NULL singleton
