@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import Column, functions as F
+from ..session import barrier_level
 
 # universal-hash family over the 60-bit gram hash
 MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne); a*h' < 2^59 — no overflow
@@ -143,9 +144,7 @@ def with_band_keys(df, grams: Column, num_hashes: int, bands: int, out: str = "b
     then derive band keys from the materialized attribute. Returns df
     with ``out`` = exploded band key."""
     rows = num_hashes // bands
-    sigged = df.withColumn("_sig", minhash_signature(grams, num_hashes)).localCheckpoint(
-        eager=False
-    )
+    sigged = df.withColumn("_sig", minhash_signature(grams, num_hashes)).localCheckpoint(eager=False, storageLevel=barrier_level())
     return sigged.withColumn(out, F.explode(lsh_band_keys(F.col("_sig"), bands, rows))).drop(
         "_sig"
     )

@@ -49,6 +49,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.ngrams import char_ngrams_multi, lsh_band_keys, minhash_signature
 from ..functions.normalize import norm_key
+from ..session import barrier_level
 
 
 def entity_names(entities: DataFrame) -> DataFrame:
@@ -191,7 +192,7 @@ def surface_blocking_keys(
                 del2_max_len, word_num_hashes,
             )
         ),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=barrier_level())
 
 
 def blocking_skew_bound(
@@ -293,7 +294,7 @@ def block_candidates(
                     del2_max_len, word_num_hashes,
                 )
             ),
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False, storageLevel=barrier_level())
 
     m_keys = (
         surface_keys

@@ -40,6 +40,7 @@ import re
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.text_metrics import tokens
+from ..session import barrier_level
 
 _SYMBOL_RE = re.compile(r"^[a-z0-9]+$")
 
@@ -110,7 +111,7 @@ def bpe_fit(
     words = (
         word_freq(docs, text_col)
         .select("freq", _padded_chars(F.col("word")).alias("seq"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=barrier_level())
     )
     out: list[tuple[int, str, str, int]] = []
     for rank in range(1, merges + 1):
@@ -133,7 +134,7 @@ def bpe_fit(
         # projection over materialized blocks
         words = words.select(
             "freq", apply_merge(F.col("seq"), a, b).alias("seq")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False, storageLevel=barrier_level())
     return out
 
 

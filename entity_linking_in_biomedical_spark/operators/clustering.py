@@ -25,6 +25,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from ..session import barrier_level
 
 
 def _canon(e: DataFrame) -> DataFrame:
@@ -117,11 +118,11 @@ def connected_components(
         raise ValueError(f"digest_every must be >= 1, got {digest_every}")
     # lazy checkpoints: the digest action materializes the iteration's
     # edge set AND computes the convergence digest in one job
-    e = _canon(edges).localCheckpoint(eager=False)
+    e = _canon(edges).localCheckpoint(eager=False, storageLevel=barrier_level())
     prev = None
     iters = 0
     for iters in range(1, max_iter + 1):
-        e = _canon(_small_star(_large_star(e))).localCheckpoint(eager=False)
+        e = _canon(_small_star(_large_star(e))).localCheckpoint(eager=False, storageLevel=barrier_level())
         if iters % digest_every != 0 and iters != max_iter:
             continue
         d = _digest(e)
@@ -193,7 +194,7 @@ def merge_into_clusters(
     # materialized once (lazy localCheckpoint) for its three consumers.
     hit = (
         assignments.join(F.broadcast(probe), "node", "left_semi")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=barrier_level())
     )
     hit_nodes = hit.select("node")
     rep = ends.join(F.broadcast(hit), "node", "left").select(

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.ngrams import lsh_band_keys, minhash_signature, with_band_keys
 from ..functions.text_metrics import fingerprint, simhash64, tokens
+from ..session import barrier_level
 
 # Shared LSH parameters for minhash_near_duplicates — the DuckDB oracle
 # (__spark_entry__._oracle_minhash_dedup) MUST band identically, or it
@@ -115,11 +116,11 @@ def minhash_near_duplicates(
     otherwise produce O(n^2) pairs.
     Returns (a_id, b_id, jaccard) with a_id < b_id, deduped across bands.
     """
-    sh = _shingled(docs, id_col, text_col, shingle_k).localCheckpoint(eager=False)
+    sh = _shingled(docs, id_col, text_col, shingle_k).localCheckpoint(eager=False, storageLevel=barrier_level())
     banded = (
         with_band_keys(sh, F.col("shingles"), num_hashes, bands)
         .select("doc_id", "bk")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=barrier_level())
     )
     banded = _drop_big_buckets(banded, "bk", max_bucket)
     # id-only pair join + dedup FIRST; the shingle arrays re-attach
@@ -171,7 +172,7 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     t = jaccard_threshold
-    sh = _shingled(docs, id_col, text_col, shingle_k).localCheckpoint(eager=False)
+    sh = _shingled(docs, id_col, text_col, shingle_k).localCheckpoint(eager=False, storageLevel=barrier_level())
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))
     inv = sh.select("doc_id", F.explode("shingles").alias("g"))
     dfreq = inv.groupBy("g").agg(F.count("*").alias("df"))
@@ -248,7 +249,7 @@ def simhash_near_duplicates(
     # projection collapse would re-evaluate the aggregate per reference
     h = docs.select(
         F.col(id_col).cast("string").alias("doc_id"), simhash64(text_col).alias("sh")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=barrier_level())
     blocked = h.select(
         "doc_id",
         "sh",
@@ -265,7 +266,7 @@ def simhash_near_duplicates(
                 ]
             )
         ).alias("blk"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=barrier_level())
     blocked = _drop_big_buckets(blocked, "blk", max_bucket)
     pairs = (
         blocked.alias("x")
@@ -311,11 +312,11 @@ def embedding_near_duplicates(
 
     base = embeddings.select(
         F.col(id_col).cast("string").alias("vec_id"), F.col(vec_col).alias("v")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=barrier_level())
     b = base.select(
         "vec_id",
         F.explode(srp_table_keys_udf(F.col("v"), n_tables, bits)).alias("bkt"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=barrier_level())
     b = _drop_big_buckets(b, "bkt", max_bucket)
     pairs = (
         b.alias("x")
@@ -374,7 +375,7 @@ def remove_duplicate_passages(
     toks_e = tokens(text_col)
     base = docs.select(
         F.col(id_col).cast("string").alias("doc_id"), toks_e.alias("toks")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=barrier_level())
     n = F.size("toks")
     windows = F.when(
         n >= k,
@@ -471,7 +472,7 @@ def duplicate_passage_stats(
     base = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
         let_bound(tokens(text_col), _windows).alias("ws"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=barrier_level())
     wdf = base.select("doc_id", F.posexplode("ws").alias("pos", "w"))
     dup_w = (
         wdf.groupBy("w").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)

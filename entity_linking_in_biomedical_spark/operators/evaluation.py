@@ -31,6 +31,7 @@ No pair explosion anywhere.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..session import barrier_level
 
 
 def _singleton(id_col: str):
@@ -90,7 +91,7 @@ def cluster_pair_metrics(
     cells = (
         a.groupBy("_p", "_g")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=barrier_level())
     )
     psz = cells.groupBy("_p").agg(F.sum("c").alias("p_n"))
     gsz = cells.groupBy("_g").agg(F.sum("c").alias("g_n"))

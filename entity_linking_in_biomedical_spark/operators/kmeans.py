@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.vectors import _dbl, dot_product
 from .classifier import _round9
+from ..session import barrier_level
 
 
 def _self_dot(cent: list[float]) -> float:
@@ -76,9 +77,7 @@ def kmeans_fit(
     :func:`kmeans_score` as plan literals)."""
     if k < 1 or iters < 1:
         raise ValueError(f"k and iters must be >= 1, got k={k} iters={iters}")
-    base = df.select(F.col(id_col), _dbl(vec_col).alias("__v")).localCheckpoint(
-        eager=False
-    )
+    base = df.select(F.col(id_col), _dbl(vec_col).alias("__v")).localCheckpoint(eager=False, storageLevel=barrier_level())
     init_rows = base.orderBy(id_col).limit(k).collect()
     centroids = [[float(x) for x in r["__v"]] for r in init_rows]
     if not centroids:

@@ -16,6 +16,7 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
+from ..session import barrier_level
 
 MEDIA_FEATURES_SCHEMA = (
     "doc_id string, span_seq int, media_ref string, "
@@ -242,7 +243,7 @@ def dedup_media_batch(batch: DataFrame, index: DataFrame) -> DataFrame:
     anti-join remainder (fresh refs); both fold back to one
     drop-position array per affected doc and the rewrite is the shared
     row-local filter."""
-    media = _media_spans(batch).localCheckpoint(eager=False)
+    media = _media_spans(batch).localCheckpoint(eager=False, storageLevel=barrier_level())
     # prune the corpus-sized index to the batch's refs first (broadcast
     # semi-join = map-side index scan, snapshot-sized result), then run
     # both membership tests against the broadcast pruned set — the
@@ -257,7 +258,7 @@ def dedup_media_batch(batch: DataFrame, index: DataFrame) -> DataFrame:
             "__iref",
             "left_semi",
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=barrier_level())
     )
     on = media["s.media_ref"] == F.col("__iref")
     indexed = media.join(F.broadcast(iref), on, "semi").select("doc_id", "pos")

@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text_metrics import quality_score
+from ..session import barrier_level
 
 
 @dataclass
@@ -72,7 +73,7 @@ def curate_corpus(
     funnel: list[tuple[str, int]] = [("input", cur.count())]
 
     def gate(name: str, frame: DataFrame) -> DataFrame:
-        frame = frame.localCheckpoint(eager=False)
+        frame = frame.localCheckpoint(eager=False, storageLevel=barrier_level())
         funnel.append((name, frame.count()))
         return frame
 
@@ -268,7 +269,7 @@ def curate_interleaved(
     media_spans = None
     if media_dedup:
         before = docs.select(F.sum(F.size(spans_col))).first()[0] or 0
-        cur = drop_duplicate_media(cur).localCheckpoint(eager=False)
+        cur = drop_duplicate_media(cur).localCheckpoint(eager=False, storageLevel=barrier_level())
         after = cur.select(F.sum(F.size(spans_col))).first()[0] or 0
         media_spans = (int(before), int(after))
 

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..operators.mentions import _sweep
 from ..sources.context_files import write_context, write_mention_txt
 from ..sources.pubtator import read_pubtator
+from ..session import barrier_level
 
 # words/numbers keep internal dots ("0.06", "p.Tyr263Cys"); any other
 # non-space char is its own token — matches the shipped corpus style
@@ -178,7 +179,7 @@ def pubtator_to_context(
 
     res = docs.select(
         "doc_id", _udf("spans", "mention_cuis").alias("r")
-    ).localCheckpoint(eager=False)  # two sinks below: compute the UDF once
+    ).localCheckpoint(eager=False, storageLevel=barrier_level())  # two sinks below: compute the UDF once
     ctx = res.select("doc_id", F.explode("r.blocks").alias("b")).select(
         "doc_id",
         F.col("b.sent_seq").alias("sent_seq"),

@@ -25,6 +25,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from ..session import barrier_level
 
 
 def stage_signature(
@@ -165,7 +166,7 @@ class StageStore:
             # downstream action materializes it; an eager checkpoint +
             # count here would add two extra jobs per stage (driver-side
             # fixed cost that caps scaling efficiency)
-            out = df.localCheckpoint(eager=False)
+            out = df.localCheckpoint(eager=False, storageLevel=barrier_level())
             if record_metrics:
                 self.metrics.append(
                     {"stage": stage, "rows": None, "partitions": None}

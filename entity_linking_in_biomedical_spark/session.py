@@ -11,6 +11,41 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.storagelevel import StorageLevel
+
+# ---- engine-wide barrier storage policy ------------------------------------
+# Every operator's materialization barrier (localCheckpoint) stores its
+# blocks at this level. Default is serialized + lz4 (MEMORY_AND_DISK is
+# PySpark's serialized variant; spark.rdd.compress below turns on lz4
+# for serialized blocks): barrier blocks are written once and re-read
+# by every consumer stage, so their format is pure memory-bandwidth
+# load, and serialized+compressed trades linearly-scaling CPU for
+# non-scaling DRAM bandwidth — the same call Spark SQL's own cache
+# makes (compressed columnar batches). Measured on this host
+# (BENCH/ab_barrier_level.json, interleaved A/B at 20k docs in a
+# bandwidth-starved window): serialized won all three rounds, min-of-3
+# 6.5% on the full ER pipeline, with a 14.5x smaller block footprint
+# on long-typed data. EL_SPARK_BARRIER_LEVEL=deser restores the
+# deserialized default; =disk spills barriers entirely (memory-starved
+# executors).
+_BARRIER_LEVELS: dict[str, StorageLevel | None] = {
+    "ser": StorageLevel.MEMORY_AND_DISK,
+    "deser": None,  # pyspark default: MEMORY_AND_DISK_DESER
+    "disk": StorageLevel.DISK_ONLY,
+}
+
+
+def barrier_level() -> StorageLevel | None:
+    """Storage level for lineage barriers, selected by
+    EL_SPARK_BARRIER_LEVEL (ser | deser | disk; default ser)."""
+    name = os.environ.get("EL_SPARK_BARRIER_LEVEL", "ser")
+    try:
+        return _BARRIER_LEVELS[name]
+    except KeyError:
+        raise ValueError(
+            f"EL_SPARK_BARRIER_LEVEL={name!r}: expected one of "
+            f"{sorted(_BARRIER_LEVELS)}"
+        ) from None
 
 
 def get_spark(
@@ -41,6 +76,11 @@ def get_spark(
         # Arrow on for every pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # lz4 for serialized storage blocks — the barrier policy above
+        # stores barriers serialized, and compressed blocks halve the
+        # DRAM traffic their re-reads cost (no effect on deserialized
+        # storage or on shuffle, which compresses independently).
+        .config("spark.rdd.compress", "true")
         # Deterministic timestamps in tests / oracle comparisons.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
