@@ -1037,6 +1037,56 @@ from (select {expr} as bk, count(*) as n from documents group by 1)
     return " union all ".join(parts) + " order by channel"
 
 
+def q_snb_blocking(spark, sf_dir):
+    """Multi-pass sorted-neighborhood blocking (operators/snb.py,
+    Hernández-Stolfo): rank all docs by a normalized 40-char prefix
+    key (pass 1) and by its reversal (pass 2), pair everything within
+    a window of 4 ranks, canonicalize, and record which passes found
+    each pair. The Spark side ranks with the distributed two-level
+    prefix sum over a sampled range exchange; the oracle replays the
+    NAIVE textbook form (one global row_number) — agreement proves
+    the distributed rank is exactly the global sort rank."""
+    from entity_linking_in_biomedical_spark.functions.normalize import norm_key
+    from entity_linking_in_biomedical_spark.operators.snb import (
+        multipass_sorted_neighborhood,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    key = norm_key(F.substring("text", 1, 40))
+    out = multipass_sorted_neighborhood(
+        docs,
+        "doc_id",
+        {"prefix": key, "reversed": F.reverse(key)},
+        window=4,
+    )
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "passes",
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_SNB_BLOCKING = f"""
+with k1 as (
+  select doc_id as id, {_NORM40_SQL} as k from documents
+  where {_NORM40_SQL} is not null and {_NORM40_SQL} <> ''
+),
+fwd as (select id, k, row_number() over (order by k, id) - 1 as rnk from k1),
+rev as (select id, row_number() over (order by reverse(k), id) - 1 as rnk from k1),
+p as (
+  select a.id as ia, b.id as ib, 'prefix' as pass
+  from fwd a join fwd b on b.rnk - a.rnk between 1 and 3
+  union all
+  select a.id, b.id, 'reversed'
+  from rev a join rev b on b.rnk - a.rnk between 1 and 3
+)
+select cast(least(ia, ib) as bigint) as id_a,
+       cast(greatest(ia, ib) as bigint) as id_b,
+       string_agg(distinct pass, ',' order by pass) as passes
+from p group by 1, 2 order by 1, 2
+"""
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Snapshot diff (operators/diffing.diff_snapshots): added /
     removed / changed ids between the documents table and a second
@@ -4722,6 +4772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clusters_cc": q_doc_clusters_cc,
         "cluster_sizes": q_cluster_sizes,
         "blocking_stats": q_blocking_stats,
+        "snb_blocking": q_snb_blocking,
         "snapshot_diff": q_snapshot_diff,
         "cc_incremental": q_cc_incremental,
         "lang_id": q_lang_id,
@@ -4812,6 +4863,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_clusters_cc": _oracle_doc_clusters(),
         "cluster_sizes": _oracle_cluster_sizes(),
         "blocking_stats": _oracle_blocking_stats(),
+        "snb_blocking": ORACLE_SNB_BLOCKING,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "cc_incremental": ORACLE_CC_INCREMENTAL,
         "lang_id": ORACLE_LANG_ID,

@@ -341,6 +341,7 @@ def main() -> None:
         "event_funnel",
         "cluster_sizes",
         "blocking_stats",
+        "snb_blocking",
         "snapshot_diff",
         "cluster_eval",
         "blocking_quality",
