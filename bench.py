@@ -119,6 +119,11 @@ def main() -> None:
     # per-query repeat counts recorded in the output JSON so readers can
     # tell which entries are min-of-K (noise-resistant) vs single-draw
     repeats_map: dict[str, int] = {}
+    # one failing suite query must not lose the whole draw: the driver
+    # records only this process's single JSON line, so failures are
+    # captured per-query and the run continues (errors key emitted only
+    # when non-empty; the failed query is simply absent from `queries`)
+    errors: dict[str, str] = {}
 
     def run(name: str, thunk) -> None:
         best = None
@@ -126,7 +131,12 @@ def main() -> None:
         repeats_map[name] = k
         for _ in range(k):
             t0 = time.time()
-            force(thunk())
+            try:
+                force(thunk())
+            except Exception as e:  # noqa: BLE001 — record and move on
+                errors[name] = repr(e)[:500]
+                print(f"  {name}: FAILED {e!r}", file=sys.stderr)
+                return
             sec = time.time() - t0
             best = sec if best is None else min(best, sec)
         timings[name] = round(best, 3)
@@ -381,6 +391,7 @@ def main() -> None:
                 "preprocess_corpus_docs": n_pre,
                 "bench_repeats": repeats,
                 "repeats": repeats_map,
+                **({"errors": errors} if errors else {}),
                 **host_probe,
                 "probe_membw_gbps_post": membw_post,
             }
