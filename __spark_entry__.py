@@ -2331,7 +2331,13 @@ def q_kmeans_clusters(spark, sf_dir):
     return kmeans_assign(emb, k=8, iters=2).orderBy("vec_id")
 
 
-def _oracle_kmeans_clusters(k: int = 8, iters: int = 2) -> str:
+def _kmeans_ctes(k: int, iters: int, source: str = "embeddings") -> str:
+    """The unrolled-Lloyd CTE chain shared by the kmeans / semantic-dedup
+    twins: ``e`` (doubles view of ``source``) -> ``cl0`` (first-k-by-id
+    init) -> (a{i}, s{i}/cl{i})* -> ``afinal`` (vec_id, c). ``source``
+    is any relation visible in the enclosing WITH with (vec_id,
+    embedding) columns."""
+
     # score(x, c) = c.c - 2 x.c (x.x constant per row); argmin by
     # (score, cluster id) — identical tie-break to the struct array_min
     def a_cte(name: str, cl: str) -> str:
@@ -2362,7 +2368,7 @@ def _oracle_kmeans_clusters(k: int = 8, iters: int = 2) -> str:
 
     ctes = [
         "e as (select vec_id, list_transform(embedding, x -> cast(x as double))"
-        " as v from embeddings)",
+        f" as v from {source})",
         f"""cl0 as (
   select row_number() over (order by vec_id) - 1 as c, v as cv
   from (select * from e order by vec_id limit {k}))""",
@@ -2371,10 +2377,71 @@ def _oracle_kmeans_clusters(k: int = 8, iters: int = 2) -> str:
         ctes.append(a_cte(f"a{i + 1}", f"cl{i}"))
         ctes.append(m_cte(f"s{i + 1}", f"a{i + 1}", f"cl{i}", f"cl{i + 1}"))
     ctes.append(a_cte("afinal", f"cl{iters}"))
-    joined = ",\n".join(ctes)
+    return ",\n".join(ctes)
+
+
+def _oracle_kmeans_clusters(k: int = 8, iters: int = 2) -> str:
     return f"""
-with {joined}
+with {_kmeans_ctes(k, iters)}
 select vec_id, cast(c as int) as cluster from afinal order by vec_id
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (operators/dedup.semantic_dedup): k-means blocking +
+    intra-cluster cosine prune, keep-lowest-id. The driver embeddings
+    are isotropic (no organic pairs at cosine >= 0.9), so the query
+    plants exact copies of vectors 0..9 at vec_id + max(vec_id)+1 —
+    identical vectors get the identical plan-literal k-means assignment
+    (same cluster, guaranteed comparable) and the planted rows must
+    come back kept=0. The DuckDB twin replays the same augmentation,
+    the identical unrolled Lloyd iterations (shared _kmeans_ctes), and
+    the same intra-cluster prune rule — full value check over every
+    row's (cluster, kept)."""
+    from entity_linking_in_biomedical_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    off = emb.agg(F.max("vec_id") + 1).first()[0]
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding"
+    )
+    return semantic_dedup(
+        emb.unionByName(planted), k=8, iters=2, cosine_threshold=0.9
+    ).orderBy("vec_id")
+
+
+def _oracle_semantic_dedup(k: int = 8, iters: int = 2, tau: float = 0.9) -> str:
+    # cosine mirrors functions/vectors.cosine_sim exactly: denom =
+    # sqrt(a.a) * sqrt(b.b) first, dot/denom guarded by denom > 0 —
+    # the IEEE-identical association the embedding_dedup twin already
+    # certifies bit-for-bit against the Spark kernel.
+    cos = (
+        "case when sqrt(list_dot_product(ea.v, ea.v))"
+        " * sqrt(list_dot_product(eb.v, eb.v)) > 0"
+        " then list_dot_product(ea.v, eb.v)"
+        " / (sqrt(list_dot_product(ea.v, ea.v))"
+        " * sqrt(list_dot_product(eb.v, eb.v)))"
+        " else 0.0 end"
+    )
+    return f"""
+with aug as (
+  select vec_id, embedding from embeddings
+  union all
+  select vec_id + (select max(vec_id) + 1 from embeddings) as vec_id, embedding
+  from embeddings where vec_id < 10
+),
+{_kmeans_ctes(k, iters, source="aug")},
+dups as (
+  select distinct b.vec_id
+  from afinal a join afinal b on a.c = b.c and a.vec_id < b.vec_id
+  join e ea on ea.vec_id = a.vec_id
+  join e eb on eb.vec_id = b.vec_id
+  where {cos} >= {tau}
+)
+select f.vec_id, cast(f.c as int) as cluster,
+       cast(case when d.vec_id is null then 1 else 0 end as int) as kept
+from afinal f left join dups d using (vec_id)
+order by f.vec_id
 """
 
 
@@ -3379,6 +3446,43 @@ select cast(seq_id as bigint) as seq_id, doc_id,
   cast(least(o + L, (seq_id + 1) * 256) - greatest(o, seq_id * 256) as bigint)
     as frag_len
 from frag order by seq_id, doc_id
+"""
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Per-document sliding-window chunking (operators/packing.py::
+    chunk_documents) at chunk=32 / stride=24 (8-token overlap) — the
+    embedding/retrieval-index chunk layout, where a fragment must never
+    span two documents. Entirely row-local (tokenize -> integer
+    n_chunks -> sequence() explode -> slice/array_join), ZERO shuffles.
+    The oracle replays the identical integer window arithmetic over
+    TOKENS_SQL and re-joins the same slices — chunk TEXT is compared
+    byte-exact, not just counts."""
+    from entity_linking_in_biomedical_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, stride=24).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+ORACLE_CHUNK_DOCS = f"""
+with t as (
+  select doc_id, {_TOKS} as tk from documents
+), n as (
+  select doc_id, tk, cast(len(tk) as bigint) as n from t where len(tk) > 0
+), c as (
+  select doc_id, tk, n,
+         case when n <= 32 then 1
+              else (n - 32 + 24 - 1) // 24 + 1 end as n_chunks
+  from n
+)
+select doc_id, cast(i as int) as chunk_id, cast(n_chunks as int) as n_chunks,
+       cast(least(32, n - i * 24) as bigint) as chunk_len,
+       array_to_string(tk[i * 24 + 1 : i * 24 + least(32, n - i * 24)], ' ')
+         as chunk_text
+from c cross join unnest(range(0, n_chunks)) as u(i)
+order by doc_id, chunk_id
 """
 
 
@@ -4779,6 +4883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lm_nll": q_lm_nll,
         "pack_sequences": q_pack_sequences,
+        "chunk_docs": q_chunk_docs,
         "pack_interleaved": q_pack_interleaved,
         "temperature_mixture": q_temperature_mixture,
         "length_quantiles": q_length_quantiles,
@@ -4797,6 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": q_dsir_sample,
         "quality_classifier": q_quality_classifier,
         "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "bpe_merges": q_bpe_merges,
         "bpe_encode": q_bpe_encode,
         "corpus_stats": q_corpus_stats,
@@ -4870,6 +4976,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": ORACLE_TOKEN_COUNT,
         "lm_nll": ORACLE_LM_NLL,
         "pack_sequences": ORACLE_PACK_SEQUENCES,
+        "chunk_docs": ORACLE_CHUNK_DOCS,
         "pack_interleaved": ORACLE_PACK_INTERLEAVED,
         "temperature_mixture": ORACLE_TEMPERATURE_MIXTURE,
         "length_quantiles": ORACLE_LENGTH_QUANTILES,
@@ -4888,6 +4995,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_sample": ORACLE_DSIR_SAMPLE,
         "quality_classifier": _oracle_quality_classifier(),
         "kmeans_clusters": _oracle_kmeans_clusters(),
+        "semantic_dedup": _oracle_semantic_dedup(),
         "bpe_merges": _oracle_bpe_merges(),
         "bpe_encode": _oracle_bpe_encode(),
         "corpus_stats": ORACLE_CORPUS_STATS,

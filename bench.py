@@ -313,6 +313,7 @@ def main() -> None:
         "lm_nll",
         "pack_sequences",
         "pack_interleaved",
+        "chunk_docs",
         "quality_score",
         "doc_fingerprint",
         "pii_redact",
@@ -334,6 +335,7 @@ def main() -> None:
         "vocab_drift",
         "filter_funnel",
         "kmeans_clusters",
+        "semantic_dedup",
         "bpe_merges",
         "bpe_encode",
         "ann_brute_force",

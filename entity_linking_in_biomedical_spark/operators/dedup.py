@@ -636,3 +636,82 @@ def drop_url_duplicates(
         .drop("__rn")
     )
     return kept.unionByName(nulls)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    cosine_threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    with k-means as the blocking stage — exact cosine comparison runs
+    only WITHIN each cluster, never across the corpus. Catches
+    paraphrase-level duplicates that byte/shingle dedup (exact, minhash,
+    simhash) cannot see, at a cost the cluster structure bounds.
+
+    Rule: a row is dropped iff some SAME-CLUSTER row with a smaller id
+    has cosine >= ``cosine_threshold`` to it. This is the released
+    SemDeDup implementation's triu rule (dropped rows still suppress
+    later ones); the one deviation is the priority ORDER — the paper
+    ranks by similarity-to-centroid, here it is ascending id, the
+    repo-wide keep-first rule (url/media/passage dedup), which is
+    deterministic, tie-free, and engine-replayable. Cross-cluster
+    duplicate pairs are NOT compared — that recall loss is the
+    documented SemDeDup approximation, bought for the quadratic bound.
+
+    -> (id, cluster, kept tinyint) for every input row.
+
+    Shape at 100 TB:
+    - k-means: ``iters`` corpus scans, E-step a codegen'd plan-literal
+      expression, M-step one map-side-partial aggregate (operators/
+      kmeans.py). No join, no UDF.
+    - pair stage: ONE shuffle per side keyed on the cluster id; pairs
+      are O(sum_c |c|^2), so size k ~ n / target_cluster_size (the
+      paper uses ~11k clusters for 100M docs). ``max_cluster`` is the
+      skew valve: clusters larger than it skip pairwise entirely (all
+      their rows are KEPT — conservative for training data, identical
+      rule to the LSH ``max_bucket`` drop), via a k-row broadcast join.
+    - the dup-id set joins back id-only; vectors never ride a second
+      shuffle.
+    """
+    from ..functions.vectors import cosine_sim
+    from .kmeans import kmeans_fit, kmeans_score
+
+    base = embeddings.select(F.col(id_col), F.col(vec_col)).localCheckpoint(
+        eager=False, storageLevel=barrier_level()
+    )
+    centroids = kmeans_fit(base, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = kmeans_score(base, centroids, vec_col=vec_col, out_col="__cl")
+    pairable = assigned
+    if max_cluster is not None:
+        big = (
+            assigned.groupBy("__cl")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_cluster)
+        )
+        pairable = assigned.join(
+            F.broadcast(big.select("__cl")), "__cl", "left_anti"
+        )
+    left = pairable.select(
+        F.col("__cl"), F.col(id_col).alias("__a"), F.col(vec_col).alias("__av")
+    )
+    right = pairable.select(
+        F.col("__cl"), F.col(id_col).alias("__b"), F.col(vec_col).alias("__bv")
+    )
+    dup_ids = (
+        left.join(right, "__cl")
+        .filter(F.col("__a") < F.col("__b"))
+        .filter(cosine_sim("__av", "__bv") >= cosine_threshold)
+        .select(F.col("__b").alias(id_col))
+        .dropDuplicates([id_col])
+        .withColumn("__dup", F.lit(1))
+    )
+    return assigned.join(dup_ids, id_col, "left").select(
+        id_col,
+        F.col("__cl").alias("cluster"),
+        F.when(F.col("__dup").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("kept"),
+    )

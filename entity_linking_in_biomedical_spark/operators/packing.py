@@ -166,3 +166,78 @@ def pack_interleaved(
     return _pack_manifest(
         n, seq_len, id_col, bucket_size, extra=("n_text_tokens", "n_media")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window chunking of long documents — the per-document
+    counterpart of :func:`pack_sequences` (which cuts a concatenated
+    STREAM; this cuts each document alone). The unit of an embedding /
+    retrieval-index build, where a fragment must never span two
+    documents and context overlap between adjacent chunks is wanted.
+
+    Windows start at 0, ``stride``, 2*``stride``, ...; each takes
+    ``chunk_tokens`` tokens (the last takes what remains). With
+    ``stride`` < ``chunk_tokens`` adjacent chunks overlap by
+    ``chunk_tokens - stride`` tokens. ``stride`` defaults to
+    ``chunk_tokens`` (disjoint). Zero-token docs are dropped; docs
+    shorter than one chunk emit exactly one chunk.
+
+    -> (doc_id, chunk_id, n_chunks, chunk_len, chunk_text), one row per
+    chunk, chunk_text re-joined with single spaces from the
+    whitespace/punct token array (functions/text_metrics.tokens — the
+    DuckDB twin is TOKENS_SQL, already certified by the token_count
+    oracle).
+
+    Scale shape: entirely row-local — tokenize, an integer n_chunks
+    expression, one sequence() explode, slice + array_join per chunk.
+    ZERO shuffles; Catalyst keeps the whole plan in one codegen stage.
+    Integer `div` arithmetic throughout (no float ceil, same rule as
+    the packers) so chunk counts are exact at any length.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    stride = stride or chunk_tokens
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(
+            f"stride must be in (0, chunk_tokens], got {stride}"
+        )
+    c, s = int(chunk_tokens), int(stride)
+    t = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .withColumn("__n", F.size("__t").cast("bigint"))
+        .filter(F.col("__n") > 0)
+    )
+    n_chunks = F.when(F.col("__n") <= c, F.lit(1).cast("bigint")).otherwise(
+        F.expr(f"(__n - {c} + {s} - 1) div {s}") + F.lit(1)
+    )
+    exploded = t.withColumn("n_chunks", n_chunks).select(
+        F.col(id_col),
+        F.col("__t"),
+        F.col("__n"),
+        F.col("n_chunks").cast("int").alias("n_chunks"),
+        F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias(
+            "chunk_id"
+        ),
+    )
+    start = (F.col("chunk_id").cast("bigint") * s).alias("__start")
+    exploded = exploded.withColumn("__start", start).withColumn(
+        "chunk_len", F.least(F.lit(c).cast("bigint"), F.col("__n") - F.col("__start"))
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        "n_chunks",
+        "chunk_len",
+        F.array_join(
+            F.slice(
+                "__t", (F.col("__start") + 1).cast("int"), F.col("chunk_len").cast("int")
+            ),
+            " ",
+        ).alias("chunk_text"),
+    )

@@ -439,3 +439,67 @@ def test_remove_duplicate_passages_planted(spark):
     assert got["d2"]["n_tokens"] == 7 and got["d2"]["n_removed"] == 5
     assert got["d3"]["cleaned_text"] == "tiny doc"
     assert got["d3"]["n_removed"] == 0
+
+
+def test_semantic_dedup_planted(spark):
+    """SemDeDup over a hand-built frame: two well-separated groups, a
+    planted exact copy and a paraphrase-level near-copy (cos >= 0.9)
+    drop keep-lowest-id; an orthogonal-ish vector in the same region
+    survives."""
+    from entity_linking_in_biomedical_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        # group A around e_x
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),        # exact copy of 0 -> dropped
+        (2, [0.98, 0.199, 0.0, 0.0]),     # cos ~= 0.98 to 0 -> dropped
+        (3, [0.5, 0.866, 0.0, 0.0]),      # cos = 0.5 to 0 -> kept
+        # group B around e_z
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 0.0, 0.97, 0.243]),     # cos ~= 0.97 to 4 -> dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(df, k=2, iters=2, cosine_threshold=0.9).collect()
+    }
+    assert got == {0: 1, 1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_semantic_dedup_blocking_is_cluster_local(spark):
+    """The documented SemDeDup approximation: a >=tau pair SPLIT across
+    clusters is not compared, so both rows survive. Two identical
+    vectors forced into different clusters by k covering them as
+    centroids... instead: k=2 with init = first-2-by-id puts vec 0 and
+    1 (identical) as both centroids; after Lloyd rounds identical
+    vectors always co-assign, so to exercise cross-cluster blindness
+    the pair must be near-dup but nearer to different centroids."""
+    from entity_linking_in_biomedical_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        # cos(2,3) ~= 0.995 but 2 leans to centroid 0 and 3 to centroid 1
+        (2, [1.0, 0.9]),
+        (3, [0.9, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = semantic_dedup(df, k=2, iters=1, cosine_threshold=0.9).collect()
+    got = {r["vec_id"]: (r["cluster"], r["kept"]) for r in out}
+    assert got[2][0] != got[3][0], "test premise: pair split across clusters"
+    assert got[2][1] == 1 and got[3][1] == 1
+
+
+def test_semantic_dedup_max_cluster_skips_pairwise(spark):
+    """Clusters above the skew valve keep ALL rows (pairwise skipped),
+    smaller clusters still prune."""
+    from entity_linking_in_biomedical_spark.operators.dedup import semantic_dedup
+
+    # ids 0 and 1 are the first-2-by-id k-means init, one per group
+    big = [(i, [1.0, 0.0, 0.001 * i]) for i in (0, 2, 3, 4, 5, 6)]  # all near-dup
+    small = [(1, [0.0, 1.0, 0.0]), (11, [0.0, 0.999, 0.04])]
+    df = spark.createDataFrame(big + small, "vec_id int, embedding array<double>")
+    out = semantic_dedup(df, k=2, iters=1, cosine_threshold=0.9, max_cluster=4)
+    got = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert all(got[i] == 1 for i in (0, 2, 3, 4, 5, 6)), "big cluster must be exempt"
+    assert got[1] == 1 and got[11] == 0

@@ -225,3 +225,65 @@ def test_pack_interleaved_rejects_bad_args(spark):
         pack_interleaved(df, 0)
     with pytest.raises(ValueError):
         pack_interleaved(df, 8, media_token_budget=-1)
+
+
+def _chunk_reference(texts, chunk, stride):
+    out = []
+    for did, text in texts:
+        tk = [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ") if t]
+        n = len(tk)
+        if n == 0:
+            continue
+        nc = 1 if n <= chunk else (n - chunk + stride - 1) // stride + 1
+        for i in range(nc):
+            ln = min(chunk, n - i * stride)
+            out.append((did, i, nc, ln, " ".join(tk[i * stride : i * stride + ln])))
+    return sorted(out)
+
+
+def test_chunk_documents_matches_reference(spark):
+    from entity_linking_in_biomedical_spark.operators.packing import chunk_documents
+
+    texts = [
+        (1, "a b c d e f g h i j"),        # 10 tokens
+        (2, "one two three"),              # shorter than a chunk
+        (3, ""),                           # dropped
+        (4, "x " * 25),                    # exact multi-window tail
+        (5, "Word, word; WORD word!"),     # punct/case normalization
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    got = sorted(map(tuple, chunk_documents(df, chunk_tokens=4, stride=3).collect()))
+    assert got == _chunk_reference(texts, 4, 3)
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    """Every token position is covered; adjacent chunks overlap by
+    chunk - stride; re-concatenating stride-prefixes + last chunk
+    reproduces the token stream."""
+    from entity_linking_in_biomedical_spark.operators.packing import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(50))
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=8, stride=5).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert rows[0]["n_chunks"] == len(rows)
+    toks = []
+    for r in rows[:-1]:
+        assert r["chunk_len"] == 8
+        toks += r["chunk_text"].split(" ")[:5]
+    toks += rows[-1]["chunk_text"].split(" ")
+    assert toks == [f"t{i}" for i in range(50)]
+
+
+def test_chunk_documents_disjoint_default_and_bad_args(spark):
+    from entity_linking_in_biomedical_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
+    got = sorted(map(tuple, chunk_documents(df, chunk_tokens=2).collect()))
+    assert got == [(1, 0, 3, 2, "a b"), (1, 1, 3, 2, "c d"), (1, 2, 3, 1, "e")]
+    with pytest.raises(ValueError):
+        chunk_documents(df, 0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, 4, stride=5)

@@ -368,3 +368,17 @@ def test_evaluation_family_plan_shape(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "partial" in plan.lower()
+
+
+def test_chunk_documents_zero_shuffle_plan(spark):
+    """chunk_documents is documented as entirely row-local: the plan
+    must contain no Exchange (the orderBy in the gate query is the
+    presentation sort, not part of the operator)."""
+    from entity_linking_in_biomedical_spark.operators.packing import chunk_documents
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(chunk_documents(df, chunk_tokens=32, stride=24))
+    assert "Exchange" not in plan
+    # only doc_id and text reach the scan
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in schema_line and "text" in schema_line
