@@ -1924,6 +1924,87 @@ order by doc_id
 """
 
 
+def q_scrub_contamination(spark, sf_dir):
+    """Span-LEVEL decontamination (operators/contamination.py::
+    scrub_contamination — GPT-3 Appendix C at token granularity): the
+    whole-doc drop (`decontaminate`) wastes every clean token of a
+    flagged doc, so this transform removes only the tokens covered by a
+    test-set 8-gram collision ± a 2-token margin and re-joins the
+    survivors, reporting the piece count the paper's 3+-pieces discard
+    rule reads. Same planted eval set as `contamination` (every 7th doc
+    donates tokens 4..23), so every donor doc is guaranteed a scrubbed
+    span; the DuckDB twin replays the identical window/margin/rebuild
+    rule and must reproduce the surviving text byte-for-byte."""
+    from entity_linking_in_biomedical_spark.functions.text_metrics import tokens
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        scrub_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    test = docs.filter((F.col("doc_id") % 7) == 0).select(
+        F.concat(F.lit("t"), F.col("doc_id")).alias("test_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 4, 20)).alias("text"),
+    )
+    out = scrub_contamination(docs, test, n=8, margin=2)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        "cleaned_text",
+    ).orderBy("doc_id")
+
+
+def _oracle_scrub_contamination() -> str:
+    # test grams compare as exact strings vs xxhash64 longs in Spark —
+    # agreement also certifies the semi-join is collision-free here
+    return f"""
+with tok0 as (select doc_id, {_TOKS} as l from documents),
+t as (select list_slice(l, 4, 23) as tl from tok0 where doc_id % 7 = 0),
+tg as (
+  select distinct array_to_string(list_slice(tl, i, i + 7), ' ') as gram
+  from t, unnest(generate_series(1, greatest(len(tl) - 7, 0))) as u(i)
+),
+tok as (select cast(doc_id as varchar) as doc_id, l from tok0),
+w as (
+  select doc_id, i as pos,
+         array_to_string(list_slice(l, i, i + 7), ' ') as gram
+  from tok, unnest(generate_series(1, greatest(len(l) - 7, 0))) as u(i)
+),
+hits as (select doc_id, pos from w semi join tg using (gram)),
+drops as (
+  select distinct doc_id, ti
+  from hits, unnest(generate_series(greatest(pos - 2, 1), pos + 7 + 2)) as g(ti)
+),
+tokrows as (
+  select doc_id, i as ti, l[i] as tok
+  from tok, unnest(generate_series(1, len(l))) as u(i)
+),
+kept as (
+  select tokrows.doc_id, ti, tok from tokrows
+  anti join drops using (doc_id, ti)
+),
+runs as (
+  select doc_id, ti, tok,
+         case when lag(ti) over (partition by doc_id order by ti) = ti - 1
+              then 0 else 1 end as st
+  from kept
+),
+re as (
+  select doc_id, count(*) as n_kept, sum(st) as n_pieces,
+         string_agg(tok, ' ' order by ti) as cleaned_text
+  from runs group by doc_id
+)
+select tok.doc_id,
+       cast(len(l) as bigint) as n_tokens,
+       cast(len(l) - coalesce(re.n_kept, 0) as bigint) as n_removed,
+       cast(coalesce(re.n_pieces, 0) as bigint) as n_pieces,
+       coalesce(re.cleaned_text, '') as cleaned_text
+from tok left join re on tok.doc_id = re.doc_id
+order by tok.doc_id
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering + canonical selection: MinHash/LSH pairs ->
     transitive closure -> keep-min canonical per cluster, one row per
@@ -4894,6 +4975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "contamination": q_contamination,
         "decontaminate": q_decontaminate,
+        "scrub_contamination": q_scrub_contamination,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "stratified_sample": q_stratified_sample,
@@ -4987,6 +5069,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition": ORACLE_REPETITION,
         "contamination": ORACLE_CONTAMINATION,
         "decontaminate": ORACLE_DECONTAMINATE,
+        "scrub_contamination": _oracle_scrub_contamination(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "dedup_keep_best": _oracle_dedup_keep_best(),
         "stratified_sample": _oracle_stratified_sample(),

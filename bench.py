@@ -320,6 +320,7 @@ def main() -> None:
         "repetition",
         "contamination",
         "decontaminate",
+        "scrub_contamination",
         "stratified_sample",
         "token_budget_sample",
         "temperature_mixture",

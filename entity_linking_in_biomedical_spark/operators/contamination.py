@@ -127,6 +127,75 @@ def decontaminate(
     return corpus.join(flagged, id_col, "left_anti")
 
 
+def scrub_contamination(
+    corpus: DataFrame,
+    test: DataFrame,
+    n: int = 13,
+    margin: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Span-level decontamination (GPT-3 Appendix C at token
+    granularity): instead of dropping every flagged document whole
+    (:func:`decontaminate`), remove only the tokens covered by a
+    test-set n-gram collision, padded by ``margin`` tokens on each side
+    (the paper's 200-character buffer, expressed in tokens), and
+    re-join the survivors in order.
+
+    -> (doc_id, n_tokens, n_removed, n_pieces, cleaned_text), one row
+    per input doc. ``n_pieces`` counts the contiguous surviving runs —
+    the paper discards docs split into 3+ pieces, which this frame
+    makes a one-filter follow-up (``F.col("n_pieces") <= 2``).
+
+    Scale shape at 10^12 docs: the test side's distinct gram hashes
+    broadcast as xxhash64 longs (same budget as the detection op); the
+    corpus side is ONE scan + window posexplode + map-side LEFT SEMI
+    join — zero corpus-side shuffles before the rebuild. Only COLLIDING
+    windows expand into drop positions, so the cost beyond detection is
+    proportional to the contamination found, not the corpus size. The
+    reassembly tail is shared with the passage-dedup transform
+    (operators/dedup.py::rebuild_minus_positions) — one corpus-wide
+    shuffle, the minimum any rewrite transform pays.
+    """
+    from .dedup import rebuild_minus_positions
+    from ..session import barrier_level
+
+    maybe_b = F.broadcast if broadcast_test else (lambda df: df)
+    t_hashes = (
+        test.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .select(F.xxhash64("gram").alias("g"))
+        .distinct()
+    )
+    base = corpus.select(
+        F.col(id_col).cast("string").alias("doc_id"), tokens(text_col).alias("toks")
+    ).localCheckpoint(eager=False, storageLevel=barrier_level())
+    m = F.size("toks") - (n - 1)
+    windows = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    wdf = base.select("doc_id", F.posexplode(windows).alias("p", "g")).select(
+        "doc_id", (F.col("p") + 1).alias("pos"), "g"
+    )
+    hits = wdf.join(maybe_b(t_hashes), "g", "left_semi")
+    # positions past the doc end (pos + n - 1 + margin > n_tokens) are
+    # tolerated by the rebuild tail's anti-join — no clamp join needed
+    drops = hits.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - margin, F.lit(1)),
+                F.col("pos") + (n - 1) + margin,
+            )
+        ).alias("ti"),
+    ).dropDuplicates(["doc_id", "ti"])
+    return rebuild_minus_positions(base, drops)
+
+
 # Broadcast budget for the streaming cross-join form: total distinct
 # test-side gram hashes (8 bytes each + array overhead). 10M longs is
 # ~100 MB broadcast — near the practical executor-memory ceiling; real

@@ -402,19 +402,55 @@ def remove_duplicate_passages(
     drops = removals.select(
         "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + k - 1)).alias("ti")
     ).dropDuplicates(["doc_id", "ti"])
+    return rebuild_minus_positions(base, drops).drop("n_pieces")
+
+
+def rebuild_minus_positions(base: DataFrame, drops: DataFrame) -> DataFrame:
+    """Shared reassembly tail for token-position removal transforms
+    (passage dedup above; span-level decontamination in
+    operators/contamination.py): given ``base`` (doc_id, toks) and
+    ``drops`` (doc_id, ti — 1-based token positions to remove; indices
+    past the end of a doc are tolerated and ignored), re-join the
+    surviving tokens in order.
+
+    -> (doc_id, n_tokens, n_removed, n_pieces, cleaned_text) — one row
+    per input doc. ``n_pieces`` counts the contiguous surviving runs
+    (GPT-3 Appendix C's "split into pieces" statistic: 1 for an
+    untouched doc, 0 for a fully-removed or empty one).
+
+    One token explode + a LEFT ANTI join on (doc, position) + one
+    groupBy(doc_id) reassembly — the single corpus-wide shuffle a
+    rewrite transform cannot avoid. The piece count reads off the
+    already-sorted position array (adjacent-gap scan), no extra
+    aggregate or window.
+    """
     tokrows = base.select("doc_id", F.posexplode("toks").alias("p", "tok")).select(
         "doc_id", (F.col("p") + 1).alias("ti"), "tok"
     )
     kept = tokrows.join(drops, ["doc_id", "ti"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ti", "tok"))),
-                lambda x: x["tok"],
-            ),
-        ).alias("cleaned_text"),
+    arr = kept.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("ti", "tok"))).alias("arr")
+    )
+    tis = F.transform("arr", lambda x: x["ti"])
+    sz = F.size("arr")
+    rebuilt = arr.select(
+        "doc_id",
+        sz.alias("n_kept"),
+        # runs = 1 + number of adjacent kept positions whose gap != 1
+        (
+            F.lit(1)
+            + F.size(
+                F.filter(
+                    F.zip_with(
+                        F.slice(tis, 2, sz - 1),
+                        F.slice(tis, 1, sz - 1),
+                        lambda nxt, cur: nxt - cur,
+                    ),
+                    lambda d: d != 1,
+                )
+            )
+        ).alias("n_pieces"),
+        F.concat_ws(" ", F.transform("arr", lambda x: x["tok"])).alias("cleaned_text"),
     )
     return base.select("doc_id", F.size("toks").alias("n_tokens")).join(
         rebuilt, "doc_id", "left"
@@ -422,6 +458,7 @@ def remove_duplicate_passages(
         "doc_id",
         "n_tokens",
         (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
         F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
     )
 

@@ -364,6 +364,73 @@ def test_word_ngrams_short_doc_and_contamination(spark):
     assert got == {("c1", "t1"): (2, 1.0), ("c3", "t1"): (2, 1.0)}
 
 
+def test_scrub_contamination_exact_spans(spark):
+    """Span-level decontamination must remove exactly the collision
+    window ± margin and nothing else, count surviving pieces, and leave
+    clean docs byte-identical (GPT-3 Appendix C semantics at token
+    granularity)."""
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        scrub_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # collision 'c d e' at pos 3 covers tokens 3-5; margin 1
+            # widens to 2-6 -> kept {1, 7..10}, two pieces
+            ("d1", "a b c d e f g h i j"),
+            # no collision: untouched, one piece
+            ("d2", "k l m n o p"),
+            # the whole doc IS the colliding gram (+margin clamps at the
+            # edges): everything removed, zero pieces
+            ("d3", "c d e"),
+            # collision at pos 1 ('c d e') and pos 6 ('c d f'? no — only
+            # 'c d e' matches): margin reaches right into token 4
+            ("d4", "c d e z c d f"),
+        ],
+        "doc_id string, text string",
+    )
+    test = spark.createDataFrame(
+        [("t1", "x c d e y")], "test_id string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["n_pieces"], r["cleaned_text"])
+        for r in scrub_contamination(docs, test, n=3, margin=1).collect()
+    }
+    assert got["d1"] == (10, 5, 2, "a g h i j")
+    assert got["d2"] == (6, 0, 1, "k l m n o p")
+    assert got["d3"] == (3, 3, 0, "")
+    # d4: windows of t1 at n=3 are {'x c d', 'c d e', 'd e y'}; only
+    # 'c d e' occurs (pos 1). margin 1 -> drop 1..4, keep 5..7
+    assert got["d4"] == (7, 4, 1, "c d f")
+
+
+def test_scrub_contamination_margin_zero_and_agreement(spark):
+    """margin=0 removes exactly the gram tokens; a doc flagged by the
+    detection operator always loses >= n tokens here (consistency
+    between detect and scrub)."""
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        ngram_contamination,
+        scrub_contamination,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", "p q r s t u"), ("d2", "u v w x y z")],
+        "doc_id string, text string",
+    )
+    test = spark.createDataFrame([("t1", "q r s")], "test_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_removed"], r["cleaned_text"])
+        for r in scrub_contamination(docs, test, n=3, margin=0).collect()
+    }
+    assert got["d1"] == (3, "p t u")
+    assert got["d2"] == (0, "u v w x y z")
+    flagged = {
+        r["doc_id"]
+        for r in ngram_contamination(docs, test, n=3, min_overlap=1).collect()
+    }
+    assert flagged == {d for d, (rm, _) in got.items() if rm >= 3}
+
+
 def test_drop_duplicate_media_keep_first_and_order(spark):
     from entity_linking_in_biomedical_spark.operators.multimodal import (
         drop_duplicate_media,
