@@ -2005,6 +2005,144 @@ order by tok.doc_id
 """
 
 
+def q_scrub_interleaved(spark, sf_dir):
+    """Span-aware decontamination over INTERLEAVED docs
+    (operators/contamination.py::scrub_interleaved): each doc becomes
+    [text(tokens 1-12), media img://m-(id%40), text(tokens 13..)], the
+    planted eval set donates tokens 4..23 of every 7th doc, and the
+    scrub must remove collision-covered tokens ± 2 per TEXT SPAN (the
+    gram stream breaks at the media boundary), drop fully-scrubbed text
+    spans, and pass media spans + span order through untouched. Output
+    digests the full surviving span sequence (kind:payload in order) so
+    the DuckDB twin value-checks the rebuilt arrays byte-for-byte."""
+    from entity_linking_in_biomedical_spark.functions.text_metrics import tokens
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        scrub_interleaved,
+    )
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    d = F.col("doc_id")
+    docs = base.select(
+        d.cast("string").alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat_ws(" ", F.slice(toks, 1, 12)).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("img://m-"), (d % 40).cast("string")).alias(
+                    "media_ref"
+                ),
+                F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.concat_ws(
+                    " ", F.slice(toks, 13, F.greatest(F.size(toks) - 12, F.lit(0)))
+                ).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(2).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    test = base.filter(d % 7 == 0).select(
+        F.concat(F.lit("t"), d).alias("test_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 4, 20)).alias("text"),
+    )
+    out = scrub_interleaved(docs, test, n=8, margin=2)
+    return out.select(
+        "doc_id",
+        "n_spans_before",
+        "n_spans_after",
+        "n_removed_tokens",
+        F.concat_ws(
+            "|",
+            F.transform(
+                "spans",
+                lambda s: F.concat_ws(
+                    ":", s["kind"], F.coalesce(s["text"], s["media_ref"])
+                ),
+            ),
+        ).alias("spans_digest"),
+    ).orderBy("doc_id")
+
+
+def _oracle_scrub_interleaved() -> str:
+    return f"""
+with tok0 as (select doc_id, {_TOKS} as l from documents),
+t as (select list_slice(l, 4, 23) as tl from tok0 where doc_id % 7 = 0),
+tg as (
+  select distinct array_to_string(list_slice(tl, i, i + 7), ' ') as gram
+  from t, unnest(generate_series(1, greatest(len(tl) - 7, 0))) as u(i)
+),
+spans as (
+  select cast(doc_id as varchar) as doc_id, 0 as si,
+         list_slice(l, 1, 12) as stoks from tok0
+  union all
+  select cast(doc_id as varchar), 2, list_slice(l, 13, len(l)) from tok0
+),
+w as (
+  select doc_id, si, i as pos,
+         array_to_string(list_slice(stoks, i, i + 7), ' ') as gram
+  from spans, unnest(generate_series(1, greatest(len(stoks) - 7, 0))) as u(i)
+),
+hits as (select doc_id, si, pos from w semi join tg using (gram)),
+drops as (
+  select distinct doc_id, si, ti
+  from hits, unnest(generate_series(greatest(pos - 2, 1), pos + 7 + 2)) as g(ti)
+),
+tokrows as (
+  select doc_id, si, i as ti, stoks[i] as tok
+  from spans, unnest(generate_series(1, len(stoks))) as u(i)
+),
+kept as (
+  select tokrows.doc_id, tokrows.si, ti, tok from tokrows
+  anti join drops using (doc_id, si, ti)
+),
+re as (
+  select doc_id, si, count(*) as n_kept,
+         string_agg(tok, ' ' order by ti) as txt
+  from kept group by doc_id, si
+),
+sp2 as (
+  select spans.doc_id, spans.si, len(stoks) as n_tok,
+         coalesce(re.n_kept, 0) as n_kept, coalesce(re.txt, '') as txt
+  from spans left join re using (doc_id, si)
+),
+surv_txt as (
+  select doc_id, si, 'text:' || txt as piece
+  from sp2 where n_tok = 0 or n_kept > 0
+),
+media as (
+  select cast(doc_id as varchar) as doc_id, 1 as si,
+         'media:img://m-' || cast(doc_id % 40 as varchar) as piece
+  from tok0
+),
+allsp as (select * from surv_txt union all select * from media),
+agg as (
+  select doc_id, count(*) as n_spans_after,
+         string_agg(piece, '|' order by si) as spans_digest
+  from allsp group by doc_id
+),
+rm as (
+  select doc_id, sum(n_tok - n_kept) as n_removed_tokens from sp2 group by doc_id
+)
+select s.doc_id,
+       cast(3 as bigint) as n_spans_before,
+       cast(coalesce(agg.n_spans_after, 0) as bigint) as n_spans_after,
+       cast(coalesce(rm.n_removed_tokens, 0) as bigint) as n_removed_tokens,
+       coalesce(agg.spans_digest, '') as spans_digest
+from (select cast(doc_id as varchar) as doc_id from tok0) s
+left join agg using (doc_id) left join rm using (doc_id)
+order by s.doc_id
+"""
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clustering + canonical selection: MinHash/LSH pairs ->
     transitive closure -> keep-min canonical per cluster, one row per
@@ -4976,6 +5114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "decontaminate": q_decontaminate,
         "scrub_contamination": q_scrub_contamination,
+        "scrub_interleaved": q_scrub_interleaved,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "stratified_sample": q_stratified_sample,
@@ -5070,6 +5209,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": ORACLE_CONTAMINATION,
         "decontaminate": ORACLE_DECONTAMINATE,
         "scrub_contamination": _oracle_scrub_contamination(),
+        "scrub_interleaved": _oracle_scrub_interleaved(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "dedup_keep_best": _oracle_dedup_keep_best(),
         "stratified_sample": _oracle_stratified_sample(),

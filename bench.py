@@ -321,6 +321,7 @@ def main() -> None:
         "contamination",
         "decontaminate",
         "scrub_contamination",
+        "scrub_interleaved",
         "stratified_sample",
         "token_budget_sample",
         "temperature_mixture",

@@ -162,14 +162,31 @@ def scrub_contamination(
     from ..session import barrier_level
 
     maybe_b = F.broadcast if broadcast_test else (lambda df: df)
-    t_hashes = (
+    t_hashes = _test_gram_hashes(test, text_col, n)
+    base = corpus.select(
+        F.col(id_col).cast("string").alias("doc_id"), tokens(text_col).alias("toks")
+    ).localCheckpoint(eager=False, storageLevel=barrier_level())
+    drops = _collision_drops(base, maybe_b(t_hashes), n, margin, ["doc_id"])
+    return rebuild_minus_positions(base, drops)
+
+
+def _test_gram_hashes(test: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Distinct xxhash64 longs of the test set's word n-grams — the
+    broadcast side every scrub variant joins against."""
+    return (
         test.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
         .select(F.xxhash64("gram").alias("g"))
         .distinct()
     )
-    base = corpus.select(
-        F.col(id_col).cast("string").alias("doc_id"), tokens(text_col).alias("toks")
-    ).localCheckpoint(eager=False, storageLevel=barrier_level())
+
+
+def _collision_drops(base, t_hashes, n: int, margin: int, keys: list) -> DataFrame:
+    """(*keys, toks) -> (*keys, ti) token positions covered by a
+    test-gram collision ± margin. Window hashes stream through a
+    posexplode + LEFT SEMI join — only colliding windows expand into
+    positions. Positions past the unit end (pos + n - 1 + margin >
+    n_tokens) are tolerated by the rebuild tail's anti-join — no clamp
+    join needed."""
     m = F.size("toks") - (n - 1)
     windows = F.when(
         m >= 1,
@@ -178,22 +195,121 @@ def scrub_contamination(
             lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    wdf = base.select("doc_id", F.posexplode(windows).alias("p", "g")).select(
-        "doc_id", (F.col("p") + 1).alias("pos"), "g"
+    wdf = base.select(*keys, F.posexplode(windows).alias("p", "g")).select(
+        *keys, (F.col("p") + 1).alias("pos"), "g"
     )
-    hits = wdf.join(maybe_b(t_hashes), "g", "left_semi")
-    # positions past the doc end (pos + n - 1 + margin > n_tokens) are
-    # tolerated by the rebuild tail's anti-join — no clamp join needed
-    drops = hits.select(
-        "doc_id",
+    hits = wdf.join(t_hashes, "g", "left_semi")
+    return hits.select(
+        *keys,
         F.explode(
             F.sequence(
                 F.greatest(F.col("pos") - margin, F.lit(1)),
                 F.col("pos") + (n - 1) + margin,
             )
         ).alias("ti"),
-    ).dropDuplicates(["doc_id", "ti"])
-    return rebuild_minus_positions(base, drops)
+    ).dropDuplicates(keys + ["ti"])
+
+
+def scrub_interleaved(
+    docs: DataFrame,
+    test: DataFrame,
+    n: int = 13,
+    margin: int = 0,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """:func:`scrub_contamination` over INTERLEAVED documents
+    (doc_id, spans array<struct<kind,text,media_ref,offset>>) — the
+    span-aware decontamination a multimodal curation run executes:
+
+    - media spans pass through untouched (kind, media_ref, offset
+      byte-identical);
+    - each TEXT span is scrubbed independently: the n-gram stream
+      BREAKS at media boundaries — a gram spelled across an image
+      interruption is not contiguous text in the source document, so
+      collisions are detected within a span, never across spans;
+    - a text span whose tokens are all removed is DROPPED from the
+      array; survivors keep their original relative order and their
+      original ``offset`` (provenance: position in the source doc);
+    - an untouched text span keeps its ORIGINAL text byte-identically
+      (the token re-join only rewrites spans that actually lost
+      tokens), so clean documents round-trip exactly.
+
+    -> (doc_id, spans, n_spans_before, n_spans_after, n_removed_tokens)
+    — one row per input doc; a fully-contaminated doc survives as an
+    empty span array (callers decide whether to drop it).
+
+    Scale shape: identical to the flat scrub — broadcast gram longs,
+    one span explode + map-side semi-join, drop expansion proportional
+    to contamination found, ONE groupBy(doc, span) rebuild + ONE
+    groupBy(doc) re-assembly; the media side never leaves the JVM and
+    never carries through the token shuffle.
+    """
+    from .dedup import rebuild_minus_positions
+    from ..session import barrier_level
+
+    maybe_b = F.broadcast if broadcast_test else (lambda df: df)
+    t_hashes = _test_gram_hashes(test, "text", n)
+    ex = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode(spans_col).alias("si", "sp"),
+    ).localCheckpoint(eager=False, storageLevel=barrier_level())
+    txt = ex.filter(F.col("sp.kind") == "text").select(
+        "doc_id",
+        "si",
+        F.col("sp.text").alias("orig_text"),
+        F.col("sp.offset").alias("offset"),
+        tokens(F.col("sp.text")).alias("toks"),
+    ).localCheckpoint(eager=False, storageLevel=barrier_level())
+    keys = ["doc_id", "si"]
+    drops = _collision_drops(txt, maybe_b(t_hashes), n, margin, keys)
+    scr = rebuild_minus_positions(txt.select(*keys, "toks"), drops, tuple(keys))
+    out_txt = (
+        scr.join(txt.select(*keys, "orig_text", "offset"), keys)
+        # drop rule: had tokens, lost them all. Originally-empty text
+        # spans (n_tokens = 0) survive byte-identical like clean ones.
+        .filter((F.col("n_tokens") == 0) | (F.col("n_removed") < F.col("n_tokens")))
+        .select(
+            *keys,
+            "n_removed",
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.when(F.col("n_removed") == 0, F.col("orig_text"))
+                .otherwise(F.col("cleaned_text"))
+                .alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.col("offset").alias("offset"),
+            ).alias("newsp"),
+        )
+    )
+    media = ex.filter(F.col("sp.kind") != "text").select(
+        *keys, F.lit(0).alias("n_removed"), F.col("sp").alias("newsp")
+    )
+    surv = out_txt.unionByName(media)
+    reassembled = surv.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("si", "newsp"))),
+            lambda x: x["newsp"],
+        ).alias("spans"),
+        F.count("*").alias("n_spans_after"),
+    )
+    removed = scr.groupBy("doc_id").agg(F.sum("n_removed").alias("n_removed_tokens"))
+    base_stats = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.size(spans_col).cast("long").alias("n_spans_before"),
+    )
+    return (
+        base_stats.join(reassembled, "doc_id", "left")
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("spans", F.array().cast(reassembled.schema["spans"].dataType)).alias("spans"),
+            "n_spans_before",
+            F.coalesce("n_spans_after", F.lit(0)).cast("long").alias("n_spans_after"),
+            F.coalesce("n_removed_tokens", F.lit(0)).cast("long").alias("n_removed_tokens"),
+        )
+    )
 
 
 # Broadcast budget for the streaming cross-join form: total distinct

@@ -405,36 +405,41 @@ def remove_duplicate_passages(
     return rebuild_minus_positions(base, drops).drop("n_pieces")
 
 
-def rebuild_minus_positions(base: DataFrame, drops: DataFrame) -> DataFrame:
+def rebuild_minus_positions(
+    base: DataFrame, drops: DataFrame, key_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
     """Shared reassembly tail for token-position removal transforms
     (passage dedup above; span-level decontamination in
-    operators/contamination.py): given ``base`` (doc_id, toks) and
-    ``drops`` (doc_id, ti — 1-based token positions to remove; indices
-    past the end of a doc are tolerated and ignored), re-join the
-    surviving tokens in order.
+    operators/contamination.py): given ``base`` (*key_cols, toks) and
+    ``drops`` (*key_cols, ti — 1-based token positions to remove;
+    indices past the end of a unit are tolerated and ignored), re-join
+    the surviving tokens in order. ``key_cols`` names the unit being
+    rewritten — a whole document by default, a (doc, span-index) pair
+    for the interleaved scrub.
 
-    -> (doc_id, n_tokens, n_removed, n_pieces, cleaned_text) — one row
-    per input doc. ``n_pieces`` counts the contiguous surviving runs
-    (GPT-3 Appendix C's "split into pieces" statistic: 1 for an
-    untouched doc, 0 for a fully-removed or empty one).
+    -> (*key_cols, n_tokens, n_removed, n_pieces, cleaned_text) — one
+    row per input unit. ``n_pieces`` counts the contiguous surviving
+    runs (GPT-3 Appendix C's "split into pieces" statistic: 1 for an
+    untouched unit, 0 for a fully-removed or empty one).
 
-    One token explode + a LEFT ANTI join on (doc, position) + one
-    groupBy(doc_id) reassembly — the single corpus-wide shuffle a
-    rewrite transform cannot avoid. The piece count reads off the
+    One token explode + a LEFT ANTI join on (keys, position) + one
+    groupBy(keys) reassembly — the single corpus-wide shuffle a rewrite
+    transform cannot avoid. The piece count reads off the
     already-sorted position array (adjacent-gap scan), no extra
     aggregate or window.
     """
-    tokrows = base.select("doc_id", F.posexplode("toks").alias("p", "tok")).select(
-        "doc_id", (F.col("p") + 1).alias("ti"), "tok"
+    keys = list(key_cols)
+    tokrows = base.select(*keys, F.posexplode("toks").alias("p", "tok")).select(
+        *keys, (F.col("p") + 1).alias("ti"), "tok"
     )
-    kept = tokrows.join(drops, ["doc_id", "ti"], "left_anti")
-    arr = kept.groupBy("doc_id").agg(
+    kept = tokrows.join(drops, keys + ["ti"], "left_anti")
+    arr = kept.groupBy(*keys).agg(
         F.array_sort(F.collect_list(F.struct("ti", "tok"))).alias("arr")
     )
     tis = F.transform("arr", lambda x: x["ti"])
     sz = F.size("arr")
     rebuilt = arr.select(
-        "doc_id",
+        *keys,
         sz.alias("n_kept"),
         # runs = 1 + number of adjacent kept positions whose gap != 1
         (
@@ -452,10 +457,10 @@ def rebuild_minus_positions(base: DataFrame, drops: DataFrame) -> DataFrame:
         ).alias("n_pieces"),
         F.concat_ws(" ", F.transform("arr", lambda x: x["tok"])).alias("cleaned_text"),
     )
-    return base.select("doc_id", F.size("toks").alias("n_tokens")).join(
-        rebuilt, "doc_id", "left"
+    return base.select(*keys, F.size("toks").alias("n_tokens")).join(
+        rebuilt, keys, "left"
     ).select(
-        "doc_id",
+        *keys,
         "n_tokens",
         (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),

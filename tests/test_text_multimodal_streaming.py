@@ -431,6 +431,68 @@ def test_scrub_contamination_margin_zero_and_agreement(spark):
     assert flagged == {d for d, (rm, _) in got.items() if rm >= 3}
 
 
+def test_scrub_interleaved_span_semantics(spark):
+    """The interleaved scrub must (a) scrub each text span
+    independently (grams never cross a media boundary), (b) pass media
+    spans through byte-identical, (c) drop fully-scrubbed text spans
+    while preserving the order of the survivors, (d) keep untouched
+    text spans byte-identical (no token-rejoin normalization), and
+    (e) keep originally-empty text spans."""
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        scrub_interleaved,
+    )
+
+    schema = (
+        "doc_id string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    docs = spark.createDataFrame(
+        [
+            # both text spans contaminated around 'c d e'
+            ("d1", [("text", "a b c d e f", None, 0),
+                    ("media", None, "img://1", 1),
+                    ("text", "c d e g h", None, 2)]),
+            # clean doc: text must survive byte-identical, INCLUDING the
+            # double space the tokenizer would otherwise normalize away
+            ("d2", [("text", "x y  z", None, 0)]),
+            # text span fully scrubbed -> dropped; media survives
+            ("d3", [("text", "c d e", None, 0),
+                    ("media", None, "img://3", 1)]),
+            ("d4", [("media", None, "img://4", 0)]),
+            ("d5", [("text", "", None, 0)]),
+            # the gram 'e f c' exists ACROSS span texts of d6 but in
+            # neither span alone: nothing may be scrubbed
+            ("d6", [("text", "d e f", None, 0),
+                    ("media", None, "img://6", 1),
+                    ("text", "c d x", None, 2)]),
+        ],
+        schema,
+    )
+    test = spark.createDataFrame(
+        [("t1", "q c d e q"), ("t2", "p e f c p")],
+        "test_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_spans_before"],
+            r["n_spans_after"],
+            r["n_removed_tokens"],
+            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]],
+        )
+        for r in scrub_interleaved(docs, test, n=3, margin=1).collect()
+    }
+    assert got["d1"] == (3, 3, 9, [("text", "a", None, 0),
+                                   ("media", None, "img://1", 1),
+                                   ("text", "h", None, 2)])
+    assert got["d2"] == (1, 1, 0, [("text", "x y  z", None, 0)])
+    assert got["d3"] == (2, 1, 3, [("media", None, "img://3", 1)])
+    assert got["d4"] == (1, 1, 0, [("media", None, "img://4", 0)])
+    assert got["d5"] == (1, 1, 0, [("text", "", None, 0)])
+    assert got["d6"] == (3, 3, 0, [("text", "d e f", None, 0),
+                                   ("media", None, "img://6", 1),
+                                   ("text", "c d x", None, 2)])
+
+
 def test_drop_duplicate_media_keep_first_and_order(spark):
     from entity_linking_in_biomedical_spark.operators.multimodal import (
         drop_duplicate_media,
