@@ -56,6 +56,18 @@ class CurateConfig:
     lm_alpha: float = 0.5
     decontam_ngram: int = 13
     decontam_min_overlap: int = 1
+    # GPT-3 Appendix C scrub mode: instead of dropping every flagged
+    # doc whole, remove only collision-covered tokens (± margin) and
+    # drop a doc only when the scrub shatters it into more than
+    # max_pieces surviving runs (or removes it entirely). Scrubbed
+    # docs' text is rewritten in the tokenizer's normalized form
+    # (lowercased, punctuation stripped) — the same normalization every
+    # gate signal already computes on; untouched docs keep their
+    # original bytes. The gate runs LAST, so no downstream signal sees
+    # the normalized text.
+    decontam_scrub: bool = False
+    decontam_margin: int = 0
+    decontam_max_pieces: int = 2
 
 
 def curate_corpus(
@@ -192,7 +204,42 @@ def curate_corpus(
         # pass through ungated, matching the absolute gate's stance
         cur = gate("ppl_bucket", cur.join(bad, id_col, "left_anti"))
 
-    if test is not None:
+    if test is not None and cfg.decontam_scrub:
+        from ..operators.contamination import scrub_contamination
+
+        scr = scrub_contamination(
+            cur,
+            test,
+            n=cfg.decontam_ngram,
+            margin=cfg.decontam_margin,
+            id_col=id_col,
+            text_col=text_col,
+        ).select(
+            F.col("doc_id").alias("__sid"), "n_removed", "n_pieces", "cleaned_text"
+        )
+        # scrub emits exactly one row per input doc, so an inner join
+        # loses nothing
+        joined = cur.join(scr, F.col(id_col).cast("string") == F.col("__sid"))
+        # keep: untouched docs (original bytes), or scrubbed docs whose
+        # surviving runs fit the pieces budget (n_pieces >= 1 excludes
+        # fully-removed docs)
+        kept = joined.filter(
+            (F.col("n_removed") == 0)
+            | (
+                (F.col("n_pieces") >= 1)
+                & (F.col("n_pieces") <= cfg.decontam_max_pieces)
+            )
+        )
+        cur = gate(
+            "decontam_scrub",
+            kept.withColumn(
+                text_col,
+                F.when(F.col("n_removed") == 0, F.col(text_col)).otherwise(
+                    F.col("cleaned_text")
+                ),
+            ).drop("__sid", "n_removed", "n_pieces", "cleaned_text"),
+        )
+    elif test is not None:
         from ..operators.contamination import decontaminate
 
         cur = gate(
@@ -249,6 +296,13 @@ def curate_interleaved(
         -> every text gate of curate_corpus on the (id, text, lang)
            projection
         -> survivors semi-joined back to the SPAN shape
+        -> [cfg.decontam_scrub + test]: span-aware decontamination
+           LAST, in span shape (scrub_interleaved) — text spans lose
+           only collision-covered tokens, media spans and span order
+           pass through byte-identical, and a doc drops only when the
+           scrub leaves it with zero spans. Whole-doc decontamination
+           (the default gate) is excluded from the projected funnel in
+           this mode so a flagged doc's clean spans survive.
 
     The text gates run on a 3-column projection, NOT the span frame:
     curate_corpus lazily checkpoints after each gate, and carrying
@@ -278,8 +332,42 @@ def curate_interleaved(
         spans_text(spans_col).alias("__text"),
     ).withColumn("__lang", lang_id("__text"))
 
+    span_scrub = test is not None and cfg.decontam_scrub
     out = curate_corpus(
-        proj, test=test, cfg=cfg, id_col=id_col, text_col="__text", lang_col="__lang"
+        proj,
+        test=None if span_scrub else test,
+        cfg=cfg,
+        id_col=id_col,
+        text_col="__text",
+        lang_col="__lang",
     )
     clean = cur.join(out["clean"].select(id_col), id_col, "semi")
-    return {"clean": clean, "funnel": out["funnel"], "media_spans": media_spans}
+    funnel = out["funnel"]
+    if span_scrub:
+        from ..operators.contamination import scrub_interleaved
+
+        scrubbed = scrub_interleaved(
+            clean,
+            test,
+            n=cfg.decontam_ngram,
+            margin=cfg.decontam_margin,
+            id_col=id_col,
+            spans_col=spans_col,
+        )
+        # doc-drop rule in span shape: only a doc the scrub left with
+        # ZERO spans drops (the per-span pieces budget has no doc-level
+        # meaning here — media interruptions already segment the doc).
+        # The scrubbed span arrays replace the originals via an id join
+        # so every other input column (and the id's type) is preserved.
+        surv = scrubbed.filter(F.col("n_spans_after") > 0).select(
+            F.col("doc_id").alias("__sid"), F.col(spans_col).alias("__newspans")
+        )
+        clean = (
+            clean.drop(spans_col)
+            .join(surv, F.col(id_col).cast("string") == F.col("__sid"))
+            .withColumnRenamed("__newspans", spans_col)
+            .drop("__sid")
+            .localCheckpoint(eager=False, storageLevel=barrier_level())
+        )
+        funnel = funnel + [("decontam_scrub", clean.count())]
+    return {"clean": clean, "funnel": funnel, "media_spans": media_spans}

@@ -179,3 +179,79 @@ def test_curate_ppl_bucket_gate_keeps_named_tertiles(spark):
         ),
     )
     assert sorted(r["doc_id"] for r in res2["clean"].collect()) == [0, 1, 2, 30]
+
+
+def test_curate_scrub_mode_pieces_rule(spark):
+    """decontam_scrub swaps the whole-doc decontamination drop for the
+    GPT-3 Appendix C rule: collision tokens are removed, docs
+    shattering into > max_pieces runs (or removed entirely) drop, and
+    untouched docs keep their original bytes."""
+    rows = [
+        (1, "Aaa, bbb ccc ddd eee fff!"),            # clean -> original bytes
+        (2, "p q r s t u v w"),                      # 1 collision -> 2 pieces, kept scrubbed
+        (3, "a1 q r s a2 q r s a3"),                 # 2 collisions -> 3 pieces, dropped
+        (4, "q r s"),                                # fully removed -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    test = spark.createDataFrame(
+        [(100, "x q r s y")], "test_id int, text string"
+    )
+    cfg = CurateConfig(
+        langs=(),
+        min_quality=None,
+        near_dup=False,
+        decontam_scrub=True,
+        decontam_ngram=3,
+        decontam_margin=0,
+        decontam_max_pieces=2,
+    )
+    res = curate_corpus(docs, test=test, cfg=cfg)
+    clean = {r["doc_id"]: r["text"] for r in res["clean"].collect()}
+    assert clean == {1: "Aaa, bbb ccc ddd eee fff!", 2: "p t u v w"}
+    assert res["funnel"] == [
+        ("input", 4),
+        ("exact_dedup", 4),
+        ("decontam_scrub", 2),
+    ]
+    assert res["clean"].columns == docs.columns
+
+
+def test_curate_interleaved_scrub_mode(spark):
+    """Interleaved scrub mode: a flagged doc's clean spans SURVIVE (the
+    default whole-doc gate would drop the doc), media spans pass
+    through, and only a doc scrubbed down to zero spans drops."""
+    from entity_linking_in_biomedical_spark.plans.curate import curate_interleaved
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    rows = [
+        ("d1", [("text", "good words here", None, 0),
+                ("media", None, "img://a", 1),
+                ("text", "q r s tail one", None, 2)]),
+        ("d2", [("text", "q r s", None, 0), ("media", None, "img://b", 1)]),
+        ("d3", [("text", "q r s q r s", None, 0)]),
+    ]
+    docs = spark.createDataFrame(rows, schema)
+    test = spark.createDataFrame([("t1", "x q r s y")], "test_id string, text string")
+    cfg = CurateConfig(
+        langs=(), min_quality=None, near_dup=False,
+        decontam_scrub=True, decontam_ngram=3,
+    )
+    res = curate_interleaved(docs, test=test, cfg=cfg, media_dedup=False)
+    clean = {r["doc_id"]: r["spans"] for r in res["clean"].collect()}
+    assert sorted(clean) == ["d1", "d2"]
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in clean["d1"]] == [
+        ("text", "good words here", None),
+        ("media", None, "img://a"),
+        ("text", "tail one", None),
+    ]
+    assert [(s["kind"], s["media_ref"]) for s in clean["d2"]] == [
+        ("media", "img://b")
+    ]
+    assert res["funnel"] == [
+        ("input", 3),
+        ("exact_dedup", 3),
+        ("decontam_scrub", 2),
+    ]
