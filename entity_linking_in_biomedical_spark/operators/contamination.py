@@ -362,6 +362,145 @@ def contamination_foreach_batch(
     return _apply
 
 
+def _guard_gram_broadcast(
+    test: DataFrame, text_col: str, n: int, max_broadcast_grams: int | None, caller: str
+) -> None:
+    """Shared broadcast budget for the streaming forms: the static test
+    side is counted ONCE at stream-construction time (one tiny batch
+    job), and a total distinct-gram count above the budget raises
+    ``ValueError`` naming the ``contamination_foreach_batch`` fallback
+    — instead of silently OOMing executors mid-stream. ``None``
+    disables the guard."""
+    if max_broadcast_grams is None:
+        return
+    total_grams = (
+        test.select(F.size(word_ngrams(F.col(text_col), n)).alias("n_grams"))
+        .agg(F.sum("n_grams").alias("total"))
+        .collect()[0]["total"]
+        or 0
+    )
+    if total_grams > max_broadcast_grams:
+        raise ValueError(
+            f"{caller}: test side has {total_grams} distinct "
+            f"grams (> max_broadcast_grams={max_broadcast_grams}); the "
+            "broadcast-cross-join form would risk executor OOM. Use "
+            "contamination_foreach_batch(test, sink, ...) with "
+            "writeStream.foreachBatch to run the shuffling batch operator "
+            "per micro-batch, or raise max_broadcast_grams explicitly."
+        )
+
+
+def scrub_stream(
+    stream_docs: DataFrame,
+    test: DataFrame,
+    n: int = 13,
+    margin: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_broadcast_grams: int | None = DEFAULT_MAX_BROADCAST_GRAMS,
+) -> DataFrame:
+    """Online span-level decontamination: :func:`scrub_contamination`
+    re-expressed as a PURE row-local column pipeline against ONE
+    broadcast array of test gram hashes — zero corpus-side shuffles and
+    no state, so it runs identically on a static frame or a readStream
+    (append mode, any trigger; same output schema and exact value
+    agreement with the batch scrub, asserted in tests).
+
+    Per-row cost is proportional to contamination found: the window
+    hashes intersect the broadcast set once (sort-merge
+    ``array_intersect``), and the per-position membership scans run
+    against the usually-empty COLLIDING subset, never the full gram
+    set. Same broadcast budget/guard as :func:`stream_contamination`;
+    the shuffling batch operator per micro-batch
+    (``contamination_foreach_batch`` pattern) remains the path for
+    oversized eval sets.
+    """
+    _guard_gram_broadcast(test, text_col, n, max_broadcast_grams, "scrub_stream")
+    tg = (
+        test.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+        .select(F.xxhash64("gram").alias("g"))
+        .distinct()
+        .agg(F.array_sort(F.collect_list("g")).alias("t_grams"))
+    )
+    c = stream_docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), tokens(text_col).alias("toks")
+    )
+    j = c.crossJoin(F.broadcast(tg))
+    nt = F.size("toks")
+    m = nt - (n - 1)
+    j = j.withColumn(
+        "wh",
+        F.when(
+            m >= 1,
+            F.transform(
+                F.sequence(F.lit(1), m),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
+            ),
+        ).otherwise(F.array().cast("array<bigint>")),
+    )
+    j = j.withColumn("colliding", F.array_intersect("wh", "t_grams"))
+    j = j.withColumn(
+        "hitpos",
+        F.when(
+            F.size("wh") >= 1,
+            F.filter(
+                F.sequence(F.lit(1), F.size("wh")),
+                lambda p: F.array_contains(
+                    F.col("colliding"), F.element_at(F.col("wh"), p)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    j = j.withColumn(
+        "drop_pos",
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    "hitpos",
+                    lambda p: F.sequence(
+                        F.greatest(p - margin, F.lit(1)),
+                        F.least(p + (n - 1) + margin, F.size(F.col("toks"))),
+                    ),
+                )
+            )
+        ),
+    )
+    j = j.withColumn(
+        "kept",
+        F.when(
+            nt >= 1,
+            F.filter(
+                F.sequence(F.lit(1), nt),
+                lambda t: ~F.array_contains(F.col("drop_pos"), t),
+            ),
+        ).otherwise(F.array().cast("array<int>")),
+    )
+    kt = F.col("kept")
+    ksz = F.size(kt)
+    pieces = F.when(ksz == 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.size(
+            F.filter(
+                F.zip_with(
+                    F.slice(kt, 2, ksz - 1),
+                    F.slice(kt, 1, ksz - 1),
+                    lambda nxt, cur: nxt - cur,
+                ),
+                lambda d: d != 1,
+            )
+        )
+    )
+    return j.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        (nt - ksz).alias("n_removed"),
+        pieces.alias("n_pieces"),
+        F.concat_ws(
+            " ", F.transform(kt, lambda t: F.element_at(F.col("toks"), t))
+        ).alias("cleaned_text"),
+    )
+
+
 def stream_contamination(
     stream_docs: DataFrame,
     test: DataFrame,
@@ -396,24 +535,7 @@ def stream_contamination(
     ``ValueError`` naming the ``contamination_foreach_batch`` fallback
     — instead of silently OOMing executors mid-stream. ``None``
     disables the guard."""
-    if max_broadcast_grams is not None:
-        total_grams = (
-            test.select(
-                F.size(word_ngrams(F.col(text_col), n)).alias("n_grams")
-            )
-            .agg(F.sum("n_grams").alias("total"))
-            .collect()[0]["total"]
-            or 0
-        )
-        if total_grams > max_broadcast_grams:
-            raise ValueError(
-                f"stream_contamination: test side has {total_grams} distinct "
-                f"grams (> max_broadcast_grams={max_broadcast_grams}); the "
-                "broadcast-cross-join form would risk executor OOM. Use "
-                "contamination_foreach_batch(test, sink, ...) with "
-                "writeStream.foreachBatch to run the shuffling batch operator "
-                "per micro-batch, or raise max_broadcast_grams explicitly."
-            )
+    _guard_gram_broadcast(test, text_col, n, max_broadcast_grams, "stream_contamination")
     # clamp to >= 1: the batch operator's inner join on gram hash can
     # only produce pairs with at least one shared gram, so min_overlap=0
     # already behaves as 1 there; without the clamp the cross-join form
