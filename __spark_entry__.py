@@ -1955,6 +1955,33 @@ def q_scrub_contamination(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_scrub_stream(spark, sf_dir):
+    """The ROW-LOCAL scrub implementation (operators/contamination.py::
+    scrub_stream — the zero-shuffle streaming face, which runs
+    identically on a static frame): same planted eval set and
+    parameters as `scrub_contamination`, same DuckDB twin. A green
+    hash here value-checks the broadcast-array + higher-order-function
+    pipeline independently of the explode/groupBy batch form."""
+    from entity_linking_in_biomedical_spark.functions.text_metrics import tokens
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        scrub_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    test = docs.filter((F.col("doc_id") % 7) == 0).select(
+        F.concat(F.lit("t"), F.col("doc_id")).alias("test_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 4, 20)).alias("text"),
+    )
+    out = scrub_stream(docs, test, n=8, margin=2)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+        "cleaned_text",
+    ).orderBy("doc_id")
+
+
 def _oracle_scrub_contamination() -> str:
     # test grams compare as exact strings vs xxhash64 longs in Spark —
     # agreement also certifies the semi-join is collision-free here
@@ -5115,6 +5142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "scrub_contamination": q_scrub_contamination,
         "scrub_interleaved": q_scrub_interleaved,
+        "scrub_stream": q_scrub_stream,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_best": q_dedup_keep_best,
         "stratified_sample": q_stratified_sample,
@@ -5210,6 +5238,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": ORACLE_DECONTAMINATE,
         "scrub_contamination": _oracle_scrub_contamination(),
         "scrub_interleaved": _oracle_scrub_interleaved(),
+        "scrub_stream": _oracle_scrub_contamination(),
         "dedup_clusters": _oracle_dedup_clusters(),
         "dedup_keep_best": _oracle_dedup_keep_best(),
         "stratified_sample": _oracle_stratified_sample(),

@@ -322,6 +322,7 @@ def main() -> None:
         "decontaminate",
         "scrub_contamination",
         "scrub_interleaved",
+        "scrub_stream",
         "stratified_sample",
         "token_budget_sample",
         "temperature_mixture",

@@ -415,6 +415,8 @@ def scrub_stream(
     (``contamination_foreach_batch`` pattern) remains the path for
     oversized eval sets.
     """
+    from ..functions.lambdas import let_bound
+
     _guard_gram_broadcast(test, text_col, n, max_broadcast_grams, "scrub_stream")
     tg = (
         test.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
@@ -422,82 +424,113 @@ def scrub_stream(
         .distinct()
         .agg(F.array_sort(F.collect_list("g")).alias("t_grams"))
     )
-    c = stream_docs.select(
-        F.col(id_col).cast("string").alias("doc_id"), tokens(text_col).alias("toks")
-    )
-    j = c.crossJoin(F.broadcast(tg))
-    nt = F.size("toks")
-    m = nt - (n - 1)
-    j = j.withColumn(
-        "wh",
-        F.when(
+    j = stream_docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col)
+    ).crossJoin(F.broadcast(tg))
+
+    # Every stage is let-bound: Catalyst's projection collapse inlines a
+    # withColumn expression into EVERY reference, and a reference inside
+    # a higher-order lambda re-evaluates it once PER ELEMENT — the
+    # window-hash array referenced per position would make this
+    # O(n_tokens^2 * n). Measured 155 s -> ~2 s at sf0.01 on this exact
+    # pipeline (functions/lambdas.py documents the trap).
+    def with_toks(toks):
+        nt = F.size(toks)
+        m = nt - (n - 1)
+        wh_e = F.when(
             m >= 1,
             F.transform(
                 F.sequence(F.lit(1), m),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
             ),
-        ).otherwise(F.array().cast("array<bigint>")),
-    )
-    j = j.withColumn("colliding", F.array_intersect("wh", "t_grams"))
-    j = j.withColumn(
-        "hitpos",
-        F.when(
-            F.size("wh") >= 1,
-            F.filter(
-                F.sequence(F.lit(1), F.size("wh")),
-                lambda p: F.array_contains(
-                    F.col("colliding"), F.element_at(F.col("wh"), p)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<int>")),
-    )
-    j = j.withColumn(
-        "drop_pos",
-        F.array_distinct(
-            F.flatten(
-                F.transform(
-                    "hitpos",
-                    lambda p: F.sequence(
-                        F.greatest(p - margin, F.lit(1)),
-                        F.least(p + (n - 1) + margin, F.size(F.col("toks"))),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+        def with_wh(wh):
+            def with_coll(coll):
+                hit_e = F.when(
+                    F.size(wh) >= 1,
+                    F.filter(
+                        F.sequence(F.lit(1), F.size(wh)),
+                        lambda p: F.array_contains(coll, F.element_at(wh, p)),
                     ),
-                )
-            )
-        ),
-    )
-    j = j.withColumn(
-        "kept",
-        F.when(
-            nt >= 1,
-            F.filter(
-                F.sequence(F.lit(1), nt),
-                lambda t: ~F.array_contains(F.col("drop_pos"), t),
-            ),
-        ).otherwise(F.array().cast("array<int>")),
-    )
-    kt = F.col("kept")
-    ksz = F.size(kt)
-    pieces = F.when(ksz == 0, F.lit(0)).otherwise(
-        F.lit(1)
-        + F.size(
-            F.filter(
-                F.zip_with(
-                    F.slice(kt, 2, ksz - 1),
-                    F.slice(kt, 1, ksz - 1),
-                    lambda nxt, cur: nxt - cur,
-                ),
-                lambda d: d != 1,
-            )
-        )
-    )
-    return j.select(
+                ).otherwise(F.array().cast("array<int>"))
+
+                def with_hits(hits):
+                    drop_e = F.array_distinct(
+                        F.flatten(
+                            F.transform(
+                                hits,
+                                lambda p: F.sequence(
+                                    F.greatest(p - margin, F.lit(1)),
+                                    F.least(p + (n - 1) + margin, nt),
+                                ),
+                            )
+                        )
+                    )
+
+                    def with_drops(drops):
+                        kept_e = F.when(
+                            nt >= 1,
+                            F.filter(
+                                F.sequence(F.lit(1), nt),
+                                lambda t: ~F.array_contains(drops, t),
+                            ),
+                        ).otherwise(F.array().cast("array<int>"))
+
+                        def with_kept(kept):
+                            ksz = F.size(kept)
+                            pieces = F.when(ksz == 0, F.lit(0)).otherwise(
+                                F.lit(1)
+                                + F.size(
+                                    F.filter(
+                                        F.zip_with(
+                                            F.slice(kept, 2, ksz - 1),
+                                            F.slice(kept, 1, ksz - 1),
+                                            lambda nxt, cur: nxt - cur,
+                                        ),
+                                        lambda d: d != 1,
+                                    )
+                                )
+                            )
+                            return F.struct(
+                                nt.alias("n_tokens"),
+                                (nt - ksz).alias("n_removed"),
+                                pieces.alias("n_pieces"),
+                                F.concat_ws(
+                                    " ",
+                                    F.transform(
+                                        kept, lambda t: F.element_at(toks, t)
+                                    ),
+                                ).alias("cleaned_text"),
+                            )
+
+                        return let_bound(kept_e, with_kept)
+
+                    return let_bound(drop_e, with_drops)
+
+                return let_bound(hit_e, with_hits)
+
+            return let_bound(F.array_intersect(wh, F.col("t_grams")), with_coll)
+
+        return let_bound(wh_e, with_wh)
+
+    # explode of a singleton array: a Generate node is NOT collapsed
+    # into the downstream projection, so the chain evaluates ONCE and
+    # the four field extractions read a bound attribute. A plain struct
+    # column would be re-inlined per field (SimplifyExtractValueOps)
+    # and then deduplicated again only by codegen-level subexpression
+    # elimination — measured equal on this host, but the Generate makes
+    # single evaluation structural instead of optimizer-dependent
+    res = j.select(
         "doc_id",
-        nt.alias("n_tokens"),
-        (nt - ksz).alias("n_removed"),
-        pieces.alias("n_pieces"),
-        F.concat_ws(
-            " ", F.transform(kt, lambda t: F.element_at(F.col("toks"), t))
-        ).alias("cleaned_text"),
+        F.explode(F.array(let_bound(tokens(text_col), with_toks))).alias("r"),
+    )
+    return res.select(
+        "doc_id",
+        F.col("r.n_tokens").alias("n_tokens"),
+        F.col("r.n_removed").alias("n_removed"),
+        F.col("r.n_pieces").alias("n_pieces"),
+        F.col("r.cleaned_text").alias("cleaned_text"),
     )
 
 
