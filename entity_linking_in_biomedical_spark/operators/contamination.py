@@ -406,11 +406,17 @@ def scrub_stream(
     (append mode, any trigger; same output schema and exact value
     agreement with the batch scrub, asserted in tests).
 
-    Per-row cost is proportional to contamination found: the window
-    hashes intersect the broadcast set once (sort-merge
-    ``array_intersect``), and the per-position membership scans run
-    against the usually-empty COLLIDING subset, never the full gram
-    set. Same broadcast budget/guard as :func:`stream_contamination`;
+    Per-row cost: O(n_tokens · n) window hashing + ONE
+    ``array_intersect`` against the broadcast set — which is O(G) per
+    row (Spark rebuilds the contains-set per invocation), G = total
+    distinct test grams. Only the position scans after the intersect
+    are proportional to contamination found. That O(G)-per-row term is
+    the price of statelessness: it is the right trade on MICRO-BATCHES
+    against eval-set-sized gram sets (the regime this operator exists
+    for), but on a corpus at rest the batch operator amortizes the gram
+    set across all rows via the hash join and is ~5× faster (measured
+    2.3 s vs 11.6 s at sf0.1/18.5k grams) — use :func:`scrub_contamination`
+    there. Same broadcast budget/guard as :func:`stream_contamination`;
     the shuffling batch operator per micro-batch
     (``contamination_foreach_batch`` pattern) remains the path for
     oversized eval sets.
