@@ -362,6 +362,46 @@ def contamination_foreach_batch(
     return _apply
 
 
+def scrub_foreach_batch(
+    test: DataFrame,
+    sink,
+    n: int = 13,
+    margin: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_test: bool = False,
+):
+    """The big-eval-set path :func:`scrub_stream` cannot take (its
+    broadcast gram array is bounded by the guard): a ``foreachBatch``
+    callback that runs the BATCH scrub on each micro-batch — with
+    ``broadcast_test=False`` (the default here, since this path exists
+    for oversized test sides) the per-batch gram join shuffles both
+    sides on the 8-byte hash. ``sink(result_df, batch_id)`` receives
+    each micro-batch's scrubbed docs (same schema as the batch
+    operator). Wire it as::
+
+        stream.writeStream.foreachBatch(
+            scrub_foreach_batch(test, sink, n=13)
+        ).start()
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sink(
+            scrub_contamination(
+                batch_df,
+                test,
+                n=n,
+                margin=margin,
+                id_col=id_col,
+                text_col=text_col,
+                broadcast_test=broadcast_test,
+            ),
+            batch_id,
+        )
+
+    return _apply
+
+
 def _guard_gram_broadcast(
     test: DataFrame, text_col: str, n: int, max_broadcast_grams: int | None, caller: str
 ) -> None:

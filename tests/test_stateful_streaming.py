@@ -366,3 +366,50 @@ def test_scrub_stream_broadcast_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="contamination_foreach_batch"):
         scrub_stream(stream, test, n=8, max_broadcast_grams=10)
     scrub_stream(stream, test, n=8, max_broadcast_grams=None)
+
+
+def test_scrub_foreach_batch_matches_batch(spark, tmp_path):
+    """The scrub foreachBatch fallback (shuffling batch scrub per
+    micro-batch, no broadcast) agrees exactly with the batch scrub over
+    all micro-batches of a real streaming query."""
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        scrub_contamination,
+        scrub_foreach_batch,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus_rows = [
+        ("c1", f"intro words {base} trailing text one"),
+        ("c2", "totally different content with no shared grams at all here"),
+        ("c3", base),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id string, text string")
+    test = spark.createDataFrame([("eval1", base)], "test_id string, text string")
+
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["n_pieces"], r["cleaned_text"])
+        for r in scrub_contamination(corpus, test, n=8, margin=1).collect()
+    }
+    assert any(v[1] > 0 for v in want.values())
+
+    src = str(tmp_path / "scrub_fb_src")
+    corpus.write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    got = {}
+
+    def sink(df, batch_id):
+        for r in df.collect():
+            got[r["doc_id"]] = (
+                r["n_tokens"], r["n_removed"], r["n_pieces"], r["cleaned_text"]
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(
+            scrub_foreach_batch(test, sink, n=8, margin=1)
+        )
+        .option("checkpointLocation", str(tmp_path / "scrub_fb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == want
