@@ -180,6 +180,22 @@ def _test_gram_hashes(test: DataFrame, text_col: str, n: int) -> DataFrame:
     )
 
 
+def window_hashes(toks, n: int):
+    """xxhash64 longs of every n-token window of ``toks``, in position
+    order (empty when the unit is shorter than n — guarded explicitly
+    because Spark's sequence(1, 0) counts DOWN). Shared by the
+    shuffling and row-local scrub forms so their gram hashing can never
+    drift apart."""
+    m = F.size(toks) - (n - 1)
+    return F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
 def _collision_drops(base, t_hashes, n: int, margin: int, keys: list) -> DataFrame:
     """(*keys, toks) -> (*keys, ti) token positions covered by a
     test-gram collision ± margin. Window hashes stream through a
@@ -187,15 +203,9 @@ def _collision_drops(base, t_hashes, n: int, margin: int, keys: list) -> DataFra
     positions. Positions past the unit end (pos + n - 1 + margin >
     n_tokens) are tolerated by the rebuild tail's anti-join — no clamp
     join needed."""
-    m = F.size("toks") - (n - 1)
-    windows = F.when(
-        m >= 1,
-        F.transform(
-            F.sequence(F.lit(1), m),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), i, n))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    wdf = base.select(*keys, F.posexplode(windows).alias("p", "g")).select(
+    wdf = base.select(
+        *keys, F.posexplode(window_hashes(F.col("toks"), n)).alias("p", "g")
+    ).select(
         *keys, (F.col("p") + 1).alias("pos"), "g"
     )
     hits = wdf.join(t_hashes, "g", "left_semi")
@@ -283,7 +293,9 @@ def scrub_interleaved(
             ).alias("newsp"),
         )
     )
-    media = ex.filter(F.col("sp.kind") != "text").select(
+    # null-safe: a span whose kind is NULL must pass through like any
+    # non-text span, not vanish (kind != 'text' is null-rejecting)
+    media = ex.filter(~F.col("sp.kind").eqNullSafe("text")).select(
         *keys, F.lit(0).alias("n_removed"), F.col("sp").alias("newsp")
     )
     surv = out_txt.unionByName(media)
@@ -297,7 +309,12 @@ def scrub_interleaved(
     removed = scr.groupBy("doc_id").agg(F.sum("n_removed").alias("n_removed_tokens"))
     base_stats = docs.select(
         F.col(id_col).cast("string").alias("doc_id"),
-        F.size(spans_col).cast("long").alias("n_spans_before"),
+        # NULL spans arrays count as empty (F.size(NULL) is -1 or NULL
+        # depending on spark.sql.legacy.sizeOfNull)
+        F.when(F.col(spans_col).isNull(), F.lit(0))
+        .otherwise(F.size(spans_col))
+        .cast("long")
+        .alias("n_spans_before"),
     )
     return (
         base_stats.join(reassembled, "doc_id", "left")
@@ -403,14 +420,19 @@ def scrub_foreach_batch(
 
 
 def _guard_gram_broadcast(
-    test: DataFrame, text_col: str, n: int, max_broadcast_grams: int | None, caller: str
+    test: DataFrame,
+    text_col: str,
+    n: int,
+    max_broadcast_grams: int | None,
+    caller: str,
+    fallback: str = "contamination_foreach_batch",
 ) -> None:
     """Shared broadcast budget for the streaming forms: the static test
     side is counted ONCE at stream-construction time (one tiny batch
     job), and a total distinct-gram count above the budget raises
-    ``ValueError`` naming the ``contamination_foreach_batch`` fallback
-    — instead of silently OOMing executors mid-stream. ``None``
-    disables the guard."""
+    ``ValueError`` naming the caller's foreachBatch ``fallback`` —
+    instead of silently OOMing executors mid-stream. ``None`` disables
+    the guard."""
     if max_broadcast_grams is None:
         return
     total_grams = (
@@ -424,7 +446,7 @@ def _guard_gram_broadcast(
             f"{caller}: test side has {total_grams} distinct "
             f"grams (> max_broadcast_grams={max_broadcast_grams}); the "
             "broadcast-cross-join form would risk executor OOM. Use "
-            "contamination_foreach_batch(test, sink, ...) with "
+            f"{fallback}(test, sink, ...) with "
             "writeStream.foreachBatch to run the shuffling batch operator "
             "per micro-batch, or raise max_broadcast_grams explicitly."
         )
@@ -463,12 +485,12 @@ def scrub_stream(
     """
     from ..functions.lambdas import let_bound
 
-    _guard_gram_broadcast(test, text_col, n, max_broadcast_grams, "scrub_stream")
-    tg = (
-        test.select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
-        .select(F.xxhash64("gram").alias("g"))
-        .distinct()
-        .agg(F.array_sort(F.collect_list("g")).alias("t_grams"))
+    _guard_gram_broadcast(
+        test, text_col, n, max_broadcast_grams, "scrub_stream",
+        fallback="scrub_foreach_batch",
+    )
+    tg = _test_gram_hashes(test, text_col, n).agg(
+        F.array_sort(F.collect_list("g")).alias("t_grams")
     )
     j = stream_docs.select(
         F.col(id_col).cast("string").alias("doc_id"), F.col(text_col)
@@ -482,14 +504,7 @@ def scrub_stream(
     # pipeline (functions/lambdas.py documents the trap).
     def with_toks(toks):
         nt = F.size(toks)
-        m = nt - (n - 1)
-        wh_e = F.when(
-            m >= 1,
-            F.transform(
-                F.sequence(F.lit(1), m),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
+        wh_e = window_hashes(toks, n)
 
         def with_wh(wh):
             def with_coll(coll):
@@ -525,18 +540,10 @@ def scrub_stream(
 
                         def with_kept(kept):
                             ksz = F.size(kept)
+                            from .dedup import piece_runs
+
                             pieces = F.when(ksz == 0, F.lit(0)).otherwise(
-                                F.lit(1)
-                                + F.size(
-                                    F.filter(
-                                        F.zip_with(
-                                            F.slice(kept, 2, ksz - 1),
-                                            F.slice(kept, 1, ksz - 1),
-                                            lambda nxt, cur: nxt - cur,
-                                        ),
-                                        lambda d: d != 1,
-                                    )
-                                )
+                                piece_runs(kept, ksz)
                             )
                             return F.struct(
                                 nt.alias("n_tokens"),
@@ -569,7 +576,16 @@ def scrub_stream(
     # single evaluation structural instead of optimizer-dependent
     res = j.select(
         "doc_id",
-        F.explode(F.array(let_bound(tokens(text_col), with_toks))).alias("r"),
+        # NULL text behaves as an empty doc (F.size(NULL) = -1 would
+        # otherwise poison n_tokens/n_removed)
+        F.explode(
+            F.array(
+                let_bound(
+                    F.coalesce(tokens(text_col), F.array().cast("array<string>")),
+                    with_toks,
+                )
+            )
+        ).alias("r"),
     )
     return res.select(
         "doc_id",

@@ -422,14 +422,24 @@ def rebuild_minus_positions(
     runs (GPT-3 Appendix C's "split into pieces" statistic: 1 for an
     untouched unit, 0 for a fully-removed or empty one).
 
-    One token explode + a LEFT ANTI join on (keys, position) + one
-    groupBy(keys) reassembly — the single corpus-wide shuffle a rewrite
-    transform cannot avoid. The piece count reads off the
-    already-sorted position array (adjacent-gap scan), no extra
-    aggregate or window.
+    Cost is proportional to the removal found, not the corpus: units
+    with at least one drop position are isolated by a semi-join on the
+    keys and ONLY THEY pay the token explode + LEFT ANTI join + one
+    groupBy(keys) reassembly; untouched units stream through as a pure
+    projection (their token re-join is row-local). The piece count
+    reads off the already-sorted position array (adjacent-gap scan),
+    no extra aggregate or window.
     """
     keys = list(key_cols)
-    tokrows = base.select(*keys, F.posexplode("toks").alias("p", "tok")).select(
+    # NULL toks (a NULL text column upstream) must behave as an empty
+    # unit — without this, F.size(NULL) = -1 poisons n_tokens/n_removed
+    base = base.select(
+        *keys, F.coalesce("toks", F.array().cast("array<string>")).alias("toks")
+    )
+    touched_keys = drops.select(*keys).distinct()
+    touched = base.join(touched_keys, keys, "left_semi")
+    untouched = base.join(touched_keys, keys, "left_anti")
+    tokrows = touched.select(*keys, F.posexplode("toks").alias("p", "tok")).select(
         *keys, (F.col("p") + 1).alias("ti"), "tok"
     )
     kept = tokrows.join(drops, keys + ["ti"], "left_anti")
@@ -441,23 +451,10 @@ def rebuild_minus_positions(
     rebuilt = arr.select(
         *keys,
         sz.alias("n_kept"),
-        # runs = 1 + number of adjacent kept positions whose gap != 1
-        (
-            F.lit(1)
-            + F.size(
-                F.filter(
-                    F.zip_with(
-                        F.slice(tis, 2, sz - 1),
-                        F.slice(tis, 1, sz - 1),
-                        lambda nxt, cur: nxt - cur,
-                    ),
-                    lambda d: d != 1,
-                )
-            )
-        ).alias("n_pieces"),
+        piece_runs(tis, sz).alias("n_pieces"),
         F.concat_ws(" ", F.transform("arr", lambda x: x["tok"])).alias("cleaned_text"),
     )
-    return base.select(*keys, F.size("toks").alias("n_tokens")).join(
+    touched_out = touched.select(*keys, F.size("toks").alias("n_tokens")).join(
         rebuilt, keys, "left"
     ).select(
         *keys,
@@ -465,6 +462,31 @@ def rebuild_minus_positions(
         (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
         F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+    nt = F.size("toks")
+    untouched_out = untouched.select(
+        *keys,
+        nt.alias("n_tokens"),
+        F.lit(0).alias("n_removed"),
+        F.when(nt >= 1, F.lit(1)).otherwise(F.lit(0)).alias("n_pieces"),
+        F.concat_ws(" ", F.col("toks")).alias("cleaned_text"),
+    )
+    return touched_out.unionByName(untouched_out)
+
+
+def piece_runs(tis, sz):
+    """Contiguous-run count of a SORTED 1-based position array (GPT-3
+    Appendix C's "pieces"): 1 + the number of adjacent gaps != 1.
+    ``tis`` must be non-empty (callers guard the empty case to 0)."""
+    return F.lit(1) + F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(tis, 2, sz - 1),
+                F.slice(tis, 1, sz - 1),
+                lambda nxt, cur: nxt - cur,
+            ),
+            lambda d: d != 1,
+        )
     )
 
 

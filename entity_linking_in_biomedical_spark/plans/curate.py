@@ -359,7 +359,12 @@ def curate_interleaved(
         # meaning here — media interruptions already segment the doc).
         # The scrubbed span arrays replace the originals via an id join
         # so every other input column (and the id's type) is preserved.
-        surv = scrubbed.filter(F.col("n_spans_after") > 0).select(
+        # (n_spans_before == 0 keeps docs that ARRIVED with an empty
+        # span array — every other gate passes them through, so the
+        # scrub gate must not claim them as decontamination losses)
+        surv = scrubbed.filter(
+            (F.col("n_spans_after") > 0) | (F.col("n_spans_before") == 0)
+        ).select(
             F.col("doc_id").alias("__sid"), F.col(spans_col).alias("__newspans")
         )
         clean = (

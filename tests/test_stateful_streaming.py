@@ -363,7 +363,9 @@ def test_scrub_stream_broadcast_guard(spark, tmp_path):
     ).write.parquet(src)
     stream = spark.readStream.schema("doc_id string, text string").parquet(src)
 
-    with pytest.raises(ValueError, match="contamination_foreach_batch"):
+    # the guard must name the SCRUB family's fallback, not the
+    # detection family's (different output contract)
+    with pytest.raises(ValueError, match="scrub_foreach_batch"):
         scrub_stream(stream, test, n=8, max_broadcast_grams=10)
     scrub_stream(stream, test, n=8, max_broadcast_grams=None)
 

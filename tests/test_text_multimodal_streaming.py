@@ -681,3 +681,85 @@ def test_media_dedup_foreach_batch_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(got) == want
+
+
+def test_scrub_null_edges(spark):
+    """NULL text must behave as an empty doc in every scrub form
+    (F.size(NULL) = -1 would otherwise poison the counts), a NULL-kind
+    span must pass through the interleaved scrub untouched rather than
+    vanish, and a NULL spans array must count as empty."""
+    from entity_linking_in_biomedical_spark.operators.contamination import (
+        scrub_contamination,
+        scrub_interleaved,
+        scrub_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [("d1", None), ("d2", "p q r s t")], "doc_id string, text string"
+    )
+    test = spark.createDataFrame([("t1", "q r s")], "test_id string, text string")
+    for op in (scrub_contamination, scrub_stream):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["n_pieces"], r["cleaned_text"])
+            for r in op(docs, test, n=3, margin=0).collect()
+        }
+        assert got["d1"] == (0, 0, 0, ""), op.__name__
+        assert got["d2"] == (5, 3, 2, "p t"), op.__name__
+
+    schema = (
+        "doc_id string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    idocs = spark.createDataFrame(
+        [
+            ("d1", [(None, None, "blob://x", 0), ("text", "q r s tail", None, 1)]),
+            ("d2", [("text", None, None, 0)]),   # NULL text span
+            ("d3", None),                          # NULL spans array
+        ],
+        schema,
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_spans_before"], r["n_spans_after"], r["n_removed_tokens"],
+            [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]],
+        )
+        for r in scrub_interleaved(idocs, test, n=3, margin=0).collect()
+    }
+    # the NULL-kind span survives byte-identical, in order
+    assert got["d1"] == (2, 2, 3, [(None, None, "blob://x"),
+                                   ("text", "tail", None)])
+    # a NULL-text span is an empty text unit: kept, byte-identical
+    assert got["d2"] == (1, 1, 0, [("text", None, None)])
+    assert got["d3"] == (0, 0, 0, [])
+
+
+def test_curate_interleaved_scrub_keeps_empty_span_docs(spark):
+    """A doc that ARRIVED with an empty span array must survive the
+    interleaved scrub gate (it has nothing to decontaminate) — only
+    docs the scrub itself reduced to zero spans drop."""
+    from entity_linking_in_biomedical_spark.plans.curate import (
+        CurateConfig,
+        curate_interleaved,
+    )
+
+    schema = (
+        "doc_id string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    docs = spark.createDataFrame(
+        [
+            ("d1", [("text", "hello there world", None, 0)]),
+            ("d2", []),
+            ("d3", [("text", "q r s", None, 0)]),  # fully scrubbed -> drop
+        ],
+        schema,
+    )
+    test = spark.createDataFrame([("t1", "q r s")], "test_id string, text string")
+    cfg = CurateConfig(
+        langs=(), min_quality=None, near_dup=False,
+        decontam_scrub=True, decontam_ngram=3,
+    )
+    res = curate_interleaved(docs, test=test, cfg=cfg, media_dedup=False)
+    kept = sorted(r["doc_id"] for r in res["clean"].collect())
+    assert kept == ["d1", "d2"]
+    assert res["funnel"][-1] == ("decontam_scrub", 2)
