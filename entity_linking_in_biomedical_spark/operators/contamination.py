@@ -155,8 +155,9 @@ def scrub_contamination(
     windows expand into drop positions, so the cost beyond detection is
     proportional to the contamination found, not the corpus size. The
     reassembly tail is shared with the passage-dedup transform
-    (operators/dedup.py::rebuild_minus_positions) — one corpus-wide
-    shuffle, the minimum any rewrite transform pays.
+    (operators/dedup.py::rebuild_minus_positions) — only docs with a
+    collision pay its explode + reassembly shuffle; clean docs stream
+    through as a row-local projection.
     """
     from .dedup import rebuild_minus_positions
     from ..session import barrier_level

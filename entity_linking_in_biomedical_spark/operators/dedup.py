@@ -363,9 +363,12 @@ def remove_duplicate_passages(
          count >= 2 survive the broadcast-eligible right side filter);
       4. covered-token positions: a k-wide sequence explode over
          *removed occurrences only*, then distinct per (doc, position);
-      5. rebuild: token explode, LEFT ANTI join on (doc, position), one
-         groupBy(doc_id) reassembly — the single corpus-wide shuffle a
-         rewrite transform cannot avoid.
+      5. rebuild (shared tail, rebuild_minus_positions below): docs
+         with at least one removed position are isolated by a semi-join
+         and ONLY THEY pay the token explode + LEFT ANTI join +
+         groupBy(doc_id) reassembly; untouched docs stream through as a
+         row-local projection — the one shuffle is proportional to the
+         duplication found, not the corpus.
     Positions are 1-based on both engines; the keep-first rule orders
     (doc_id string asc, pos asc) identically in Spark's struct
     comparison and the DuckDB twin's ROW_NUMBER, so the surviving text
@@ -436,6 +439,10 @@ def rebuild_minus_positions(
     base = base.select(
         *keys, F.coalesce("toks", F.array().cast("array<string>")).alias("toks")
     )
+    # drops feeds three consumers (semi, anti, kept anti-join); its
+    # lineage re-runs the caller's window-collision detection, so pin
+    # the (removal-proportional, small) frame once
+    drops = drops.localCheckpoint(eager=False, storageLevel=barrier_level())
     touched_keys = drops.select(*keys).distinct()
     touched = base.join(touched_keys, keys, "left_semi")
     untouched = base.join(touched_keys, keys, "left_anti")
