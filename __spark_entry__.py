@@ -873,15 +873,18 @@ def q_ngram_jaccard(spark, sf_dir):
     ).select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard")).orderBy("a_id", "b_id")
 
 
-def _oracle_ngram_jaccard(thr=0.5) -> str:
+def _oracle_ngram_jaccard(thr=0.5, src="documents") -> str:
     """Twin is the PLAIN exact semantics (any-shared-gram candidates +
     exact verify) — deliberately NOT a transcription of the operator's
     prefix filter, so the oracle is a true differential check: a prefix
-    bound bug that loses pairs shows up as a hash mismatch."""
+    bound bug that loses pairs shows up as a hash mismatch. ``src`` is
+    the doc source expression (a table name or a parenthesized
+    subquery with doc_id/text columns) so planting queries can reuse
+    the twin."""
     sh = _duck_shingles("text")
     return f"""
 with sh as (
-  select cast(doc_id as varchar) as doc_id, {sh} as shingles from documents
+  select cast(doc_id as varchar) as doc_id, {sh} as shingles from {src} as _src
 ),
 inv as (select doc_id, unnest(shingles) as g from sh),
 cand as (
@@ -983,6 +986,94 @@ hist as (
 )
 select cast(sz as bigint) as cluster_size, cast(sum(n) as bigint) as n_clusters
 from hist group by sz having sum(n) > 0 order by cluster_size
+"""
+
+
+_MATCH_QA_PLANT = [
+    ("zzz_tri1", "zztr1 zztr2 zztr3 zztr4 zztr5"),
+    ("zzz_tri2", "zztr1 zztr2 zztr3 zztr4 zztr5 zztr6"),
+    ("zzz_tri3", "zztr1 zztr2 zztr3 zztr4 zztr5 zztr7"),
+    ("zzz_cha1", "zzch1 zzch2 zzch3 zzch4 zzch5 zzch6"),
+    ("zzz_cha2", "zzch2 zzch3 zzch4 zzch5 zzch6 zzch7"),
+    ("zzz_cha3", "zzch3 zzch4 zzch5 zzch6 zzch7 zzch8"),
+]
+
+
+def q_match_graph_qa(spark, sf_dir):
+    """Label-free transitive-closure audit (operators/clustering.
+    match_graph_diagnostics over edge_triangle_support): per-cluster
+    node/edge/triangle/bridge counts + density for the exact-jaccard
+    near-dup match graph — the shape report that flags chain merges
+    (clusters held together by uncorroborated bridge edges) before a
+    closure is accepted. The generated corpus yields mostly size-2
+    clusters with no triangles, so both phenomena are PLANTED
+    in-query: a mutually-similar trio (1 triangle, 0 bridges) and an
+    A~B~C chain with jaccard(A,C) < threshold (0 triangles, 2 bridge
+    edges). Planted tokens are unique, so neither structure can pair
+    with real docs. Oracle: naive id-ordered triangle join + the
+    recursive-CTE CC twin."""
+    from entity_linking_in_biomedical_spark.operators.clustering import (
+        match_graph_diagnostics,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    planted = spark.createDataFrame(_MATCH_QA_PLANT, "doc_id string, text string")
+    pairs = ngram_jaccard_pairs(docs.unionByName(planted), jaccard_threshold=0.5)
+    edges = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    assign, _ = connected_components(edges)
+    return match_graph_diagnostics(edges, assign).orderBy("cluster_id")
+
+
+def _oracle_match_graph_qa(thr=0.5) -> str:
+    plant_rows = ", ".join(f"('{i}', '{t}')" for i, t in _MATCH_QA_PLANT)
+    src = f"""(
+  select cast(doc_id as varchar) as doc_id, text from documents
+  union all
+  select * from (values {plant_rows}) v(doc_id, text)
+)"""
+    inner = _oracle_ngram_jaccard(thr, src=src)
+    return f"""
+with recursive pairs as ({inner}),
+e as (select a_id as a, b_id as b from pairs),
+tri as (
+  select e1.a as x, e1.b as y, e2.b as z
+  from e e1
+  join e e2 on e2.a = e1.a and e2.b > e1.b
+  join e e3 on e3.a = e1.b and e3.b = e2.b
+),
+te as (
+  select x as a, y as b from tri
+  union all select x as a, z as b from tri
+  union all select y as a, z as b from tri
+),
+supp as (select a, b, count(*) as s from te group by a, b),
+es as (
+  select e.a, e.b, coalesce(supp.s, 0) as s
+  from e left join supp on supp.a = e.a and supp.b = e.b
+),
+und as (select a, b from e union all select b as a, a as b from e),
+cc(n, m) as (
+  select a, a from und
+  union
+  select und.b, cc.m from cc join und on und.a = cc.n where cc.m < und.b
+),
+lbl as (select n, min(m) as cluster_id from cc group by n),
+agg as (
+  select lbl.cluster_id,
+         cast(count(*) as bigint) as n_edges,
+         cast(sum(s) / 3 as bigint) as n_triangles,
+         cast(sum(case when s = 0 then 1 else 0 end) as bigint) as n_bridge_edges
+  from es join lbl on lbl.n = es.a
+  group by 1
+),
+sizes as (select cluster_id, cast(count(*) as bigint) as n_nodes from lbl group by 1)
+select agg.cluster_id, sizes.n_nodes, agg.n_edges, agg.n_triangles,
+       agg.n_bridge_edges,
+       round(2.0 * agg.n_edges / (sizes.n_nodes * (sizes.n_nodes - 1)), 6) as density
+from agg join sizes using (cluster_id)
+order by cluster_id
 """
 
 
@@ -5121,6 +5212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "doc_clusters_cc": q_doc_clusters_cc,
         "cluster_sizes": q_cluster_sizes,
+        "match_graph_qa": q_match_graph_qa,
         "blocking_stats": q_blocking_stats,
         "snb_blocking": q_snb_blocking,
         "snapshot_diff": q_snapshot_diff,
@@ -5217,6 +5309,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "doc_clusters_cc": _oracle_doc_clusters(),
         "cluster_sizes": _oracle_cluster_sizes(),
+        "match_graph_qa": _oracle_match_graph_qa(),
         "blocking_stats": _oracle_blocking_stats(),
         "snb_blocking": ORACLE_SNB_BLOCKING,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,

@@ -102,6 +102,7 @@ def main() -> None:
     heavy = {
         "cc_incremental",
         "cluster_sizes",
+        "match_graph_qa",
         "lm_nll",
         "ngram_jaccard",
         "doc_clusters_cc",
@@ -355,6 +356,7 @@ def main() -> None:
         "range_join_pairs",
         "event_funnel",
         "cluster_sizes",
+        "match_graph_qa",
         "blocking_stats",
         "snb_blocking",
         "snapshot_diff",

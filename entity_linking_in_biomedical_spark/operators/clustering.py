@@ -276,3 +276,129 @@ def cluster_size_histogram(assignments: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_clusters"))
         .select(F.col("cluster_size").cast("bigint").alias("cluster_size"), "n_clusters")
     )
+
+
+def edge_triangle_support(
+    edges: DataFrame, max_out_degree: int | None = None
+) -> DataFrame:
+    """Per-edge triangle support over an undirected match graph ->
+    (src, dst, support) with src < dst canonical and ``support`` = the
+    number of triangles the edge participates in. support = 0 marks a
+    *bridge-like* edge: the match survives on one pairwise score that
+    no third record corroborates — the signature of the chain merges
+    that pollute transitive closures (see match_graph_diagnostics).
+
+    Degree-oriented wedge join (the distributed triangle count of Suri
+    & Vassilvitskii, WWW'11): every edge is directed from its lower
+    (degree, id) endpoint to the higher, so a triangle {x,y,z} ordered
+    by (degree, id) is generated exactly once — as the wedge
+    (x→y, x→z) closed by the directed edge y→z. Under this orientation
+    out-degree is O(sqrt(m)) even at a hub vertex, so wedge volume is
+    Σ d_out(v)^2 ≤ m^{3/2} worst case and block-local in practice —
+    never the d(hub)^2 blow-up an id-ordered orientation suffers when
+    a mega-block's hub lands on the low side. Cost: one degree
+    aggregate, one wedge self-join, one closing join, one support
+    groupBy — all key-partitioned, nothing driver-side.
+
+    ``max_out_degree``: optional skew valve. When set, vertices whose
+    ORIENTED out-degree exceeds the cap are skipped as wedge centers,
+    making ``support`` a documented undercount at adversarial hubs
+    (closing edges still count wedges centered elsewhere). None (the
+    default) is exact.
+    """
+    e = _canon(edges).localCheckpoint(eager=False, storageLevel=barrier_level())
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("node").alias("src"), F.col("deg").alias("ds")), "src"
+    ).join(deg.select(F.col("node").alias("dst"), F.col("deg").alias("dd")), "dst")
+    # direct lower (deg, id) -> higher; carry the head's order key so
+    # wedge endpoints can be compared without a global rank pass
+    lo_first = F.struct(F.col("ds"), F.col("src")) < F.struct(F.col("dd"), F.col("dst"))
+    o = ed.select(
+        F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(lo_first, F.struct(F.col("dd").alias("d"), F.col("dst").alias("n")))
+        .otherwise(F.struct(F.col("ds").alias("d"), F.col("src").alias("n")))
+        .alias("vkey"),
+    ).localCheckpoint(eager=False, storageLevel=barrier_level())
+    centers = o
+    if max_out_degree is not None:
+        ok = (
+            o.groupBy("u")
+            .agg(F.count("*").alias("od"))
+            .filter(F.col("od") <= max_out_degree)
+            .select("u")
+        )
+        centers = o.join(ok, "u", "left_semi")
+    w1 = centers.select("u", F.col("v").alias("y"), F.col("vkey").alias("ykey"))
+    w2 = centers.select("u", F.col("v").alias("z"), F.col("vkey").alias("zkey"))
+    wedges = (
+        w1.join(w2, "u")
+        .filter(F.col("ykey") < F.col("zkey"))
+        .select("u", "y", "z")
+    )
+    tri = wedges.join(
+        o.select(F.col("u").alias("y"), F.col("v").alias("z")), ["y", "z"]
+    )
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.least("u", "y").alias("src"), F.greatest("u", "y").alias("dst")),
+                F.struct(F.least("u", "z").alias("src"), F.greatest("u", "z").alias("dst")),
+                F.struct(F.least("y", "z").alias("src"), F.greatest("y", "z").alias("dst")),
+            )
+        ).alias("t")
+    ).select("t.src", "t.dst")
+    supp = tri_edges.groupBy("src", "dst").agg(F.count("*").alias("support"))
+    return e.join(supp, ["src", "dst"], "left").select(
+        "src", "dst", F.coalesce("support", F.lit(0)).cast("bigint").alias("support")
+    )
+
+
+def match_graph_diagnostics(edges: DataFrame, assignments: DataFrame) -> DataFrame:
+    """Per-cluster shape QA for a transitive closure — the label-free
+    audit a curation run publishes before ACCEPTING a clustering:
+    for every cluster with at least one edge ->
+    (cluster_id, n_nodes, n_edges, n_triangles, n_bridge_edges,
+    density). A cluster whose edges are mostly bridges
+    (n_bridge_edges ≈ n_edges, n_triangles = 0) was assembled by
+    uncorroborated pairwise chains — exactly the merges a reviewer
+    should see first (complements the label-dependent cluster_impurity
+    and cluster_eval queries, which need gold ids this one doesn't).
+    density = 2E / (n(n-1)); a near-clique duplicates cluster reads
+    ~1.0, a chain ~2/n.
+
+    Cost on top of edge_triangle_support: one join of per-edge support
+    to the src endpoint's cluster id (src and dst share a cluster by
+    construction of CC — one shuffle on the node key, no broadcast
+    assumption since assignments is corpus-sized) and two map-side-
+    partial groupBys.
+    """
+    supp = edge_triangle_support(edges)
+    lab = assignments.select(F.col("node").alias("src"), "cluster_id")
+    per_edge = supp.join(lab, "src")
+    agg = per_edge.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        (F.sum("support") / 3).cast("bigint").alias("n_triangles"),
+        F.sum(F.when(F.col("support") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bridge_edges"),
+    )
+    sizes = assignments.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+    return agg.join(sizes, "cluster_id").select(
+        "cluster_id",
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_bridge_edges",
+        F.round(
+            2.0 * F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - 1)), 6
+        ).alias("density"),
+    )

@@ -217,3 +217,77 @@ def test_merge_touches_state_map_only(spark):
     got = {r["node"]: r["cluster_id"] for r in updated.collect()}
     # b-c merges {a,b} with {c}; d-e is a new 2-node cluster; q a singleton
     assert got == {"a": "a", "b": "a", "c": "a", "z": "z", "d": "d", "e": "d", "q": "q"}
+
+
+# ---- triangle support / match-graph diagnostics ---------------------------
+
+from entity_linking_in_biomedical_spark.operators.clustering import (  # noqa: E402
+    edge_triangle_support,
+    match_graph_diagnostics,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _support(spark, pairs, **kw):
+    out = edge_triangle_support(_edges(spark, pairs), **kw).collect()
+    return {(r["src"], r["dst"]): r["support"] for r in out}
+
+
+def test_triangle_support_k3(spark):
+    got = _support(spark, [("a", "b"), ("b", "c"), ("a", "c")])
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1}
+
+
+def test_triangle_support_chain_and_cycle_all_bridges(spark):
+    # a path and a 4-cycle have no triangles: every edge is a bridge
+    got = _support(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert set(got.values()) == {0}
+    got = _support(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")])
+    assert set(got.values()) == {0}
+
+
+def test_triangle_support_k4(spark):
+    # K4: 4 triangles, every edge lies in exactly 2
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    got = _support(spark, pairs)
+    assert len(got) == 6 and set(got.values()) == {2}
+
+
+def test_triangle_support_dedups_and_orients_input(spark):
+    # duplicate/reversed/self-loop edges must not inflate counts
+    got = _support(
+        spark,
+        [("b", "a"), ("a", "b"), ("b", "c"), ("a", "c"), ("c", "c")],
+    )
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1}
+
+
+def test_triangle_support_out_degree_valve_undercounts(spark):
+    # K4 under a cap of 2 oriented out-edges: only some wedge centers
+    # survive -> documented undercount, never an overcount
+    pairs = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    exact = _support(spark, pairs)
+    capped = _support(spark, pairs, max_out_degree=2)
+    assert sum(exact.values()) == 12
+    assert sum(capped.values()) < 12
+    assert all(capped[e] <= exact[e] for e in exact)
+
+
+def test_match_graph_diagnostics_triangle_vs_chain(spark):
+    edges = _edges(
+        spark,
+        [("t1", "t2"), ("t2", "t3"), ("t1", "t3"), ("c1", "c2"), ("c2", "c3")],
+    )
+    assign, _ = connected_components(edges)
+    rows = {
+        r["cluster_id"]: r
+        for r in match_graph_diagnostics(edges, assign).collect()
+    }
+    tri, chain = rows["t1"], rows["c1"]
+    assert (tri["n_nodes"], tri["n_edges"], tri["n_triangles"]) == (3, 3, 1)
+    assert tri["n_bridge_edges"] == 0 and tri["density"] == 1.0
+    assert (chain["n_nodes"], chain["n_edges"], chain["n_triangles"]) == (3, 2, 0)
+    assert chain["n_bridge_edges"] == 2 and abs(chain["density"] - 0.666667) < 1e-6
