@@ -989,6 +989,73 @@ from hist group by sz having sum(n) > 0 order by cluster_size
 """
 
 
+_SENS_THRESHOLDS = [0.3, 0.5, 0.7]
+
+
+def q_closure_sensitivity(spark, sf_dir):
+    """Threshold-sensitivity report for the transitive closure
+    (operators/clustering.closure_sensitivity): per candidate match
+    threshold — edge/node/cluster counts + max cluster size of the
+    closure at that threshold, the table that locates the mega-cluster
+    cliff before a threshold is fixed. ONE full CC (strictest
+    threshold) + contracted-graph folds of each lower score band via
+    merge_into_clusters; the oracle replays each threshold naively
+    with an independent recursive-CTE CC, so agreement also re-proves
+    the incremental fold == full-recluster equivalence on real data.
+    Scores are rounded to 6dp on BOTH engines before banding so the
+    float boundary behavior is identical."""
+    from entity_linking_in_biomedical_spark.operators.clustering import (
+        closure_sensitivity,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, jaccard_threshold=min(_SENS_THRESHOLDS))
+    scored = pairs.select(
+        F.col("a_id").alias("src"),
+        F.col("b_id").alias("dst"),
+        F.round("jaccard", 6).alias("score"),
+    )
+    rows = closure_sensitivity(scored, _SENS_THRESHOLDS)
+    return spark.createDataFrame(
+        rows,
+        "threshold double, n_edges bigint, n_nodes bigint, "
+        "n_clusters bigint, max_cluster_size bigint",
+    ).orderBy(F.desc("threshold"))
+
+
+def _oracle_closure_sensitivity() -> str:
+    inner = _oracle_ngram_jaccard(min(_SENS_THRESHOLDS))
+    parts = []
+    for i, t in enumerate(sorted(_SENS_THRESHOLDS, reverse=True)):
+        parts.append(
+            f"""
+e{i} as (select a_id as a, b_id as b from pairs where jaccard >= {t}),
+u{i} as (select a, b from e{i} union all select b as a, a as b from e{i}),
+cc{i}(n, m) as (
+  select a, a from u{i}
+  union
+  select u{i}.b, cc{i}.m from cc{i} join u{i} on u{i}.a = cc{i}.n where cc{i}.m < u{i}.b
+),
+l{i} as (select n, min(m) as c from cc{i} group by n),
+s{i} as (
+  select cast({t} as double) as threshold,
+         cast((select count(*) from e{i}) as bigint) as n_edges,
+         cast(coalesce(sum(cnt), 0) as bigint) as n_nodes,
+         cast(count(*) as bigint) as n_clusters,
+         cast(coalesce(max(cnt), 0) as bigint) as max_cluster_size
+  from (select c, count(*) as cnt from l{i} group by c)
+)"""
+        )
+    selects = " union all ".join(
+        f"select * from s{i}" for i in range(len(_SENS_THRESHOLDS))
+    )
+    return (
+        f"with recursive pairs as ({inner}),"
+        + ",".join(parts)
+        + f" {selects} order by threshold desc"
+    )
+
+
 _MATCH_QA_PLANT = [
     ("zzz_tri1", "zztr1 zztr2 zztr3 zztr4 zztr5"),
     ("zzz_tri2", "zztr1 zztr2 zztr3 zztr4 zztr5 zztr6"),
@@ -5213,6 +5280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clusters_cc": q_doc_clusters_cc,
         "cluster_sizes": q_cluster_sizes,
         "match_graph_qa": q_match_graph_qa,
+        "closure_sensitivity": q_closure_sensitivity,
         "blocking_stats": q_blocking_stats,
         "snb_blocking": q_snb_blocking,
         "snapshot_diff": q_snapshot_diff,
@@ -5310,6 +5378,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_clusters_cc": _oracle_doc_clusters(),
         "cluster_sizes": _oracle_cluster_sizes(),
         "match_graph_qa": _oracle_match_graph_qa(),
+        "closure_sensitivity": _oracle_closure_sensitivity(),
         "blocking_stats": _oracle_blocking_stats(),
         "snb_blocking": ORACLE_SNB_BLOCKING,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,

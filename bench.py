@@ -103,6 +103,7 @@ def main() -> None:
         "cc_incremental",
         "cluster_sizes",
         "match_graph_qa",
+        "closure_sensitivity",
         "lm_nll",
         "ngram_jaccard",
         "doc_clusters_cc",
@@ -357,6 +358,7 @@ def main() -> None:
         "event_funnel",
         "cluster_sizes",
         "match_graph_qa",
+        "closure_sensitivity",
         "blocking_stats",
         "snb_blocking",
         "snapshot_diff",

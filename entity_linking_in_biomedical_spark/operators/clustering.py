@@ -402,3 +402,84 @@ def match_graph_diagnostics(edges: DataFrame, assignments: DataFrame) -> DataFra
             2.0 * F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - 1)), 6
         ).alias("density"),
     )
+
+
+def closure_sensitivity(
+    scored_edges: DataFrame, thresholds: list[float]
+) -> list[tuple[float, int, int, int, int]]:
+    """Threshold-sensitivity sweep for the transitive closure — the
+    knob-tuning report an ER run publishes before fixing its match
+    threshold: for each candidate threshold t (descending) ->
+    (threshold, n_edges, n_nodes, n_clusters, max_cluster_size) over
+    the closure of edges with score >= t. A sharp jump in
+    max_cluster_size between adjacent thresholds is the mega-cluster
+    cliff; the chosen t should sit above it.
+
+    Input: (src, dst, score). Returns plain rows (the report is
+    O(|thresholds|) — the caller turns it into a DataFrame; see
+    q_closure_sensitivity).
+
+    ONE full CC runs, at the strictest threshold only. Each lower
+    threshold admits its score band [t, prev_t) and folds it into the
+    previous assignment via merge_into_clusters — contracted-graph CC
+    over O(band) edges, with every corpus-state touch map-only — so
+    sweeping k thresholds costs one closure plus k-1 snapshot folds,
+    not k closures. Per-threshold edge counts come from one
+    conditional-sum pass over the scored edges; each fold ends in one
+    O(1)-row digest (same driver-barrier budget as the CC loop
+    itself).
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = sorted(set(float(t) for t in thresholds), reverse=True)
+    # _canon would drop the score column, so canonicalize inline:
+    # undirected orientation, no self-loops, duplicate pairs collapse
+    # to their best score, everything below min(ts) pruned up front
+    e = (
+        scored_edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.col("score").cast("double").alias("score"),
+        )
+        .filter((F.col("src") != F.col("dst")) & (F.col("score") >= min(ts)))
+        .groupBy("src", "dst")
+        .agg(F.max("score").alias("score"))
+        .localCheckpoint(eager=False, storageLevel=barrier_level())
+    )
+    # per-threshold admitted-edge counts: ONE pass, k conditional sums
+    counts = e.agg(
+        *[
+            F.sum(F.when(F.col("score") >= t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, t in enumerate(ts)
+        ]
+    ).collect()[0]
+    out: list[tuple[float, int, int, int, int]] = []
+    assign = None
+    prev_t = None
+    for i, t in enumerate(ts):
+        if assign is None:
+            band = e.filter(F.col("score") >= t).select("src", "dst")
+            assign, _ = connected_components(band)
+        else:
+            band = e.filter(
+                (F.col("score") >= t) & (F.col("score") < prev_t)
+            ).select("src", "dst")
+            assign, _ = merge_into_clusters(assign, band)
+        assign = assign.localCheckpoint(eager=False, storageLevel=barrier_level())
+        stats = (
+            assign.groupBy("cluster_id")
+            .agg(F.count("*").alias("sz"))
+            .agg(
+                F.count("*").cast("bigint").alias("n_clusters"),
+                F.coalesce(F.sum("sz"), F.lit(0)).cast("bigint").alias("n_nodes"),
+                F.coalesce(F.max("sz"), F.lit(0)).cast("bigint").alias("mx"),
+            )
+            .collect()[0]
+        )
+        out.append(
+            (t, int(counts[f"c{i}"]), int(stats["n_nodes"]), int(stats["n_clusters"]), int(stats["mx"]))
+        )
+        prev_t = t
+    return out

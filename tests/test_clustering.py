@@ -291,3 +291,38 @@ def test_match_graph_diagnostics_triangle_vs_chain(spark):
     assert tri["n_bridge_edges"] == 0 and tri["density"] == 1.0
     assert (chain["n_nodes"], chain["n_edges"], chain["n_triangles"]) == (3, 2, 0)
     assert chain["n_bridge_edges"] == 2 and abs(chain["density"] - 0.666667) < 1e-6
+
+
+def test_closure_sensitivity_sweep(spark):
+    from entity_linking_in_biomedical_spark.operators.clustering import (
+        closure_sensitivity,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 0.9),
+            ("b", "c", 0.6),
+            ("c", "d", 0.4),
+            ("x", "y", 0.55),
+            ("b", "a", 0.2),  # reversed dup: collapses into (a,b) at max=0.9
+        ],
+        "src string, dst string, score double",
+    )
+    rows = closure_sensitivity(edges, [0.5, 0.8, 0.3])
+    # (threshold, n_edges, n_nodes, n_clusters, max_cluster_size), desc
+    assert rows[0] == (0.8, 1, 2, 1, 2)
+    assert rows[1] == (0.5, 3, 5, 2, 3)
+    assert rows[2] == (0.3, 4, 6, 2, 4)
+
+
+def test_closure_sensitivity_empty_strict_band(spark):
+    from entity_linking_in_biomedical_spark.operators.clustering import (
+        closure_sensitivity,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b", 0.4)], "src string, dst string, score double"
+    )
+    rows = closure_sensitivity(edges, [0.9, 0.3])
+    assert rows[0] == (0.9, 0, 0, 0, 0)
+    assert rows[1] == (0.3, 1, 2, 1, 2)
