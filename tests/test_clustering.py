@@ -326,3 +326,81 @@ def test_closure_sensitivity_empty_strict_band(spark):
     rows = closure_sensitivity(edges, [0.9, 0.3])
     assert rows[0] == (0.9, 0, 0, 0, 0)
     assert rows[1] == (0.3, 1, 2, 1, 2)
+
+
+def _brute_support(pairs):
+    """O(E^3) reference: triangles by direct closure test."""
+    es = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    supp = {e: 0 for e in es}
+    nodes = sorted({n for e in es for n in e})
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1 :]:
+            if (x, y) not in es:
+                continue
+            for z in nodes:
+                if z in (x, y):
+                    continue
+                if tuple(sorted((x, z))) in es and tuple(sorted((y, z))) in es:
+                    supp[(x, y)] += 1
+    return supp
+
+
+def test_triangle_support_random_differential(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 12
+        pairs = [
+            (f"v{rng.randrange(n)}", f"v{rng.randrange(n)}") for _ in range(30)
+        ]
+        pairs = [p for p in pairs if p[0] != p[1]]
+        got = _support(spark, pairs)
+        want = _brute_support(pairs)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
+def test_closure_sensitivity_random_vs_full_recluster(spark):
+    """The incremental fold per band must equal a from-scratch closure
+    at every threshold (the equivalence the DuckDB twin also proves)."""
+    import random
+
+    from entity_linking_in_biomedical_spark.operators.clustering import (
+        closure_sensitivity,
+    )
+
+    rng = random.Random(11)
+    scored = [
+        (f"v{rng.randrange(10)}", f"v{rng.randrange(10)}", round(rng.random(), 3))
+        for _ in range(25)
+    ]
+    scored = [s for s in scored if s[0] != s[1]]
+    ts = [0.25, 0.5, 0.75]
+    rows = closure_sensitivity(
+        spark.createDataFrame(scored, "src string, dst string, score double"), ts
+    )
+    for t, n_edges, n_nodes, n_clusters, mx in rows:
+        es = {
+            tuple(sorted((a, b))) for a, b, s in scored if s >= t and a != b
+        }
+        # union-find reference
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in es:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps = {}
+        for x in parent:
+            comps.setdefault(find(x), set()).add(x)
+        assert n_edges == len(es)
+        assert n_nodes == sum(len(v) for v in comps.values())
+        assert n_clusters == len(comps)
+        assert mx == (max((len(v) for v in comps.values()), default=0))
