@@ -1380,6 +1380,95 @@ from lbl group by cluster_id having count(*) > 1 order by cluster_id
 """
 
 
+def q_cc_retract(spark, sf_dir):
+    """Retraction-driven cluster splitting (operators/clustering.
+    retract_from_clusters — the state update a clerical-review 'not a
+    match' verdict requires, the dual of cc_incremental's merge): the
+    same deterministic BASE graph (chains at id%7: id—id+1 and id%9:
+    id—id+2) is clustered with the full batch CC, then a review batch
+    retracts every id%21 edge (id—id+1 — a REAL base edge, 21 = 3·7)
+    plus id%25 phantom pairs (id—id+5, never a base edge — exercising
+    the no-op path through a full affected-cluster re-cluster). Only
+    the touched clusters re-cluster; the oracle is one recursive-CTE
+    CC over (base minus retracted), so the hash check proves
+    retract == full recompute. Output = non-singleton clusters."""
+    from entity_linking_in_biomedical_spark.operators.clustering import (
+        retract_from_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    i = F.col("id")
+
+    def _s(c):
+        return c.cast("string")
+
+    base = (
+        docs.filter(i % 7 == 0)
+        .select(_s(i).alias("src"), _s(i + 1).alias("dst"))
+        .unionByName(
+            docs.filter(i % 9 == 0).select(
+                _s(i).alias("src"), _s(i + 2).alias("dst")
+            )
+        )
+    )
+    retracted = (
+        docs.filter(i % 21 == 0)
+        .select(_s(i).alias("src"), _s(i + 1).alias("dst"))
+        .unionByName(
+            docs.filter(i % 25 == 0).select(
+                _s(i).alias("src"), _s(i + 5).alias("dst")
+            )
+        )
+    )
+    nodes = docs.select(_s(i).alias("node"))
+    assign, _ = connected_components(base, nodes=nodes)
+    updated, _ = retract_from_clusters(assign, base, retracted)
+    return (
+        updated.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("cluster_size"),
+            F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias(
+                "members"
+            ),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .orderBy("cluster_id")
+    )
+
+
+ORACLE_CC_RETRACT = """
+with recursive d as (select doc_id as id from documents),
+e0 as (
+  select cast(id as varchar) as a, cast(id + 1 as varchar) as b
+  from d where id % 7 = 0
+  union all
+  select cast(id as varchar), cast(id + 2 as varchar) from d where id % 9 = 0
+),
+r as (
+  select cast(id as varchar) as a, cast(id + 1 as varchar) as b
+  from d where id % 21 = 0
+  union all
+  select cast(id as varchar), cast(id + 5 as varchar) from d where id % 25 = 0
+),
+e as (
+  select a, b from e0
+  where not exists (select 1 from r where r.a = e0.a and r.b = e0.b)
+),
+und as (select a, b from e union all select b, a from e),
+cc(n, m) as (
+  select a, a from und
+  union
+  select und.b, cc.m from cc join und on und.a = cc.n where cc.m < und.b
+),
+lbl as (select n, min(m) as cluster_id from cc group by n)
+select cluster_id, cast(count(*) as bigint) as cluster_size,
+       array_to_string(list_sort(list(n)), ',') as members
+from lbl group by cluster_id having count(*) > 1 order by cluster_id
+"""
+
+
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -5285,6 +5374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snb_blocking": q_snb_blocking,
         "snapshot_diff": q_snapshot_diff,
         "cc_incremental": q_cc_incremental,
+        "cc_retract": q_cc_retract,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "lm_nll": q_lm_nll,
@@ -5383,6 +5473,7 @@ def oracle_sql() -> dict[str, str]:
         "snb_blocking": ORACLE_SNB_BLOCKING,
         "snapshot_diff": ORACLE_SNAPSHOT_DIFF,
         "cc_incremental": ORACLE_CC_INCREMENTAL,
+        "cc_retract": ORACLE_CC_RETRACT,
         "lang_id": ORACLE_LANG_ID,
         "token_count": ORACLE_TOKEN_COUNT,
         "lm_nll": ORACLE_LM_NLL,

@@ -101,6 +101,7 @@ def main() -> None:
     # the winning run, which run() doesn't model)
     heavy = {
         "cc_incremental",
+        "cc_retract",
         "cluster_sizes",
         "match_graph_qa",
         "closure_sensitivity",
@@ -349,6 +350,7 @@ def main() -> None:
         "embedding_dedup",
         "media_features",
         "cc_incremental",
+        "cc_retract",
         "media_dedup",
         "media_dedup_incremental",
         "curate_interleaved",

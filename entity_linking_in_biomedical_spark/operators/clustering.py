@@ -258,6 +258,110 @@ def merge_clusters_foreach_batch(load, save, edge_cols=("src", "dst")):
     return _apply
 
 
+def retract_from_clusters(
+    assignments: DataFrame,
+    edges: DataFrame,
+    retracted: DataFrame,
+    max_iter: int = 25,
+) -> tuple[DataFrame, int]:
+    """The dual of :func:`merge_into_clusters`: remove ``retracted``
+    match edges and SPLIT only the clusters they touch — the state
+    update a clerical-review "not a match" verdict
+    (fs_linkage.clerical_review_queue) actually requires. Exactly
+    equivalent to ``connected_components(edges \\ retracted,
+    nodes=assignments.nodes)`` under the state invariant that
+    ``assignments`` is the CC closure of ``edges`` (every edge is
+    intra-cluster) — deletion, unlike insertion, cannot be folded on a
+    contracted graph (removing a bridge needs the cluster's OTHER
+    edges to decide whether the component stays connected), so the
+    affected clusters are re-clustered from their surviving edges and
+    everything else is untouched.
+
+    Inputs: ``assignments`` (node, cluster_id) corpus-sized state;
+    ``edges`` (src, dst) the persisted surviving match-edge table
+    (corpus-sized — an ER deployment keeps it, it is stage-2's scored
+    output above threshold); ``retracted`` (src, dst) the review batch
+    (small). Retractions of non-existent edges are safe no-ops.
+
+    Scale shape — every corpus-sized touch is a scan + broadcast join:
+      1. affected clusters: ONE broadcast-semi probe of ``assignments``
+         by the retracted endpoints, then the distinct cluster ids
+         (review-batch-sized both).
+      2. affected membership: ONE broadcast-semi scan of
+         ``assignments`` on cluster_id — proportional to the affected
+         clusters' total size, the problem's intrinsic cost.
+      3. affected edges: ONE broadcast-semi scan of ``edges`` on src
+         (canonical intra-cluster edges have both endpoints in the
+         cluster, so src membership suffices); retracted rows drop via
+         a broadcast anti-join on (src, dst).
+      4. re-cluster: iterative CC over the affected SUBGRAPH only, with
+         the affected nodes passed as ``nodes=`` so members that end up
+         edgeless become singletons.
+      5. splice: untouched rows survive a broadcast ANTI scan of
+         ``assignments`` on cluster_id; the re-clustered rows union in.
+    New cluster ids are again component minima, so the global
+    min-node scheme (and the "e|" entity-pinning convention) survives.
+
+    Returns (updated assignments, CC iterations on the subgraph).
+    """
+    r = _canon(retracted).localCheckpoint(
+        eager=False, storageLevel=barrier_level()
+    )
+    r_ends = (
+        r.select(F.col("src").alias("node"))
+        .unionByName(r.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    aff = (
+        assignments.join(F.broadcast(r_ends), "node", "left_semi")
+        .select("cluster_id")
+        .distinct()
+        .localCheckpoint(eager=False, storageLevel=barrier_level())
+    )
+    members = assignments.join(F.broadcast(aff), "cluster_id", "left_semi")
+    aff_nodes = members.select("node").localCheckpoint(
+        eager=False, storageLevel=barrier_level()
+    )
+    sub = (
+        _canon(edges)
+        .join(aff_nodes.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(F.broadcast(r), ["src", "dst"], "left_anti")
+    )
+    relinked, iters = connected_components(
+        sub, nodes=aff_nodes, max_iter=max_iter
+    )
+    # the key-column join puts cluster_id first: restore the state's
+    # canonical (node, cluster_id) order so positional consumers
+    # (createDataFrame with a DDL schema, parquet appends) stay sound
+    kept = assignments.join(F.broadcast(aff), "cluster_id", "left_anti").select(
+        "node", "cluster_id"
+    )
+    return kept.unionByName(relinked), iters
+
+
+def retract_clusters_foreach_batch(load_state, load_edges, save):
+    """Streaming face of :func:`retract_from_clusters` (same
+    foreachBatch contract as merge_clusters_foreach_batch): each
+    micro-batch of (src, dst) retraction rows — e.g. the reviewed-as-
+    non-match stream off the clerical queue — splits the persisted
+    assignments. ``load_edges() -> DataFrame`` supplies the surviving
+    edge table; ``save`` must ALSO persist the edge deletions before
+    the next batch loads (an Iceberg DELETE on the edge table plus a
+    MERGE on assignments)::
+
+        rejects.writeStream.foreachBatch(
+            retract_clusters_foreach_batch(load_state, load_edges, save)
+        ).start()
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        r = batch_df.select("src", "dst")
+        updated, _ = retract_from_clusters(load_state(), load_edges(), r)
+        save(updated, r, batch_id)
+
+    return _apply
+
+
 def cluster_size_histogram(assignments: DataFrame) -> DataFrame:
     """Cluster-size histogram over a (node, cluster_id) assignment —
     the shape report an ER run publishes per snapshot (mega-cluster

@@ -404,3 +404,147 @@ def test_closure_sensitivity_random_vs_full_recluster(spark):
         assert n_nodes == sum(len(v) for v in comps.values())
         assert n_clusters == len(comps)
         assert mx == (max((len(v) for v in comps.values()), default=0))
+
+
+# ---- retraction (cluster splitting) ----------------------------------------
+
+from entity_linking_in_biomedical_spark.operators.clustering import (  # noqa: E402
+    retract_from_clusters,
+)
+
+
+def _retract(spark, base_edges, retracted, base_nodes=None):
+    n = (
+        spark.createDataFrame([(x,) for x in base_nodes], "node string")
+        if base_nodes
+        else None
+    )
+    assign, _ = connected_components(_edges_df(spark, base_edges), nodes=n)
+    updated, _ = retract_from_clusters(
+        assign, _edges_df(spark, base_edges), _edges_df(spark, retracted)
+    )
+    return {r["node"]: r["cluster_id"] for r in updated.collect()}
+
+
+def test_retract_bridge_splits(spark):
+    got = _retract(spark, [("a", "b"), ("b", "c")], [("b", "c")])
+    assert got == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_retract_triangle_edge_no_split(spark):
+    got = _retract(
+        spark, [("a", "b"), ("b", "c"), ("a", "c")], [("b", "c")]
+    )
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_retract_nonexistent_edge_is_noop(spark):
+    base = [("a", "b"), ("b", "c"), ("p", "q")]
+    # (a, c) is not an edge (a and c merely share a cluster); (x, y)
+    # touches no known node at all
+    got = _retract(spark, base, [("a", "c"), ("x", "y")])
+    full, _ = cc(spark, base)
+    assert got == full
+
+
+def test_retract_all_edges_yields_singletons(spark):
+    got = _retract(spark, [("a", "b"), ("b", "c")], [("a", "b"), ("b", "c")])
+    assert got == {"a": "a", "b": "b", "c": "c"}
+
+
+def test_retract_reversed_orientation_and_untouched_cluster(spark):
+    # retraction arrives (dst, src) — canonicalization must still hit;
+    # cluster {p, q} is untouched and must survive byte-identical
+    got = _retract(
+        spark, [("a", "b"), ("b", "c"), ("p", "q")], [("c", "b")],
+        base_nodes=["z"],
+    )
+    assert got == {"a": "a", "b": "a", "c": "c", "p": "p", "q": "p", "z": "z"}
+
+
+def test_retract_equals_full_recompute_random(spark):
+    """Seeded randomized differential: retract(cc(E), R) == cc(E \\ R)
+    over the same node universe, for a graph dense enough to exercise
+    splits, no-op intra-cluster retractions, and survivor re-rooting."""
+    import random
+
+    rng = random.Random(20260819)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(nodes, 2)))
+            for _ in range(55)
+        }
+    )
+    retract = rng.sample(edges, 12) + [("n00", "zz1"), ("zz2", "zz3")]
+    got = _retract(spark, edges, retract, base_nodes=nodes)
+    surviving = [e for e in edges if e not in {tuple(sorted(r)) for r in retract}]
+    full, _ = cc(spark, surviving, nodes=nodes)
+    assert got == full
+
+
+def test_retract_touches_state_broadcast_only(spark):
+    """The corpus-state splice (the one join whose LEFT side is the
+    full assignments table in the returned plan) is a broadcast anti
+    join, nothing plans a cartesian/nested-loop, and the output keeps
+    the state's canonical (node, cluster_id) column order so
+    positional consumers (DDL-schema createDataFrame, parquet appends)
+    stay sound. The upstream probes (retracted-endpoint semi,
+    affected-membership semi) are explicitly F.broadcast-hinted in the
+    operator but execute inside the subgraph CC's digest jobs behind
+    checkpoint barriers, so they are not visible in this plan text."""
+    from io import StringIO
+    from contextlib import redirect_stdout
+
+    assignments = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("p", "p"), ("q", "p")],
+        "node string, cluster_id string",
+    )
+    edges = _edges_df(spark, [("a", "b"), ("b", "c"), ("p", "q")])
+    updated, _ = retract_from_clusters(
+        assignments, edges, _edges_df(spark, [("b", "c")])
+    )
+    assert updated.columns == ["node", "cluster_id"]
+    buf = StringIO()
+    with redirect_stdout(buf):
+        updated.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin LeftAnti" in plan  # the assignments splice
+    got = {r["node"]: r["cluster_id"] for r in updated.collect()}
+    assert got == {"a": "a", "b": "a", "c": "c", "p": "p", "q": "p"}
+
+
+def test_retract_foreach_batch(spark):
+    """Two sequential retraction micro-batches through the streaming
+    face fold to the same state as one batch retraction of both."""
+    from entity_linking_in_biomedical_spark.operators.clustering import (
+        retract_clusters_foreach_batch,
+    )
+
+    base = [("a", "b"), ("b", "c"), ("c", "d"), ("p", "q")]
+    assign, _ = connected_components(_edges_df(spark, base))
+    state = {"assign": assign, "edges": _edges_df(spark, base)}
+
+    def load_state():
+        return state["assign"]
+
+    def load_edges():
+        return state["edges"]
+
+    def save(updated, r, batch_id):
+        state["assign"] = spark.createDataFrame(
+            updated.collect(), "node string, cluster_id string"
+        )
+        state["edges"] = spark.createDataFrame(
+            state["edges"].join(r, ["src", "dst"], "left_anti").collect(),
+            "src string, dst string",
+        )
+
+    fn = retract_clusters_foreach_batch(load_state, load_edges, save)
+    fn(_edges_df(spark, [("b", "c")]), 0)
+    fn(_edges_df(spark, [("p", "q")]), 1)
+    got = {r["node"]: r["cluster_id"] for r in state["assign"].collect()}
+    want = _retract(spark, base, [("b", "c"), ("p", "q")])
+    assert got == want
