@@ -5337,6 +5337,100 @@ limit 20
 """
 
 
+def q_golden_records(spark, sf_dir):
+    """Attribute-level survivorship (operators/survivorship.
+    golden_records — the canonical-record step downstream of
+    clustering, per-attribute unlike dedup_keep_best's whole-row
+    election): customers are grouped into deterministic clusters of
+    ~10 (custkey div 10) and merged under one rule per attribute —
+    max balance, longest address (ties to the lexicographically
+    largest), first phone by customer-key priority with NULLs PLANTED
+    at custkey%3 (so the NULL-skipping path is exercised non-vacuously),
+    and the modal market segment (ties to the smallest value). The
+    DuckDB twin replays every rule with explicit row_number tie-break
+    orders, so the hash check pins the determinism contract."""
+    from entity_linking_in_biomedical_spark.operators.survivorship import (
+        golden_records,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.floor(F.col("c_custkey") / 10).cast("string").alias("cluster_id"),
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        # the sf tables carry no address/phone columns: plant
+        # deterministic stand-ins (variable-length so 'longest' is
+        # non-vacuous; NULLs at custkey%3 so 'first' must skip)
+        F.substring(F.col("c_name"), 1, (10 + F.col("c_custkey") % 9).cast("int")).alias(
+            "addr"
+        ),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("P-"), F.col("c_custkey").cast("string")))
+        .alias("phone"),
+    )
+    out = golden_records(
+        cust,
+        {
+            "best_bal": ("max", "bal"),
+            "addr": ("longest", "addr"),
+            "phone": ("first", "phone", "k"),
+            "seg": ("most_frequent", "seg"),
+        },
+    )
+    return out.select(
+        "cluster_id",
+        "n_members",
+        F.round("best_bal", 2).alias("best_bal"),
+        "addr",
+        "phone",
+        "seg",
+    ).orderBy("cluster_id")
+
+
+ORACLE_GOLDEN_RECORDS = """
+with rec as (
+  select cast(c_custkey // 10 as varchar) as cluster_id, c_custkey as k,
+         c_mktsegment as seg, cast(c_acctbal as double) as bal,
+         substr(c_name, 1, cast(10 + c_custkey % 9 as int)) as addr,
+         case when c_custkey % 3 = 0 then null
+              else 'P-' || cast(c_custkey as varchar) end as phone
+  from customer
+),
+base as (
+  select cluster_id, cast(count(*) as bigint) as n_members,
+         round(max(bal), 2) as best_bal
+  from rec group by cluster_id
+),
+lng as (
+  select cluster_id, addr from (
+    select cluster_id, addr,
+           row_number() over (partition by cluster_id
+                              order by len(addr) desc, addr desc) as rn
+    from rec where addr is not null) t where rn = 1
+),
+fst as (
+  select cluster_id, phone from (
+    select cluster_id, phone,
+           row_number() over (partition by cluster_id order by k asc) as rn
+    from rec where phone is not null) t where rn = 1
+),
+md as (
+  select cluster_id, seg from (
+    select cluster_id, seg,
+           row_number() over (partition by cluster_id
+                              order by count(*) desc, seg asc) as rn
+    from rec where seg is not null group by cluster_id, seg) t where rn = 1
+)
+select base.cluster_id, base.n_members, base.best_bal,
+       lng.addr as addr, fst.phone as phone, md.seg as seg
+from base
+left join lng using (cluster_id)
+left join fst using (cluster_id)
+left join md using (cluster_id)
+order by base.cluster_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5433,6 +5527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_tf_adjust": q_fs_tf_adjust,
         "review_queue": q_review_queue,
         "cluster_impurity": q_cluster_impurity,
+        "golden_records": q_golden_records,
     }
 
 
@@ -5535,4 +5630,5 @@ def oracle_sql() -> dict[str, str]:
         "fs_tf_adjust": ORACLE_FS_TF,
         "review_queue": _oracle_review_queue(),
         "cluster_impurity": ORACLE_CLUSTER_IMPURITY,
+        "golden_records": ORACLE_GOLDEN_RECORDS,
     }

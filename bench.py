@@ -372,6 +372,7 @@ def main() -> None:
         "fs_tf_adjust",
         "review_queue",
         "cluster_impurity",
+        "golden_records",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir))
 
