@@ -251,6 +251,73 @@ def _cmd_evaluate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_apply_reviews(args: argparse.Namespace) -> int:
+    """Fold a batch of clerical-review verdicts into the persisted ER
+    state — the write-back half of the review loop whose read half is
+    the ``review_queue`` export (fs_linkage.clerical_review_queue).
+    Reviews parquet: (src, dst, verdict) with verdict 'match' /
+    'not_match'. Accepted pairs merge via merge_into_clusters
+    (snapshot-sized contracted CC); rejected pairs split via
+    retract_from_clusters (affected clusters re-clustered from the
+    surviving edge table). When a pair carries BOTH verdicts the
+    rejection wins (it is applied second). Writes the updated
+    assignments AND the updated edge table ((edges ∪ accepts) \\
+    rejects) — the edge table is what future retractions re-cluster
+    from, so it must stay in lockstep with the assignments.
+    ``--state-out``/``--edges-out`` must differ from the inputs
+    (write-then-swap, same atomicity contract as link-snapshot)."""
+    from pyspark.sql import functions as F
+
+    from .operators.clustering import merge_into_clusters, retract_from_clusters
+
+    spark = _session(args.master)
+    state = spark.read.parquet(args.state)
+    edges = spark.read.parquet(args.edges)
+    reviews = spark.read.parquet(args.reviews)
+    verdicts = {
+        r["verdict"] for r in reviews.select("verdict").distinct().collect()
+    }
+    unknown = verdicts - {"match", "not_match"}
+    if unknown:
+        raise SystemExit(f"unknown review verdicts: {sorted(unknown)!r}")
+    # canonical (least, greatest) orientation at the boundary: a
+    # verdict submitted as (b, a) must still hit stored edge (a, b),
+    # and the edge table must stay dedup-able by plain (src, dst)
+    def canon(df):
+        return df.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        ).filter(F.col("src") != F.col("dst"))
+
+    edges = canon(edges)
+    accepts = canon(reviews.filter(F.col("verdict") == "match"))
+    rejects = canon(reviews.filter(F.col("verdict") == "not_match"))
+    n_acc, n_rej = accepts.count(), rejects.count()
+    merge_iters = retract_iters = 0
+    new_edges = edges
+    if n_acc:
+        state, merge_iters = merge_into_clusters(state, accepts)
+        new_edges = new_edges.unionByName(accepts).dropDuplicates(["src", "dst"])
+    if n_rej:
+        state, retract_iters = retract_from_clusters(state, new_edges, rejects)
+        new_edges = new_edges.join(rejects, ["src", "dst"], "left_anti")
+    state.write.mode("overwrite").parquet(args.state_out)
+    new_edges.write.mode("overwrite").parquet(args.edges_out)
+    print(
+        json.dumps(
+            {
+                "accepted": n_acc,
+                "rejected": n_rej,
+                "merge_iterations": merge_iters,
+                "retract_iterations": retract_iters,
+                "state_out": args.state_out,
+                "edges_out": args.edges_out,
+            }
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(prog="entity_linking_in_biomedical_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -392,6 +459,19 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--top-k", type=int, default=20)
     ev.add_argument("--master", help="Spark master (omit under spark-submit)")
     ev.set_defaults(fn=_cmd_evaluate)
+
+    ar = sub.add_parser(
+        "apply-reviews",
+        help="fold clerical-review verdicts into the ER state: accepted "
+        "pairs merge clusters, rejected pairs split them",
+    )
+    ar.add_argument("--state", required=True, help="parquet: (node, cluster_id) assignments")
+    ar.add_argument("--edges", required=True, help="parquet: (src, dst) surviving match-edge table")
+    ar.add_argument("--reviews", required=True, help="parquet: (src, dst, verdict) with verdict match|not_match")
+    ar.add_argument("--state-out", required=True, help="output parquet for the updated assignments (must differ from --state)")
+    ar.add_argument("--edges-out", required=True, help="output parquet for the updated edge table (must differ from --edges)")
+    ar.add_argument("--master", help="Spark master (omit under spark-submit)")
+    ar.set_defaults(fn=_cmd_apply_reviews)
     return ap
 
 

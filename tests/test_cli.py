@@ -354,3 +354,86 @@ def test_cli_evaluate_report_card(tmp_path):
     ).fetchall()
     # p1 is pure; p2 spans g1+g2 (1 wrong pair); p3 singleton
     assert rows == [("p2", 2, 2, 0.5, 1)]
+
+
+def test_cli_apply_reviews(tmp_path):
+    """apply-reviews: accepted pairs merge clusters, rejected pairs
+    split them, the edge table stays in lockstep, and reversed-
+    orientation verdicts still hit their stored edges."""
+    import duckdb
+    import json as _json
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    con = duckdb.connect()
+    state = tmp_path / "state.parquet"
+    edges = tmp_path / "edges.parquet"
+    reviews = tmp_path / "reviews.parquet"
+    # clusters {a,b,c} (chain a-b-c), {p,q}, {x,y}
+    con.execute(
+        f"""copy (select * from (values
+              ('a','a'),('b','a'),('c','a'),('p','p'),('q','p'),
+              ('x','x'),('y','x'))
+              t(node, cluster_id)) to '{state}' (format parquet)"""
+    )
+    con.execute(
+        f"""copy (select * from (values
+              ('a','b'),('b','c'),('p','q'),('x','y'))
+              t(src, dst)) to '{edges}' (format parquet)"""
+    )
+    # accept c-p (merges {a,b,c} with {p,q}); reject b-c submitted
+    # REVERSED as (c,b) (splits {a,b} from {c,...}); reject x-y
+    con.execute(
+        f"""copy (select * from (values
+              ('c','p','match'),('c','b','not_match'),
+              ('x','y','not_match'))
+              t(src, dst, verdict)) to '{reviews}' (format parquet)"""
+    )
+    so, eo = tmp_path / "state_out", tmp_path / "edges_out"
+    r = subprocess.run(
+        [sys.executable, "-m", "entity_linking_in_biomedical_spark",
+         "apply-reviews", "--state", str(state), "--edges", str(edges),
+         "--reviews", str(reviews), "--state-out", str(so),
+         "--edges-out", str(eo), "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["accepted"] == 1 and summary["rejected"] == 2
+    got = dict(
+        con.execute(f"select node, cluster_id from read_parquet('{so}/*.parquet')").fetchall()
+    )
+    # after accept c-p and reject b-c: {a,b} and {c,p,q}; x,y split
+    assert got == {
+        "a": "a", "b": "a", "c": "c", "p": "c", "q": "c", "x": "x", "y": "y"
+    }
+    new_edges = set(
+        con.execute(f"select src, dst from read_parquet('{eo}/*.parquet')").fetchall()
+    )
+    assert new_edges == {("a", "b"), ("c", "p"), ("p", "q")}
+
+
+def test_cli_apply_reviews_rejects_unknown_verdict(tmp_path):
+    import duckdb
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    con = duckdb.connect()
+    state = tmp_path / "state.parquet"
+    edges = tmp_path / "edges.parquet"
+    reviews = tmp_path / "reviews.parquet"
+    con.execute(
+        f"copy (select 'a' as node, 'a' as cluster_id) to '{state}' (format parquet)"
+    )
+    con.execute(f"copy (select 'a' as src, 'b' as dst) to '{edges}' (format parquet)")
+    con.execute(
+        f"""copy (select 'a' as src, 'b' as dst, 'maybe' as verdict)
+            to '{reviews}' (format parquet)"""
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "entity_linking_in_biomedical_spark",
+         "apply-reviews", "--state", str(state), "--edges", str(edges),
+         "--reviews", str(reviews), "--state-out", str(tmp_path / "so"),
+         "--edges-out", str(tmp_path / "eo"), "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode != 0
+    assert "unknown review verdicts" in (r.stderr + r.stdout)
