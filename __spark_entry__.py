@@ -1144,6 +1144,151 @@ order by cluster_id
 """
 
 
+def q_repair_clusters(spark, sf_dir):
+    """Bridge-edge cluster repair (operators/matching.
+    repair_bridged_clusters): the transform behind the match_graph_qa
+    audit — sever every match edge that is both uncorroborated
+    (triangle support 0) and weak (score < 0.95), then re-close, so
+    chain merges split while triangles and near-certain pairs (exact
+    dups at jaccard ~1.0) survive. Same planted corpus as
+    match_graph_qa: the low-jaccard A~B~C chain must shatter into
+    singletons, the trio must stay one cluster. Oracle: naive triangle
+    join + keep-rule replay + recursive-CTE CC seeded with ALL edge
+    endpoints (dropped-edge nodes persist as singletons)."""
+    from entity_linking_in_biomedical_spark.operators.matching import (
+        repair_bridged_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    planted = spark.createDataFrame(_MATCH_QA_PLANT, "doc_id string, text string")
+    pairs = ngram_jaccard_pairs(docs.unionByName(planted), jaccard_threshold=0.5)
+    edges = pairs.select(
+        F.col("a_id").alias("src"),
+        F.col("b_id").alias("dst"),
+        F.round("jaccard", 6).alias("score"),
+    )
+    assign, _ = repair_bridged_clusters(edges, min_bridge_score=0.95)
+    return assign.orderBy("node")
+
+
+def _oracle_repair_clusters(thr=0.5, bridge=0.95) -> str:
+    plant_rows = ", ".join(f"('{i}', '{t}')" for i, t in _MATCH_QA_PLANT)
+    src = f"""(
+  select cast(doc_id as varchar) as doc_id, text from documents
+  union all
+  select * from (values {plant_rows}) v(doc_id, text)
+)"""
+    inner = _oracle_ngram_jaccard(thr, src=src)
+    return f"""
+with recursive pairs as ({inner}),
+e as (
+  select least(a_id, b_id) as a, greatest(a_id, b_id) as b,
+         max(jaccard) as score
+  from pairs where a_id <> b_id group by 1, 2
+),
+eb as (select a, b from e),
+tri as (
+  select e1.a as x, e1.b as y, e2.b as z
+  from eb e1 join eb e2 on e2.a = e1.a and e2.b > e1.b
+  join eb e3 on e3.a = e1.b and e3.b = e2.b
+),
+te as (
+  select x as a, y as b from tri
+  union all select x as a, z as b from tri
+  union all select y as a, z as b from tri
+),
+supp as (select a, b, count(*) as s from te group by a, b),
+kept as (
+  select e.a, e.b from e
+  left join supp on supp.a = e.a and supp.b = e.b
+  where coalesce(supp.s, 0) >= 1 or e.score >= {bridge}
+),
+und as (select a, b from kept union all select b as a, a as b from kept),
+nodes as (select a as n from e union select b as n from e),
+cc(n, m) as (
+  select n, n from nodes
+  union
+  select und.b, cc.m from cc join und on und.a = cc.n where cc.m < und.b
+)
+select n as node, min(m) as cluster_id from cc group by n order by node
+"""
+
+
+def q_one_to_one(spark, sf_dir):
+    """Unique-mapping 1:1 assignment (operators/matching.
+    one_to_one_match): the exclusivity constraint production linkage
+    applies when matching a feed to a master table — the reference's
+    per-mention argmax (dataset.py:335-388) permits many-to-one
+    collisions; this enforces each-side-at-most-once via iterated
+    locally-dominant (mutual-best) rounds, which under the total
+    (score desc, partner id) order equals sequential greedy matching.
+    Pairs: customer x supplier within a nation block, score =
+    -levenshtein(lower names) (integer-exact cross-engine). Oracle:
+    the same 6 mutual-best rounds unrolled as window-function CTEs."""
+    from entity_linking_in_biomedical_spark.operators.matching import (
+        one_to_one_match,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("left_id"),
+        F.lower(F.col("c_name")).alias("lname"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("right_id"),
+        F.lower(F.col("s_name")).alias("rname"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    pairs = cust.join(supp, "nk").select(
+        "left_id",
+        "right_id",
+        (-F.levenshtein("lname", "rname")).cast("double").alias("score"),
+    )
+    m, _ = one_to_one_match(pairs, max_rounds=6)
+    return m.orderBy("left_id")
+
+
+def _oracle_one_to_one(rounds=6) -> str:
+    ctes = [
+        """p0 as (
+  select cast(c.c_custkey as varchar) as l, cast(s.s_suppkey as varchar) as r,
+         -cast(levenshtein(lower(c.c_name), lower(s.s_name)) as double) as score
+  from customer c join supplier s on c.c_nationkey = s.s_nationkey
+)""",
+        "r0 as (select l, r, max(score) as score from p0 group by l, r)",
+    ]
+    sel = []
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""m{i} as (
+  select l, r, score from (
+    select l, r, score,
+           row_number() over (partition by l order by score desc, r) as rl,
+           row_number() over (partition by r order by score desc, l) as rr
+    from r{i - 1}
+  ) where rl = 1 and rr = 1
+)"""
+        )
+        ctes.append(
+            f"""r{i} as (
+  select * from r{i - 1}
+  where l not in (select l from m{i}) and r not in (select r from m{i})
+)"""
+        )
+        sel.append(f"select l, r, score, cast({i} as integer) as rnd from m{i}")
+    body = " union all ".join(sel)
+    return (
+        "with "
+        + ",\n".join(ctes)
+        + f"""
+select l as left_id, r as right_id, score, rnd as "round"
+from ({body}) order by left_id
+"""
+    )
+
+
 def q_blocking_stats(spark, sf_dir):
     """Blocking-channel skew/pair-mass profile (operators/profiling.
     blocking_key_stats): the pre-flight numbers that predict a
@@ -5528,6 +5673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "review_queue": q_review_queue,
         "cluster_impurity": q_cluster_impurity,
         "golden_records": q_golden_records,
+        "repair_clusters": q_repair_clusters,
+        "one_to_one": q_one_to_one,
     }
 
 
@@ -5631,4 +5778,6 @@ def oracle_sql() -> dict[str, str]:
         "review_queue": _oracle_review_queue(),
         "cluster_impurity": ORACLE_CLUSTER_IMPURITY,
         "golden_records": ORACLE_GOLDEN_RECORDS,
+        "repair_clusters": _oracle_repair_clusters(),
+        "one_to_one": _oracle_one_to_one(),
     }

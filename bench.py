@@ -373,6 +373,8 @@ def main() -> None:
         "review_queue",
         "cluster_impurity",
         "golden_records",
+        "repair_clusters",
+        "one_to_one",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir))
 

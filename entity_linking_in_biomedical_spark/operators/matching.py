@@ -1,0 +1,152 @@
+"""Post-scoring assignment constraints: 1:1 unique-mapping matching
+and bridge-edge cluster repair.
+
+The reference assigns every mention its argmax entity independently
+(dataset.py:335-388 stops at per-mention top-1 affinity), which
+permits unbounded many-to-one collisions; production record linkage
+between two deduplicated sources (a feed vs a master table) enforces
+an exclusivity constraint instead — each left record matches at most
+one right record and vice versa. ``one_to_one_match`` is that
+constraint as a distributed operator; ``repair_bridged_clusters``
+closes the loop on the match-graph QA family by turning the
+bridge-edge *diagnostic* (``edge_triangle_support``) into the
+corresponding *repair transform*.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..session import barrier_level
+from .clustering import connected_components, edge_triangle_support
+
+
+def one_to_one_match(
+    scored_pairs: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    score_col: str = "score",
+    max_rounds: int = 8,
+) -> tuple[DataFrame, int]:
+    """Unique-mapping 1:1 assignment over scored candidate pairs ->
+    (matches(left_id, right_id, score, round), rounds_run).
+
+    Locally-dominant parallel greedy matching (Preis '99 / the
+    "unique mapping clustering" of JedAI): each round keeps every
+    pair that is simultaneously its left record's best AND its right
+    record's best candidate (ties broken by the partner id, so the
+    edge order is total and both engines of a differential test agree
+    bit-for-bit), removes the matched records from the pool, and
+    repeats. Under a strict total edge order the fixpoint equals the
+    sequential greedy matching — a 1/2-approximation of the
+    max-weight assignment — without any global sort or driver-side
+    pass.
+
+    Scale shape: each round is two window shuffles (one per side key;
+    rank-1 rows are cut by WindowGroupLimit before the sort spills)
+    plus two anti-joins keyed the same way, all snapshot-local; the
+    pool SHRINKS every round (any pool-max edge is locally dominant,
+    so progress is guaranteed) and rounds are capped — pairs still
+    ambiguous after ``max_rounds`` are dropped, the documented residue
+    of chain-shaped ties. One O(1) digest per round.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    pool = (
+        scored_pairs.select(
+            F.col(left_col).cast("string").alias("left_id"),
+            F.col(right_col).cast("string").alias("right_id"),
+            F.col(score_col).cast("double").alias("score"),
+        )
+        .groupBy("left_id", "right_id")
+        .agg(F.max("score").alias("score"))
+        .localCheckpoint(eager=False, storageLevel=barrier_level())
+    )
+    wl = Window.partitionBy("left_id").orderBy(F.desc("score"), F.asc("right_id"))
+    wr = Window.partitionBy("right_id").orderBy(F.desc("score"), F.asc("left_id"))
+    matched: list[DataFrame] = []
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        mutual = (
+            pool.withColumn("rl", F.row_number().over(wl))
+            .withColumn("rr", F.row_number().over(wr))
+            .filter((F.col("rl") == 1) & (F.col("rr") == 1))
+            .select("left_id", "right_id", "score", F.lit(rounds).alias("round"))
+            .localCheckpoint(eager=False, storageLevel=barrier_level())
+        )
+        if mutual.limit(1).count() == 0:
+            rounds -= 1
+            break
+        matched.append(mutual)
+        pool = (
+            pool.join(mutual.select("left_id"), "left_id", "left_anti")
+            .join(mutual.select("right_id"), "right_id", "left_anti")
+            .select("left_id", "right_id", "score")
+            .localCheckpoint(eager=False, storageLevel=barrier_level())
+        )
+    if not matched:
+        out = pool.sparkSession.createDataFrame(
+            [], "left_id string, right_id string, score double, round int"
+        )
+        return out, 0
+    out = matched[0]
+    for m in matched[1:]:
+        out = out.unionByName(m)
+    return out, rounds
+
+
+def repair_bridged_clusters(
+    scored_edges: DataFrame,
+    min_bridge_score: float = 0.95,
+    min_support: int = 1,
+    max_out_degree: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Split chain-merged clusters: drop every match edge that is both
+    UNCORROBORATED (triangle support < ``min_support`` — no third
+    record confirms the pair) and WEAK (score < ``min_bridge_score``),
+    then re-close -> (assignments(node, cluster_id), cc_iterations).
+
+    This is the repair transform behind the ``match_graph_diagnostics``
+    audit: transitive closure turns one borderline pairwise score into
+    an unbounded merge (the A~B~C chain where A and C share nothing),
+    and the bridge edges that audit flags are exactly the ones this
+    operator severs. Near-certain pairs survive on score alone, so
+    genuine duplicate pairs (score ~1.0) are never split even though a
+    pair, alone, can have no triangle.
+
+    Every node incident to ANY input edge keeps a row in the output —
+    nodes that lose all their edges become singleton clusters — so the
+    result is a full re-labelable assignment, not a fragment.
+
+    Cost on top of ``edge_triangle_support`` (degree-oriented wedge
+    join, see there): one join to re-attach scores and the contracted
+    re-closure, which runs on the kept-edge set only.
+    """
+    e = (
+        scored_edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+            F.col("score").cast("double").alias("score"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.max("score").alias("score"))
+        .localCheckpoint(eager=False, storageLevel=barrier_level())
+    )
+    supp = edge_triangle_support(
+        e.select("src", "dst"), max_out_degree=max_out_degree
+    )
+    kept = (
+        e.join(supp, ["src", "dst"])
+        .filter(
+            (F.col("support") >= F.lit(int(min_support)))
+            | (F.col("score") >= F.lit(float(min_bridge_score)))
+        )
+        .select("src", "dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return connected_components(kept, nodes=nodes)

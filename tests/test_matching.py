@@ -1,0 +1,169 @@
+"""one_to_one_match (unique-mapping 1:1 assignment) and
+repair_bridged_clusters (bridge-edge split transform)."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from entity_linking_in_biomedical_spark.operators.matching import (
+    one_to_one_match,
+    repair_bridged_clusters,
+)
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(
+        rows, "left_id string, right_id string, score double"
+    )
+
+
+def _greedy_oracle(rows, max_rounds=8):
+    """Sequential locally-dominant reference: per round, keep pairs that
+    are argmax for both endpoints (ties by partner id), remove, repeat."""
+    pool = {}
+    for l, r, s in rows:
+        pool[(l, r)] = max(s, pool.get((l, r), float("-inf")))
+    out = {}
+    for rnd in range(1, max_rounds + 1):
+        if not pool:
+            break
+        best_l = {}
+        best_r = {}
+        for (l, r), s in pool.items():
+            k = (-s, r)
+            if l not in best_l or k < best_l[l][0]:
+                best_l[l] = (k, r)
+            k = (-s, l)
+            if r not in best_r or k < best_r[r][0]:
+                best_r[r] = (k, l)
+        mutual = [
+            (l, r, s)
+            for (l, r), s in pool.items()
+            if best_l[l][1] == r and best_r[r][1] == l
+        ]
+        if not mutual:
+            break
+        for l, r, s in mutual:
+            out[(l, r)] = (s, rnd)
+        ml = {l for l, _, _ in mutual}
+        mr = {r for _, r, _ in mutual}
+        pool = {
+            (l, r): s
+            for (l, r), s in pool.items()
+            if l not in ml and r not in mr
+        }
+    return {(l, r): v for (l, r), v in out.items()}
+
+
+def test_one_to_one_basic_exclusivity(spark):
+    # B's best is X, A's best is also X but weaker: A must fall back to Y
+    rows = [
+        ("A", "X", 0.9),
+        ("B", "X", 1.0),
+        ("A", "Y", 0.5),
+        ("C", "Y", 0.4),
+    ]
+    m, rounds = one_to_one_match(_pairs(spark, rows))
+    got = {(r["left_id"], r["right_id"]): (r["score"], r["round"]) for r in m.collect()}
+    assert got == {("B", "X"): (1.0, 1), ("A", "Y"): (0.5, 2)}
+    assert rounds == 2
+    # exclusivity: each side id appears at most once
+    assert m.groupBy("left_id").count().agg(F.max("count")).first()[0] == 1
+    assert m.groupBy("right_id").count().agg(F.max("count")).first()[0] == 1
+
+
+def test_one_to_one_tie_break_deterministic(spark):
+    # all scores equal: ties resolve by partner id ascending
+    rows = [(l, r, 1.0) for l, r in itertools.product("AB", "XY")]
+    m, _ = one_to_one_match(_pairs(spark, rows))
+    got = {(r["left_id"], r["right_id"]) for r in m.collect()}
+    assert got == {("A", "X"), ("B", "Y")}
+
+
+def test_one_to_one_matches_sequential_oracle(spark):
+    # deterministic pseudo-random bipartite pool, no RNG dependency
+    rows = []
+    for i in range(40):
+        for j in range(25):
+            h = (i * 2654435761 + j * 40503) % 997
+            if h % 3 == 0:
+                rows.append((f"l{i:02d}", f"r{j:02d}", float(h) / 997.0))
+    m, _ = one_to_one_match(_pairs(spark, rows), max_rounds=8)
+    got = {(r["left_id"], r["right_id"]): (r["score"], r["round"]) for r in m.collect()}
+    want = _greedy_oracle(rows, max_rounds=8)
+    assert got == want and len(got) > 5
+
+
+def test_one_to_one_duplicate_pairs_keep_max(spark):
+    rows = [("A", "X", 0.2), ("A", "X", 0.7)]
+    m, rounds = one_to_one_match(_pairs(spark, rows))
+    [row] = m.collect()
+    assert (row["score"], rounds) == (0.7, 1)
+
+
+def test_one_to_one_empty(spark):
+    m, rounds = one_to_one_match(_pairs(spark, []))
+    assert m.count() == 0 and rounds == 0
+    assert [f.name for f in m.schema.fields] == [
+        "left_id",
+        "right_id",
+        "score",
+        "round",
+    ]
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, score double")
+
+
+def test_repair_splits_weak_chain_keeps_triangle(spark):
+    rows = [
+        # triangle: every edge has support 1 -> kept despite low scores
+        ("t1", "t2", 0.6),
+        ("t2", "t3", 0.6),
+        ("t1", "t3", 0.6),
+        # weak chain: support 0 and score < 0.95 -> severed
+        ("c1", "c2", 0.7),
+        ("c2", "c3", 0.7),
+        # strong pair: support 0 but score >= 0.95 -> kept
+        ("p1", "p2", 1.0),
+    ]
+    assign, _ = repair_bridged_clusters(_edges(spark, rows), min_bridge_score=0.95)
+    got = {r["node"]: r["cluster_id"] for r in assign.collect()}
+    assert got == {
+        "t1": "t1",
+        "t2": "t1",
+        "t3": "t1",
+        "c1": "c1",
+        "c2": "c2",
+        "c3": "c3",
+        "p1": "p1",
+        "p2": "p1",
+    }
+
+
+def test_repair_min_support_two_needs_two_triangles(spark):
+    # diamond a-b-c-d with both diagonals: edge (b,c) sits in 2 triangles,
+    # rim edges in 1 -> min_support=2 keeps only (b,c)
+    rows = [
+        ("a", "b", 0.5),
+        ("b", "c", 0.5),
+        ("c", "d", 0.5),
+        ("a", "c", 0.5),
+        ("b", "d", 0.5),
+    ]
+    assign, _ = repair_bridged_clusters(
+        _edges(spark, rows), min_bridge_score=2.0, min_support=2
+    )
+    got = {r["node"]: r["cluster_id"] for r in assign.collect()}
+    assert got == {"a": "a", "b": "b", "c": "b", "d": "d"}
+
+
+def test_repair_all_nodes_survive_as_singletons(spark):
+    assign, _ = repair_bridged_clusters(
+        _edges(spark, [("x", "y", 0.1)]), min_bridge_score=0.95
+    )
+    got = {r["node"]: r["cluster_id"] for r in assign.collect()}
+    assert got == {"x": "x", "y": "y"}
