@@ -242,6 +242,69 @@ def blocking_quality(
     )
 
 
+def threshold_curve(
+    scored: DataFrame,
+    thresholds: list[float],
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Decision-threshold sweep over labeled scored pairs: one row per
+    candidate threshold with (n_predicted, tp, fp, fn, precision,
+    recall, f1) — the curve an ER deployment reads to pick its match
+    cutoff (and the upper/lower bounds of the Fellegi-Sunter
+    possible-link band that ``clerical_review_queue`` exports).
+
+    Scale shape: the ENTIRE curve is ONE scalar aggregate over the pair
+    frame — 2k+1 conditional sums evaluated in a single codegen'd scan,
+    zero shuffles — followed by a k-row ``stack`` explode of the 1-row
+    result. No per-threshold passes, no sort of the score column
+    (contrast sklearn's roc_curve, which sorts all N scores); k is the
+    caller's grid, so cost is independent of |pairs| beyond the scan.
+
+    Conventions match ``cluster_pair_metrics``: precision of an empty
+    prediction set is 1.0, recall with zero gold positives is 1.0, f1
+    of (0, 0) is 0.0. Doubles rounded to 6.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = sorted({float(t) for t in thresholds})
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("boolean")
+    aggs = [F.sum(y.cast("long")).alias("_pos")]
+    for i, t in enumerate(ts):
+        hit = s >= F.lit(t)
+        aggs.append(F.sum(hit.cast("long")).alias(f"_n{i}"))
+        aggs.append(F.sum((hit & y).cast("long")).alias(f"_tp{i}"))
+    one = scored.agg(*aggs)
+    stack_args = ", ".join(
+        f"cast({t} as double), _n{i}, _tp{i}" for i, t in enumerate(ts)
+    )
+    rows = one.selectExpr(
+        "_pos",
+        f"stack({len(ts)}, {stack_args}) as (threshold, n_predicted, tp)",
+    )
+    # an empty input frame aggregates to one row of NULL sums: coalesce
+    # so the curve degrades to all-zero counts instead of NULL metrics
+    pos = F.coalesce(F.col("_pos"), F.lit(0)).cast("bigint")
+    np_ = F.coalesce(F.col("n_predicted"), F.lit(0)).cast("bigint")
+    tp = F.coalesce(F.col("tp"), F.lit(0)).cast("bigint")
+    prec = F.when(np_ > 0, tp / np_).otherwise(F.lit(1.0))
+    rec = F.when(pos > 0, tp / pos).otherwise(F.lit(1.0))
+    return rows.select(
+        F.col("threshold"),
+        np_.alias("n_predicted"),
+        tp.alias("tp"),
+        (np_ - tp).alias("fp"),
+        (pos - tp).alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("f1"),
+    ).orderBy("threshold")
+
+
 def cluster_impurity_report(
     assign: DataFrame,
     id_col: str = "doc_id",

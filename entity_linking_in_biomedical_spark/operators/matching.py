@@ -95,6 +95,76 @@ def one_to_one_match(
     return out, rounds
 
 
+def stable_cluster_ids(
+    old_assign: DataFrame,
+    new_assign: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    max_rounds: int = 8,
+    fresh_prefix: str = "new:",
+) -> DataFrame:
+    """Cross-snapshot entity-id stitching: relabel a fresh clustering
+    with the PREVIOUS snapshot's cluster ids wherever membership
+    overlap identifies the same real-world entity, so downstream
+    consumers (golden records, review queues, foreign keys into the
+    entity table) keep stable ids across re-runs ->
+    (id_col, stable_id, is_fresh).
+
+    CC cluster ids are min-member labels (operators/clustering.py), so
+    any membership change — one document added to a corpus — can
+    relabel every cluster downstream of it even though the entities
+    didn't change. Stitching is a 1:1 assignment problem over the
+    overlap graph: each new cluster should inherit the old id it shares
+    the most members with, but an old id must be reused at most ONCE
+    (when a cluster splits, both halves overlap the old id — handing it
+    to both would silently merge them back downstream). That is exactly
+    ``one_to_one_match`` with score = overlap count, run not on the
+    corpus but on the (new, old) overlap CELLS frame, which is
+    cluster-count-sized. Ties (an even split) break deterministically
+    by partner id. New clusters that win no old id get a fresh
+    namespaced id (``fresh_prefix`` + new cluster id) and
+    ``is_fresh = true``; old ids whose entities vanished simply retire.
+
+    Scale shape: one equi-join of the two assignment scans on the item
+    id + one map-side-partial groupBy to the cells frame (the only
+    corpus-sized shuffles); the matching rounds and the final relabel
+    join run on cluster-count-sized frames (broadcastable).
+    """
+    old = old_assign.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(cluster_col).cast("string").alias("_old"),
+    )
+    new = new_assign.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(cluster_col).cast("string").alias("_new"),
+    )
+    cells = (
+        new.join(old, "_id")
+        .groupBy("_new", "_old")
+        .agg(F.count("*").cast("double").alias("overlap"))
+    )
+    matches, _ = one_to_one_match(
+        cells,
+        left_col="_new",
+        right_col="_old",
+        score_col="overlap",
+        max_rounds=max_rounds,
+    )
+    mapping = matches.select(
+        F.col("left_id").alias("_new"), F.col("right_id").alias("_stable")
+    )
+    return (
+        new.join(mapping, "_new", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(
+                F.col("_stable"), F.concat(F.lit(fresh_prefix), F.col("_new"))
+            ).alias("stable_id"),
+            F.col("_stable").isNull().alias("is_fresh"),
+        )
+    )
+
+
 def repair_bridged_clusters(
     scored_edges: DataFrame,
     min_bridge_score: float = 0.95,

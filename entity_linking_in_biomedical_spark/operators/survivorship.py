@@ -98,3 +98,57 @@ def golden_records(
         )
         base = base.join(winner, cluster_col, "left")
     return base
+
+
+def refresh_golden_records(
+    records: DataFrame,
+    old_golden: DataFrame,
+    touched_clusters: DataFrame,
+    rules: dict[str, tuple],
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Incremental survivorship — the snapshot-lifecycle face of
+    ``golden_records``, completing the pattern the dedup/media/ER
+    indexes follow (operators/incremental_dedup.py,
+    operators/clustering.merge_into_clusters): after a merge/retract/
+    review pass touches SOME clusters, recompute golden rows for those
+    clusters only and splice them over the persisted golden table,
+    instead of re-aggregating 10^12 member rows.
+
+    ``records``: the full member table already carrying the NEW
+    ``cluster_col`` assignment. ``old_golden``: the persisted output of
+    a prior ``golden_records`` run under the SAME rules (schema must
+    match; enforced). ``touched_clusters``: one column ``cluster_col``
+    listing every cluster whose membership may have changed — new ids,
+    grown ids, shrunk ids, AND ids that vanished entirely (callers get
+    this from ``merge_into_clusters``/``retract_from_clusters``'s
+    relabeled nodes or ``diff_snapshots``). Result == running
+    ``golden_records`` on the full table, provided ``touched_clusters``
+    covers every changed cluster: untouched rows are carried from
+    ``old_golden``, touched ones recomputed, vanished ones retire
+    (their semi-join recompute is empty).
+
+    Scale shape: one scan of ``records`` pruned by a broadcast
+    semi-join on the (small) touched set — only touched members reach
+    the groupBy shuffle — plus one broadcast anti-join over the
+    golden table (one row per cluster). O(|touched members| +
+    |golden|), never O(corpus).
+    """
+    t = touched_clusters.select(F.col(cluster_col).cast("string").alias(cluster_col))
+    fresh = golden_records(
+        records.withColumn(cluster_col, F.col(cluster_col).cast("string")).join(
+            F.broadcast(t), cluster_col, "left_semi"
+        ),
+        rules,
+        cluster_col,
+    )
+    missing = set(fresh.columns) ^ set(old_golden.columns)
+    if missing:
+        raise ValueError(
+            f"old_golden schema does not match the rules' golden schema; "
+            f"mismatched columns: {sorted(missing)}"
+        )
+    kept = old_golden.withColumn(
+        cluster_col, F.col(cluster_col).cast("string")
+    ).join(F.broadcast(t), cluster_col, "left_anti")
+    return kept.unionByName(fresh)

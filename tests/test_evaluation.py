@@ -485,3 +485,58 @@ def test_evaluation_foreach_batch_matches_batch(spark, tmp_path):
     card, n_imp = got[0]
     assert card == want
     assert n_imp is not None and n_imp >= 1  # pred over-merges vs gold
+
+
+def test_threshold_curve_hand_computed(spark):
+    from entity_linking_in_biomedical_spark.operators.evaluation import (
+        threshold_curve,
+    )
+
+    # 3 positives, 2 negatives at known scores
+    rows = [
+        (0.9, True),
+        (0.8, False),
+        (0.7, True),
+        (0.4, True),
+        (0.1, False),
+    ]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    got = {
+        r["threshold"]: r
+        for r in threshold_curve(df, [0.0, 0.5, 0.75, 0.95]).collect()
+    }
+    assert got[0.0]["n_predicted"] == 5 and got[0.0]["recall"] == 1.0
+    assert got[0.0]["precision"] == 0.6
+    r5 = got[0.5]
+    assert (r5["tp"], r5["fp"], r5["fn"]) == (2, 1, 1)
+    assert r5["precision"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r5["recall"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r5["f1"] == pytest.approx(2 / 3, abs=1e-6)
+    r75 = got[0.75]
+    assert (r75["tp"], r75["fp"]) == (1, 1) and r75["precision"] == 0.5
+    # empty prediction set: precision degrades to 1.0 by convention
+    r95 = got[0.95]
+    assert r95["n_predicted"] == 0 and r95["precision"] == 1.0 and r95["recall"] == 0.0
+    # recall is monotone non-increasing in the threshold
+    ts = sorted(got)
+    assert all(
+        got[a]["recall"] >= got[b]["recall"] for a, b in zip(ts, ts[1:])
+    )
+
+
+def test_threshold_curve_empty_and_no_positives(spark):
+    from entity_linking_in_biomedical_spark.operators.evaluation import (
+        threshold_curve,
+    )
+
+    empty = spark.createDataFrame([], "score double, label boolean")
+    rows = threshold_curve(empty, [0.5]).collect()
+    assert len(rows) == 1
+    assert rows[0]["tp"] == 0 and rows[0]["precision"] == 1.0 and rows[0]["recall"] == 1.0
+    negs = spark.createDataFrame([(0.9, False)], "score double, label boolean")
+    r = threshold_curve(negs, [0.5]).collect()[0]
+    # zero gold positives: recall 1.0 by convention, precision 0/1 real
+    assert r["recall"] == 1.0 and r["precision"] == 0.0 and r["fp"] == 1
+
+    with pytest.raises(ValueError):
+        threshold_curve(negs, [])

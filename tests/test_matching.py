@@ -167,3 +167,79 @@ def test_repair_all_nodes_survive_as_singletons(spark):
     )
     got = {r["node"]: r["cluster_id"] for r in assign.collect()}
     assert got == {"x": "x", "y": "y"}
+
+
+# ---- stable_cluster_ids ----------------------------------------------------
+
+
+def _assign(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, cluster_id string")
+
+
+def test_stable_ids_rename_split_merge_fresh(spark):
+    from entity_linking_in_biomedical_spark.operators.matching import (
+        stable_cluster_ids,
+    )
+
+    # old snapshot: A={1,2,3}, B={4,5}, Z={9} (Z's entity vanishes)
+    old = _assign(
+        spark,
+        [("1", "A"), ("2", "A"), ("3", "A"), ("4", "B"), ("5", "B"), ("9", "Z")],
+    )
+    # new snapshot: A split into {1,2} and {3}; B renamed to b' with a
+    # new member 6; 7 starts a brand-new cluster; 9 is gone
+    new = _assign(
+        spark,
+        [
+            ("1", "n1"),
+            ("2", "n1"),
+            ("3", "n2"),
+            ("4", "nb"),
+            ("5", "nb"),
+            ("6", "nb"),
+            ("7", "nc"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["stable_id"], r["is_fresh"])
+        for r in stable_cluster_ids(old, new).collect()
+    }
+    # the larger half of the split inherits A; the singleton half is fresh
+    assert got["1"] == ("A", False) and got["2"] == ("A", False)
+    assert got["3"] == ("new:n2", True)
+    # rename with growth still inherits B
+    assert got["4"] == ("B", False) and got["6"] == ("B", False)
+    # brand-new cluster gets a fresh namespaced id
+    assert got["7"] == ("new:nc", True)
+    # retired old id Z is reused by nobody
+    assert all(s != "Z" for s, _ in got.values())
+
+
+def test_stable_ids_old_id_reused_at_most_once_on_even_split(spark):
+    from entity_linking_in_biomedical_spark.operators.matching import (
+        stable_cluster_ids,
+    )
+
+    # A={1,2,3,4} splits evenly into {1,2} and {3,4}: both overlap A by
+    # 2 — exactly one half may inherit A (the smaller new id, by the
+    # deterministic tie-break), the other must be fresh
+    old = _assign(spark, [("1", "A"), ("2", "A"), ("3", "A"), ("4", "A")])
+    new = _assign(spark, [("1", "p"), ("2", "p"), ("3", "q"), ("4", "q")])
+    rows = stable_cluster_ids(old, new).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["stable_id"], set()).add(r["doc_id"])
+    assert by_cluster["A"] == {"1", "2"}  # p < q wins the tie
+    assert by_cluster["new:q"] == {"3", "4"}
+
+
+def test_stable_ids_disjoint_snapshots_all_fresh(spark):
+    from entity_linking_in_biomedical_spark.operators.matching import (
+        stable_cluster_ids,
+    )
+
+    old = _assign(spark, [("1", "A")])
+    new = _assign(spark, [("2", "x"), ("3", "x")])
+    rows = stable_cluster_ids(old, new).collect()
+    assert {r["stable_id"] for r in rows} == {"new:x"}
+    assert all(r["is_fresh"] for r in rows)

@@ -142,3 +142,49 @@ def test_unknown_rule_raises(spark):
 
     with pytest.raises(ValueError, match="unknown survivorship rule"):
         golden_records(_df(spark), {"x": ("median", "bal")}).collect()
+
+
+def test_refresh_golden_records_equals_full_recompute(spark):
+    from entity_linking_in_biomedical_spark.operators.survivorship import (
+        refresh_golden_records,
+    )
+
+    old_records = _df(spark)
+    old_golden = golden_records(old_records, RULES)
+    # new snapshot: c1 gains a member, c2 vanishes (member moved to c1),
+    # c4 appears, c3 untouched
+    rows = [
+        ("c1", 1, "BUILDING", 10.0, "addr-a", None),
+        ("c1", 2, "AUTO", 30.0, "addr-bbbb", "ph2"),
+        ("c1", 3, "AUTO", 20.0, "addr-cccc", "ph3"),
+        ("c1", 4, "HOUSE", 99.0, "x-long-addr", "ph4"),
+        ("c3", 5, None, None, None, None),
+        ("c4", 6, "NEW", 7.0, "n", "ph6"),
+    ]
+    new_records = spark.createDataFrame(
+        rows,
+        "cluster_id string, k int, seg string, bal double, addr string, phone string",
+    )
+    touched = spark.createDataFrame([("c1",), ("c2",), ("c4",)], "cluster_id string")
+    got = refresh_golden_records(new_records, old_golden, touched, RULES)
+    want = golden_records(new_records, RULES)
+    key = lambda r: r["cluster_id"]  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, want.collect()), key=lambda t: t[0]
+    )
+    # c3 was carried, not recomputed: present exactly once
+    assert [r for r in got.collect() if r["cluster_id"] == "c3"]
+
+
+def test_refresh_golden_records_schema_mismatch_raises(spark):
+    import pytest
+
+    from entity_linking_in_biomedical_spark.operators.survivorship import (
+        refresh_golden_records,
+    )
+
+    recs = _df(spark)
+    bad_old = golden_records(recs, RULES).drop("seg")
+    touched = spark.createDataFrame([("c1",)], "cluster_id string")
+    with pytest.raises(ValueError, match="schema"):
+        refresh_golden_records(recs, bad_old, touched, RULES)
