@@ -1250,16 +1250,15 @@ def q_one_to_one(spark, sf_dir):
     return m.orderBy("left_id")
 
 
-def _oracle_one_to_one(rounds=6) -> str:
-    ctes = [
-        """p0 as (
-  select cast(c.c_custkey as varchar) as l, cast(s.s_suppkey as varchar) as r,
-         -cast(levenshtein(lower(c.c_name), lower(s.s_name)) as double) as score
-  from customer c join supplier s on c.c_nationkey = s.s_nationkey
-)""",
-        "r0 as (select l, r, max(score) as score from p0 group by l, r)",
-    ]
-    sel = []
+def _mutual_best_ctes(rounds: int) -> tuple[list[str], str]:
+    """CTE chain m1/r1..m{rounds}/r{rounds} unrolling the iterated
+    locally-dominant (mutual-best) matching loop of
+    operators/matching.one_to_one_match over a seed CTE named
+    r0(l, r, score). Returns (ctes, union_sql) where union_sql selects
+    (l, r, score, rnd) over every matched round — shared by the
+    one_to_one and stable_ids oracles."""
+    ctes: list[str] = []
+    sel: list[str] = []
     for i in range(1, rounds + 1):
         ctes.append(
             f"""m{i} as (
@@ -1278,7 +1277,20 @@ def _oracle_one_to_one(rounds=6) -> str:
 )"""
         )
         sel.append(f"select l, r, score, cast({i} as integer) as rnd from m{i}")
-    body = " union all ".join(sel)
+    return ctes, " union all ".join(sel)
+
+
+def _oracle_one_to_one(rounds=6) -> str:
+    ctes = [
+        """p0 as (
+  select cast(c.c_custkey as varchar) as l, cast(s.s_suppkey as varchar) as r,
+         -cast(levenshtein(lower(c.c_name), lower(s.s_name)) as double) as score
+  from customer c join supplier s on c.c_nationkey = s.s_nationkey
+)""",
+        "r0 as (select l, r, max(score) as score from p0 group by l, r)",
+    ]
+    mctes, body = _mutual_best_ctes(rounds)
+    ctes += mctes
     return (
         "with "
         + ",\n".join(ctes)
@@ -5576,6 +5588,265 @@ order by base.cluster_id
 """
 
 
+def q_threshold_curve(spark, sf_dir):
+    """Decision-threshold sweep (operators/evaluation.threshold_curve):
+    P/R/F1 at each candidate match cutoff, the curve an ER deployment
+    reads to place its link / possible-link / non-link boundaries
+    (Fellegi-Sunter band edges). The ENTIRE curve is ONE scalar
+    aggregate over the scored frame — 2k+1 conditional sums in a single
+    codegen'd scan, zero shuffles, no sort of the score column — plus a
+    k-row stack. Scored pairs here: quality_score(text) as a classifier
+    of lang == 'en' over documents (both sides already twin-verified by
+    the quality_score / lang_id oracles)."""
+    from entity_linking_in_biomedical_spark.operators.evaluation import (
+        threshold_curve,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_score("text").alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return threshold_curve(scored, _CURVE_THRESHOLDS).orderBy("threshold")
+
+
+_CURVE_THRESHOLDS = [0.0, 0.2, 0.4, 0.5, 0.6, 0.8, 0.9]
+
+
+def _oracle_threshold_curve() -> str:
+    vals = ", ".join(f"(cast({t} as double))" for t in _CURVE_THRESHOLDS)
+    return f"""
+with t as (
+  select lang, length(text) as n_chars,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) as alpha,
+         {_TOKS} as toks
+  from documents
+),
+q as (select (lang = 'en') as y, {_QUALITY_EXPR} as s from t),
+g as (
+  select cast(coalesce(sum(case when y then 1 else 0 end), 0) as bigint) as pos
+  from q
+),
+thr as (select * from (values {vals}) v(threshold)),
+c as (
+  select threshold,
+         cast(count(case when s >= threshold then 1 end) as bigint) as n_predicted,
+         cast(count(case when s >= threshold and y then 1 end) as bigint) as tp
+  from thr left join q on true group by threshold
+),
+m as (
+  select threshold, n_predicted, tp,
+         n_predicted - tp as fp, pos - tp as fn,
+         case when n_predicted > 0
+              then cast(tp as double) / n_predicted else 1.0 end as p,
+         case when pos > 0 then cast(tp as double) / pos else 1.0 end as r
+  from c cross join g
+)
+select threshold, n_predicted, tp, fp, fn,
+       round(p, 6) as "precision", round(r, 6) as recall,
+       round(case when p + r > 0 then 2 * p * r / (p + r) else 0.0 end, 6) as f1
+from m order by threshold
+"""
+
+
+ORACLE_THRESHOLD_CURVE = _oracle_threshold_curve()
+
+
+def q_stable_ids(spark, sf_dir):
+    """Cross-snapshot entity-id stitching (operators/matching.
+    stable_cluster_ids): a re-run's clusters inherit the previous
+    snapshot's ids by maximal membership overlap under a 1:1
+    constraint (an old id is reused at most once, so a split can never
+    silently re-merge downstream). Planted drift over customer: old
+    clusters = custkey % 37; the new snapshot splits cluster 5 in two
+    (parity) and merges cluster 6 into 7 — the split's larger half and
+    the merge inherit, the residue goes fresh. Oracle: the same
+    overlap cells run through the shared unrolled mutual-best CTEs
+    (_mutual_best_ctes), then the identical relabel join."""
+    from entity_linking_in_biomedical_spark.operators.matching import (
+        stable_cluster_ids,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    k37 = F.col("c_custkey") % 37
+    old = cust.select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        k37.cast("string").alias("cluster_id"),
+    )
+    new_cl = (
+        F.when(k37 == 5, F.concat(F.lit("s"), (F.col("c_custkey") % 2).cast("string")))
+        .when(k37 == 6, F.lit("7"))
+        .otherwise(k37.cast("string"))
+    )
+    new = cust.select(
+        F.col("c_custkey").cast("string").alias("doc_id"),
+        new_cl.alias("cluster_id"),
+    )
+    return stable_cluster_ids(old, new, max_rounds=6).orderBy("doc_id")
+
+
+def _oracle_stable_ids(rounds=6) -> str:
+    ctes = [
+        """oldc as (
+  select cast(c_custkey as varchar) as id,
+         cast(c_custkey % 37 as varchar) as oc
+  from customer
+)""",
+        """newc as (
+  select cast(c_custkey as varchar) as id,
+         case when c_custkey % 37 = 5 then 's' || cast(c_custkey % 2 as varchar)
+              when c_custkey % 37 = 6 then '7'
+              else cast(c_custkey % 37 as varchar) end as nc
+  from customer
+)""",
+        """r0 as (
+  select nc as l, oc as r, cast(count(*) as double) as score
+  from newc join oldc using (id) group by nc, oc
+)""",
+    ]
+    mctes, body = _mutual_best_ctes(rounds)
+    ctes += mctes
+    ctes.append(f"matched as (select l, r from ({body}))")
+    return (
+        "with "
+        + ",\n".join(ctes)
+        + """
+select newc.id as doc_id,
+       coalesce(matched.r, 'new:' || newc.nc) as stable_id,
+       matched.r is null as is_fresh
+from newc left join matched on newc.nc = matched.l
+order by doc_id
+"""
+    )
+
+
+ORACLE_STABLE_IDS = _oracle_stable_ids()
+
+
+def q_phonetic_blocking(spark, sf_dir):
+    """Phonetic blocking-key profile (functions/phonetic.soundex — the
+    Christen ch.4 spelling-variant channel the exact/norm-key blocks
+    miss; reference's only fuzzy channel is the O(|M|·|E|) TF-IDF join,
+    candidate_generator.py:89-127): Soundex every token of p_name and
+    profile the resulting blocks (occurrences, distinct tokens, pair
+    mass). Pure codegen — translate/replace chains, one explode, one
+    map-side-partial groupBy, top-25 under a strict total order. The
+    DuckDB twin evaluates the SAME algorithm generated from the same
+    constant table (soundex_sql), so the hash check certifies the
+    phonetic key cross-engine."""
+    from entity_linking_in_biomedical_spark.functions.phonetic import soundex
+
+    part = _t(spark, sf_dir, "part")
+    toks = part.select(F.explode(F.split(F.col("p_name"), " ")).alias("tok"))
+    g = (
+        toks.select(soundex("tok").alias("code"), "tok")
+        .filter(F.col("code") != "")
+        .groupBy("code")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("tok").cast("bigint").alias("n_tokens"),
+            F.min("tok").alias("sample_token"),
+        )
+    )
+    return (
+        g.withColumn(
+            "pair_mass", (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+        )
+        .orderBy(F.desc("n"), F.asc("code"))
+        .limit(25)
+    )
+
+
+def _oracle_phonetic_blocking() -> str:
+    from entity_linking_in_biomedical_spark.functions.phonetic import soundex_sql
+
+    return f"""
+with tok as (select unnest(string_split(p_name, ' ')) as tok from part),
+c as (select {soundex_sql('tok')} as code, tok from tok),
+g as (
+  select code, cast(count(*) as bigint) as n,
+         cast(count(distinct tok) as bigint) as n_tokens,
+         min(tok) as sample_token
+  from c where code <> '' group by code
+)
+select code, n, n_tokens, sample_token,
+       cast(n * (n - 1) // 2 as bigint) as pair_mass
+from g order by n desc, code limit 25
+"""
+
+
+ORACLE_PHONETIC_BLOCKING = _oracle_phonetic_blocking()
+
+
+def q_golden_refresh(spark, sf_dir):
+    """Incremental survivorship (operators/survivorship.
+    refresh_golden_records): after membership changes touch SOME
+    clusters, recompute golden rows for those clusters only and splice
+    them over the persisted golden table — O(|touched members| +
+    |golden|), never a corpus re-aggregation. Planted drift over the
+    q_golden_records corpus: every custkey % 97 == 0 member moves to
+    the next cluster; the touched set is the moved members' source and
+    destination clusters. The Spark side runs old-golden -> refresh;
+    the DuckDB twin recomputes the FULL golden table over the NEW
+    assignment, so the hash check proves incremental == full
+    cross-engine."""
+    from entity_linking_in_biomedical_spark.operators.survivorship import (
+        golden_records,
+        refresh_golden_records,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    moved = F.col("c_custkey") % 97 == 0
+    base_cl = F.floor(F.col("c_custkey") / 10)
+
+    def recs(cluster_expr):
+        return cust.select(
+            cluster_expr.cast("string").alias("cluster_id"),
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_acctbal").cast("double").alias("bal"),
+            F.substring(
+                F.col("c_name"), 1, (10 + F.col("c_custkey") % 9).cast("int")
+            ).alias("addr"),
+            F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("P-"), F.col("c_custkey").cast("string")))
+            .alias("phone"),
+        )
+
+    rules = {
+        "best_bal": ("max", "bal"),
+        "addr": ("longest", "addr"),
+        "phone": ("first", "phone", "k"),
+        "seg": ("most_frequent", "seg"),
+    }
+    old_golden = golden_records(recs(base_cl), rules)
+    touched = (
+        cust.filter(moved)
+        .select(base_cl.cast("string").alias("cluster_id"))
+        .unionByName(
+            cust.filter(moved).select((base_cl + 1).cast("string").alias("cluster_id"))
+        )
+        .distinct()
+    )
+    out = refresh_golden_records(
+        recs(base_cl + moved.cast("int")), old_golden, touched, rules
+    )
+    return out.select(
+        "cluster_id",
+        "n_members",
+        F.round("best_bal", 2).alias("best_bal"),
+        "addr",
+        "phone",
+        "seg",
+    ).orderBy("cluster_id")
+
+
+ORACLE_GOLDEN_REFRESH = ORACLE_GOLDEN_RECORDS.replace(
+    "c_custkey // 10",
+    "(c_custkey // 10 + case when c_custkey % 97 = 0 then 1 else 0 end)",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5673,6 +5944,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "review_queue": q_review_queue,
         "cluster_impurity": q_cluster_impurity,
         "golden_records": q_golden_records,
+        "golden_refresh": q_golden_refresh,
+        "threshold_curve": q_threshold_curve,
+        "stable_ids": q_stable_ids,
+        "phonetic_blocking": q_phonetic_blocking,
         "repair_clusters": q_repair_clusters,
         "one_to_one": q_one_to_one,
     }
@@ -5778,6 +6053,10 @@ def oracle_sql() -> dict[str, str]:
         "review_queue": _oracle_review_queue(),
         "cluster_impurity": ORACLE_CLUSTER_IMPURITY,
         "golden_records": ORACLE_GOLDEN_RECORDS,
+        "golden_refresh": ORACLE_GOLDEN_REFRESH,
+        "threshold_curve": ORACLE_THRESHOLD_CURVE,
+        "stable_ids": ORACLE_STABLE_IDS,
+        "phonetic_blocking": ORACLE_PHONETIC_BLOCKING,
         "repair_clusters": _oracle_repair_clusters(),
         "one_to_one": _oracle_one_to_one(),
     }

@@ -140,11 +140,16 @@ def blocking_keys(
     lsh_min_len: int = 5,
     del2_max_len: int = 7,
     word_num_hashes: int = 4,
+    phonetic: bool = False,
 ) -> Column:
     """Unified blocking key array: exact + deletion-neighborhood + char
-    LSH bands + word-token channel. Key namespaces cannot collide
-    ('x|'/'d|'/'w|'/'w<k>|' prefixes vs 'l<j>|'-prefixed or 32-char md5
-    band keys)."""
+    LSH bands + word-token channel, plus an OPT-IN phonetic channel
+    ('p|' + per-token Soundex, functions/phonetic.py — Christen ch.4:
+    blocks spelling variants like Robert/Rupert that share few char
+    n-grams; off by default so the default key set and its skew bound
+    stay byte-stable). Key namespaces cannot collide
+    ('x|'/'d|'/'w|'/'w<k>|'/'p|' prefixes vs 'l<j>|'-prefixed or
+    32-char md5 band keys)."""
     exact = F.array(F.concat(F.lit("x|"), col))
     dels = deletion_keys(col, del_max_len, del2_max_len)
     lsh = F.when(
@@ -156,13 +161,27 @@ def blocking_keys(
         ),
     ).otherwise(F.array().cast("array<string>"))
     words = word_keys(col, word_num_hashes)
-    return F.array_distinct(F.concat(exact, dels, lsh, words))
+    keys = F.concat(exact, dels, lsh, words)
+    if phonetic:
+        from ..functions.phonetic import soundex
+
+        # one key per token (multi-word surfaces block on any variant
+        # token); '' codes (no letters) are dropped by the filter
+        ph = F.filter(
+            F.transform(
+                F.split(col, " "), lambda t: F.concat(F.lit("p|"), soundex(t))
+            ),
+            lambda k: k != "p|",
+        )
+        keys = F.concat(keys, ph)
+    return F.array_distinct(keys)
 
 
 def channel_of(bk: Column) -> Column:
     return (
         F.when(bk.startswith("x|"), F.lit("exact"))
         .when(bk.startswith("d|"), F.lit("del"))
+        .when(bk.startswith("p|"), F.lit("phonetic"))
         .when(bk.startswith("w"), F.lit("word"))
         .otherwise(F.lit("lsh"))
     )

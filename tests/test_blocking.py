@@ -169,3 +169,29 @@ def test_blocking_skew_guard_trips_when_bound_shrinks(spark, corpus, monkeypatch
     monkeypatch.setattr(B, "blocking_skew_bound", lambda *a, **k: 0)
     with pytest.raises(AssertionError, match="skew invariant"):
         B.block_candidates(mentions, names, skew_assert=True)
+
+
+def test_phonetic_channel_blocks_spelling_variants(spark):
+    """Opt-in 'p|' Soundex channel: Robert/Rupert share no 2-gram and
+    differ at edit distance 3, but co-block phonetically; default-off
+    keeps the standard key set byte-stable."""
+    from entity_linking_in_biomedical_spark.operators.blocking import (
+        blocking_keys,
+        channel_of,
+    )
+
+    df = spark.createDataFrame([("robert",), ("rupert",)], "norm string")
+    keys_on = df.select(
+        "norm",
+        F.explode(blocking_keys(F.col("norm"), phonetic=True)).alias("bk"),
+    )
+    ph = keys_on.filter(F.col("bk").startswith("p|"))
+    got = {r["norm"]: r["bk"] for r in ph.collect()}
+    assert got["robert"] == got["rupert"] == "p|R163"
+    assert (
+        ph.select(channel_of(F.col("bk")).alias("c")).distinct().collect()[0]["c"]
+        == "phonetic"
+    )
+    # default-off: no p| keys
+    keys_off = df.select(F.explode(blocking_keys(F.col("norm"))).alias("bk"))
+    assert keys_off.filter(F.col("bk").startswith("p|")).count() == 0
