@@ -5847,6 +5847,59 @@ ORACLE_GOLDEN_REFRESH = ORACLE_GOLDEN_RECORDS.replace(
 )
 
 
+def q_jw_pairs(spark, sf_dir):
+    """Jaro-Winkler scoring kernel (functions/strings.
+    jaro_winkler_batch — the Arrow-vectorized pairwise feature of the
+    scoring stage, SURVEY §2.7; the reference has no JW, it is the
+    north star's named feature set): customer x supplier name pairs
+    within each nation block, scored by the batch kernel through one
+    pandas UDF. Oracle: DuckDB's built-in jaro_winkler_similarity — an
+    INDEPENDENT C++ implementation — which the kernel matches
+    bit-for-bit on non-empty strings (5,000-pair differential, plus
+    canonical vectors, in tests/test_functions.py), so the values ship
+    UNROUNDED. Empty strings are excluded: the engines' conventions
+    differ there by design (ours 1.0 for ''=='', DuckDB 0.0), and TPC-H
+    names are never empty."""
+    import pandas as pd
+
+    from entity_linking_in_biomedical_spark.functions.strings import (
+        jaro_winkler_batch,
+    )
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and the locally-imported `pd` isn't resolvable at decoration
+    @F.pandas_udf("double")
+    def jw(a, b):
+        return pd.Series(jaro_winkler_batch(a.tolist(), b.tolist()))
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("string").alias("left_id"),
+        F.lower(F.col("c_name")).alias("lname"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("string").alias("right_id"),
+        F.lower(F.col("s_name")).alias("rname"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    return (
+        cust.join(supp, "nk")
+        .filter((F.length("lname") > 0) & (F.length("rname") > 0))
+        .select("left_id", "right_id", jw("lname", "rname").alias("jw"))
+        .orderBy("left_id", "right_id")
+    )
+
+
+ORACLE_JW_PAIRS = """
+select cast(c.c_custkey as varchar) as left_id,
+       cast(s.s_suppkey as varchar) as right_id,
+       jaro_winkler_similarity(lower(c.c_name), lower(s.s_name)) as jw
+from customer c join supplier s on c.c_nationkey = s.s_nationkey
+where length(c.c_name) > 0 and length(s.s_name) > 0
+order by left_id, right_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -5950,6 +6003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_blocking": q_phonetic_blocking,
         "repair_clusters": q_repair_clusters,
         "one_to_one": q_one_to_one,
+        "jw_pairs": q_jw_pairs,
     }
 
 
@@ -6059,4 +6113,5 @@ def oracle_sql() -> dict[str, str]:
         "phonetic_blocking": ORACLE_PHONETIC_BLOCKING,
         "repair_clusters": _oracle_repair_clusters(),
         "one_to_one": _oracle_one_to_one(),
+        "jw_pairs": ORACLE_JW_PAIRS,
     }

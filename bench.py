@@ -373,8 +373,13 @@ def main() -> None:
         "review_queue",
         "cluster_impurity",
         "golden_records",
+        "golden_refresh",
         "repair_clusters",
         "one_to_one",
+        "jw_pairs",
+        "stable_ids",
+        "threshold_curve",
+        "phonetic_blocking",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir))
 

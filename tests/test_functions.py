@@ -224,3 +224,35 @@ def test_batch_kernels_empty_and_null_safe():
     assert len(tfidf_cosine_batch([], [], vc, vi)) == 0
     got = jaro_winkler_batch([None, "a"], ["a", None])
     assert got[0] == 0.0 and got[1] == 0.0
+
+
+def test_jaro_winkler_matches_duckdb_independent_impl():
+    """Cross-check the JW kernels against DuckDB's built-in
+    jaro_winkler_similarity — an independent C++ implementation — on
+    random non-empty pairs: bit-for-bit agreement (the documented
+    divergence is only the empty-string convention: ours scores
+    '' == '' as 1.0, DuckDB as 0.0)."""
+    import random
+
+    import duckdb
+
+    from entity_linking_in_biomedical_spark.functions.strings import (
+        jaro_winkler,
+        jaro_winkler_batch,
+    )
+
+    rng = random.Random(11)
+    al = "abcdefghij xyz"
+    pairs = [
+        (
+            "".join(rng.choice(al) for _ in range(rng.randint(1, 14))),
+            "".join(rng.choice(al) for _ in range(rng.randint(1, 14))),
+        )
+        for _ in range(800)
+    ] + [("martha", "marhta"), ("dixon", "dicksonx"), ("jellyfish", "smellyfish")]
+    con = duckdb.connect()
+    batch = jaro_winkler_batch([a for a, _ in pairs], [b for _, b in pairs])
+    for i, (a, b) in enumerate(pairs):
+        d = con.execute("select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert jaro_winkler(a, b) == d
+        assert batch[i] == d
