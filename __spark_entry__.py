@@ -5652,6 +5652,86 @@ from m order by threshold
 ORACLE_THRESHOLD_CURVE = _oracle_threshold_curve()
 
 
+def q_calibrated_scores(spark, sf_dir):
+    """Platt score calibration (operators/evaluation.platt_calibrate +
+    apply_calibration): fit p = sigmoid(a·score + b) on labeled scores
+    with the deterministic decimal-GD fitter (classifier.lr_fit, score
+    as the single feature), then score every row with the fitted plan
+    literals. Same labeled frame as threshold_curve (quality_score vs
+    lang == 'en'); the DuckDB twin replays both GD iterations as
+    unrolled CTEs — the quality_classifier idiom — then the identical
+    sigmoid, so every per-row probability is value-checked."""
+    from entity_linking_in_biomedical_spark.operators.evaluation import (
+        apply_calibration,
+        platt_calibrate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        quality_score("text").alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    model = platt_calibrate(scored)
+    return (
+        apply_calibration(scored, model, out_col="p_en")
+        .select("doc_id", "score", "p_en")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_calibrated_scores(lr: float = 0.5) -> str:
+    def gsum(err: str, x: str) -> str:
+        return f"cast(sum(cast(round(({err}) * {x}, 9) as decimal(38,9))) as double)"
+
+    def gsum_b(err: str) -> str:
+        return f"cast(sum(cast(round({err}, 9) as decimal(38,9))) as double)"
+
+    err1 = "0.5 - y"
+    z2 = "w1.b + w1.ws * s"
+    err2 = f"1.0 / (1.0 + exp(-({z2}))) - y"
+    return f"""
+with t as (
+  select doc_id, lang, length(text) as n_chars,
+         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) as alpha,
+         {_TOKS} as toks
+  from documents
+),
+feats as (
+  select doc_id, round({_QUALITY_EXPR}, 9) as s,
+         case when lang = 'en' then 1 else 0 end as y
+  from t
+),
+g1 as (
+  select {gsum(err1, "s")} as gs, {gsum_b(err1)} as gb,
+         cast(count(*) as double) as n
+  from feats
+),
+w1 as (
+  select round(0.0 - round({lr} * gs / n, 9), 9) as ws,
+         round(0.0 - round({lr} * gb / n, 9), 9) as b
+  from g1
+),
+g2 as (
+  select {gsum(err2, "s")} as gs, {gsum_b(err2)} as gb,
+         cast(count(*) as double) as n
+  from feats cross join w1
+),
+w2 as (
+  select round(w1.ws - round({lr} * g2.gs / g2.n, 9), 9) as ws,
+         round(w1.b - round({lr} * g2.gb / g2.n, 9), 9) as b
+  from w1 cross join g2
+)
+select feats.doc_id, feats.s as score,
+       round(1.0 / (1.0 + exp(-(w2.b + w2.ws * feats.s))), 6) as p_en
+from feats cross join w2
+order by feats.doc_id
+"""
+
+
+ORACLE_CALIBRATED_SCORES = _oracle_calibrated_scores()
+
+
 def q_stable_ids(spark, sf_dir):
     """Cross-snapshot entity-id stitching (operators/matching.
     stable_cluster_ids): a re-run's clusters inherit the previous
@@ -5999,6 +6079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_records": q_golden_records,
         "golden_refresh": q_golden_refresh,
         "threshold_curve": q_threshold_curve,
+        "calibrated_scores": q_calibrated_scores,
         "stable_ids": q_stable_ids,
         "phonetic_blocking": q_phonetic_blocking,
         "repair_clusters": q_repair_clusters,
@@ -6109,6 +6190,7 @@ def oracle_sql() -> dict[str, str]:
         "golden_records": ORACLE_GOLDEN_RECORDS,
         "golden_refresh": ORACLE_GOLDEN_REFRESH,
         "threshold_curve": ORACLE_THRESHOLD_CURVE,
+        "calibrated_scores": ORACLE_CALIBRATED_SCORES,
         "stable_ids": ORACLE_STABLE_IDS,
         "phonetic_blocking": ORACLE_PHONETIC_BLOCKING,
         "repair_clusters": _oracle_repair_clusters(),

@@ -379,6 +379,7 @@ def main() -> None:
         "jw_pairs",
         "stable_ids",
         "threshold_curve",
+        "calibrated_scores",
         "phonetic_blocking",
     ):
         run(name, lambda n=name: qs[n](spark, sf_dir))

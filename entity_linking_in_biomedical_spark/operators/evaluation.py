@@ -305,6 +305,49 @@ def threshold_curve(
     ).orderBy("threshold")
 
 
+def platt_calibrate(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    iters: int = 2,
+    lr: float = 0.5,
+) -> dict[str, float]:
+    """Platt scaling (Platt 1999): fit p = sigmoid(a·score + b) on
+    labeled scored pairs, turning a raw match score into the calibrated
+    match PROBABILITY the three-way decision rule and the review queue
+    actually want to threshold. The fit reuses classifier.lr_fit's
+    deterministic full-batch GD — one map-side-partial decimal(38,9)
+    aggregate per iteration, model = two plan literals — so the fitted
+    (a, b) are partition-invariant and engine-replayable (the
+    quality_classifier oracle idiom, with score as the single feature).
+    Scores are rounded to 9 decimals before the fit so both engines
+    feed identical doubles. Returns {"bias": b, "s": a}."""
+    from .classifier import lr_fit
+
+    feats = scored.select(
+        F.round(F.col(score_col).cast("double"), 9).alias("s"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    return lr_fit(feats, "__y", feature_cols=("s",), iters=iters, lr=lr)
+
+
+def apply_calibration(
+    df: DataFrame,
+    model: dict[str, float],
+    score_col: str = "score",
+    out_col: str = "p_match",
+) -> DataFrame:
+    """Append the calibrated probability sigmoid(a·score + b), rounded
+    to 6 — a pure codegen'd expression, model as plan literals, no
+    join/UDF (classifier.lr_score's shape over the raw score)."""
+    z = F.lit(model["bias"]) + F.lit(model["s"]) * F.round(
+        F.col(score_col).cast("double"), 9
+    )
+    return df.withColumn(
+        out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    )
+
+
 def cluster_impurity_report(
     assign: DataFrame,
     id_col: str = "doc_id",

@@ -540,3 +540,28 @@ def test_threshold_curve_empty_and_no_positives(spark):
 
     with pytest.raises(ValueError):
         threshold_curve(negs, [])
+
+
+def test_platt_calibration_monotone_and_separating(spark):
+    from entity_linking_in_biomedical_spark.operators.evaluation import (
+        apply_calibration,
+        platt_calibrate,
+    )
+
+    # well-separated labels: high scores positive, low negative
+    rows = [(0.9, True), (0.85, True), (0.8, True), (0.2, False), (0.15, False), (0.1, False)]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    model = platt_calibrate(df, iters=8, lr=1.0)
+    assert set(model) == {"bias", "s"}
+    assert model["s"] > 0  # calibrated p increases with the raw score
+    out = {
+        r["score"]: r["p_match"]
+        for r in apply_calibration(df, model).collect()
+    }
+    # monotone in score, and the fitted direction separates the classes
+    ss = sorted(out)
+    assert all(out[a] <= out[b] for a, b in zip(ss, ss[1:]))
+    assert out[0.9] > out[0.1]
+    # partition-invariance of the decimal-GD fit
+    model2 = platt_calibrate(df.repartition(7), iters=8, lr=1.0)
+    assert model2 == model

@@ -382,3 +382,55 @@ def test_chunk_documents_zero_shuffle_plan(spark):
     # only doc_id and text reach the scan
     schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in schema_line and "text" in schema_line
+
+
+def test_threshold_curve_single_scan_single_aggregate(spark):
+    """The whole P/R/F1 curve is ONE scan + ONE global aggregate (2k+1
+    conditional sums) + a k-row stack — never a per-threshold pass and
+    never a sort of the score column."""
+    from entity_linking_in_biomedical_spark.operators.evaluation import (
+        threshold_curve,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = docs.select(
+        (F.col("n_chars") / 1000).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    plan = plan_of(threshold_curve(scored, [0.1 * i for i in range(10)]))
+    tree_scans = [
+        l for l in plan.splitlines() if "Scan parquet" in l and "+-" in l
+    ]
+    assert len(tree_scans) == 1
+    # no corpus-side hash shuffle and no window/score-sort (the only
+    # Sort/range exchange in the plan orders the k-row curve itself);
+    # the scan feeds ONE global aggregate via its single-partition
+    # exchange, map-side partial
+    assert "Exchange hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_golden_refresh_prunes_untouched_members_via_broadcast_semi(spark):
+    """refresh_golden_records: the recompute side reaches the groupBy
+    only through a BROADCAST semi-join on the touched set — untouched
+    members are dropped map-side, never shuffled — and the carried side
+    is a broadcast anti-join over the golden table."""
+    from entity_linking_in_biomedical_spark.operators.survivorship import (
+        golden_records,
+        refresh_golden_records,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    recs = docs.select(
+        (F.col("doc_id") % 10).cast("string").alias("cluster_id"),
+        F.col("n_chars").cast("double").alias("bal"),
+    )
+    rules = {"best_bal": ("max", "bal")}
+    old = golden_records(recs, rules)
+    touched = spark.createDataFrame([("3",), ("4",)], "cluster_id string")
+    plan = plan_of(refresh_golden_records(recs, old, touched, rules))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
