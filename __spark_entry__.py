@@ -5588,6 +5588,82 @@ order by base.cluster_id
 """
 
 
+def q_monge_elkan(spark, sf_dir):
+    """Monge-Elkan multiword-name comparator (functions/strings.
+    monge_elkan_batch): mean-of-max token Jaro-Winkler, the standard
+    hybrid similarity for reordered multiword names (Monge & Elkan
+    1996) that whole-string JW misses. Pairs: same-brand part-name
+    pairs (5-token names) on a deterministic 1-in-10 key sample; the
+    whole batch's token cross-product runs through ONE
+    jaro_winkler_batch call. Oracle: DuckDB's independent
+    jaro_winkler_similarity under the same mean-of-max, with each
+    per-token max rounded to 9 decimals and summed as decimal(38,9)
+    (the classifier idiom) so the mean is token-order-free and
+    bit-identical cross-engine — shipped UNROUNDED like jw_pairs."""
+    import pandas as pd
+
+    from entity_linking_in_biomedical_spark.functions.strings import (
+        monge_elkan_batch,
+    )
+
+    @F.pandas_udf("double")
+    def me(a, b):
+        return pd.Series(
+            monge_elkan_batch([list(x) for x in a], [list(x) for x in b])
+        )
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            F.col("p_partkey").alias("key"),
+            F.split(F.col("p_name"), " ").alias("toks"),
+            F.col("p_brand").alias("brand"),
+        )
+    )
+    a = part.select(
+        F.col("key").alias("left_key"), F.col("toks").alias("a_toks"), "brand"
+    )
+    b = part.select(
+        F.col("key").alias("right_key"), F.col("toks").alias("b_toks"), "brand"
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("left_key") < F.col("right_key"))
+        .select("left_key", "right_key", me("a_toks", "b_toks").alias("me"))
+        .orderBy("left_key", "right_key")
+    )
+
+
+ORACLE_MONGE_ELKAN = """
+with pr as (
+  select a.p_partkey as left_key, b.p_partkey as right_key,
+         string_split(a.p_name, ' ') as ats, string_split(b.p_name, ' ') as bts
+  from part a join part b
+    on a.p_brand = b.p_brand and a.p_partkey < b.p_partkey
+  where a.p_partkey % 10 = 0 and b.p_partkey % 10 = 0
+),
+at as (
+  select left_key, right_key, bts,
+         unnest(generate_series(1, len(ats))) as i, ats
+  from pr
+),
+tp as (
+  select left_key, right_key, i, ats[i] as ta, unnest(bts) as tb
+  from at
+),
+m as (
+  select left_key, right_key, i,
+         round(max(jaro_winkler_similarity(ta, tb)), 9) as mx
+  from tp group by left_key, right_key, i
+)
+select left_key, right_key,
+       cast(sum(cast(mx as decimal(38,9))) as double) / count(*) as me
+from m group by left_key, right_key
+order by left_key, right_key
+"""
+
+
 def q_threshold_curve(spark, sf_dir):
     """Decision-threshold sweep (operators/evaluation.threshold_curve):
     P/R/F1 at each candidate match cutoff, the curve an ER deployment
@@ -6085,6 +6161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_clusters": q_repair_clusters,
         "one_to_one": q_one_to_one,
         "jw_pairs": q_jw_pairs,
+        "monge_elkan": q_monge_elkan,
     }
 
 
@@ -6196,4 +6273,5 @@ def oracle_sql() -> dict[str, str]:
         "repair_clusters": _oracle_repair_clusters(),
         "one_to_one": _oracle_one_to_one(),
         "jw_pairs": ORACLE_JW_PAIRS,
+        "monge_elkan": ORACLE_MONGE_ELKAN,
     }

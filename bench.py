@@ -377,6 +377,7 @@ def main() -> None:
         "repair_clusters",
         "one_to_one",
         "jw_pairs",
+        "monge_elkan",
         "stable_ids",
         "threshold_curve",
         "calibrated_scores",

@@ -251,6 +251,29 @@ def _cmd_evaluate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_calibrate(args: argparse.Namespace) -> int:
+    """Fit the decision layer on labeled scored pairs: Platt-calibrated
+    match probability (one JSON line with the fitted {bias, s}) and,
+    optionally, the threshold P/R/F1 curve parquet — the two artifacts
+    a deployment reads to place its link / possible-link / non-link
+    cutoffs before wiring review_queue."""
+    from .operators.evaluation import platt_calibrate, threshold_curve
+
+    spark = _session(args.master)
+    scored = spark.read.parquet(args.scored)
+    model = platt_calibrate(
+        scored, args.score_col, args.label_col, iters=args.iters, lr=args.lr
+    )
+    out = {"model": model, "curve_out": args.curve_out}
+    if args.curve_out:
+        ts = [i / args.curve_points for i in range(args.curve_points + 1)]
+        threshold_curve(
+            scored, ts, args.score_col, args.label_col
+        ).write.mode("overwrite").parquet(args.curve_out)
+    print(json.dumps(out))
+    return 0
+
+
 def _cmd_apply_reviews(args: argparse.Namespace) -> int:
     """Fold a batch of clerical-review verdicts into the persisted ER
     state — the write-back half of the review loop whose read half is
@@ -459,6 +482,29 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--top-k", type=int, default=20)
     ev.add_argument("--master", help="Spark master (omit under spark-submit)")
     ev.set_defaults(fn=_cmd_evaluate)
+
+    ca = sub.add_parser(
+        "calibrate",
+        help="Platt score calibration + optional threshold P/R/F1 curve",
+    )
+    ca.add_argument(
+        "--scored",
+        required=True,
+        help="parquet of labeled scored pairs (score + boolean label columns)",
+    )
+    ca.add_argument("--score-col", default="score")
+    ca.add_argument("--label-col", default="label")
+    ca.add_argument("--iters", type=int, default=8)
+    ca.add_argument("--lr", type=float, default=1.0)
+    ca.add_argument("--curve-out", help="optional parquet for the threshold curve")
+    ca.add_argument(
+        "--curve-points",
+        type=int,
+        default=20,
+        help="curve granularity: thresholds i/N for i in 0..N",
+    )
+    ca.add_argument("--master", help="Spark master (omit under spark-submit)")
+    ca.set_defaults(fn=_cmd_calibrate)
 
     ar = sub.add_parser(
         "apply-reviews",

@@ -322,3 +322,72 @@ def tfidf_cosine_batch(
     with np.errstate(divide="ignore", invalid="ignore"):
         cos = dot / denom
     return np.where(denom > 0, cos, 0.0)
+
+
+def monge_elkan_batch(
+    a_tokens: list[list[str]], b_tokens: list[list[str]]
+) -> np.ndarray:
+    """Asymmetric Monge-Elkan similarity over a batch of pre-tokenized
+    pairs: for pair i, the mean over a's tokens of the best (max)
+    Jaro-Winkler against any of b's tokens — the standard multiword-
+    name comparator (Monge & Elkan 1996; "john s smith" vs "smith,
+    john" style reorderings that whole-string JW misses and the word
+    channel only catches on exact token sorts).
+
+    Vectorization: ALL (a_token, b_token) combinations of the whole
+    batch go through ONE jaro_winkler_batch call (the expensive padded-
+    matrix kernel); the per-pair reduce is a cheap grouped max + exact
+    mean. Cross-engine determinism: each per-token max is rounded to 9
+    decimals and the mean is computed as an EXACT decimal sum divided
+    by the token count (the decimal(38,9) aggregate idiom of
+    operators/classifier.py), so a SQL twin summing the same rounded
+    maxima in any order reproduces every score bit-for-bit — a plain
+    float sum would depend on token order. Empty a -> 0.0; empty b ->
+    max is 0.0 per token (JW's empty-side convention).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    n = len(a_tokens)
+    if n == 0:
+        return np.zeros(0)
+    flat_a: list[str] = []
+    flat_b: list[str] = []
+    pair_of: list[int] = []
+    atok_of: list[int] = []
+    for i, (ats, bts) in enumerate(zip(a_tokens, b_tokens)):
+        for ai, ta in enumerate(ats):
+            if not bts:
+                continue
+            for tb in bts:
+                flat_a.append(ta)
+                flat_b.append(tb)
+                pair_of.append(i)
+                atok_of.append(ai)
+    out = np.zeros(n)
+    if flat_a:
+        jw = jaro_winkler_batch(flat_a, flat_b)
+        key = np.array(pair_of, dtype=np.int64) * (max(atok_of) + 1) + np.array(
+            atok_of, dtype=np.int64
+        )
+        order = np.argsort(key, kind="stable")
+        key_s, jw_s = key[order], jw[order]
+        grp_start = np.r_[True, key_s[1:] != key_s[:-1]]
+        maxima = np.maximum.reduceat(jw_s, np.flatnonzero(grp_start))
+        max_pair = (key_s[grp_start] // (max(atok_of) + 1)).astype(np.int64)
+        sums: dict[int, Decimal] = {}
+        for p, mx in zip(max_pair.tolist(), maxima.tolist()):
+            q = Decimal(repr(mx)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+            sums[p] = sums.get(p, Decimal(0)) + q
+        for i in range(n):
+            na = len(a_tokens[i])
+            if na:
+                # tokens of a with empty b contribute 0 to the sum but
+                # still count in the mean's denominator
+                out[i] = float(sums.get(i, Decimal(0))) / na
+    return out
+
+
+def monge_elkan(a_tokens: list[str], b_tokens: list[str]) -> float:
+    """Scalar twin of :func:`monge_elkan_batch` (unit-test ground
+    truth)."""
+    return float(monge_elkan_batch([a_tokens], [b_tokens])[0])

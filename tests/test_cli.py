@@ -437,3 +437,37 @@ def test_cli_apply_reviews_rejects_unknown_verdict(tmp_path):
     )
     assert r.returncode != 0
     assert "unknown review verdicts" in (r.stderr + r.stdout)
+
+
+def test_cli_calibrate_model_and_curve(tmp_path):
+    """calibrate: fits the Platt model on a separable labeled set (a>0)
+    and writes the threshold-curve parquet with the endpoint rows."""
+    import duckdb
+    import json as _json
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    scored = tmp_path / "scored.parquet"
+    duckdb.connect().execute(
+        f"""copy (select * from (values
+              (0.95, true), (0.9, true), (0.85, true), (0.8, true),
+              (0.2, false), (0.15, false), (0.1, false), (0.05, false))
+              t(score, label)) to '{scored}' (format parquet)"""
+    )
+    curve = tmp_path / "curve"
+    r = subprocess.run(
+        [sys.executable, "-m", "entity_linking_in_biomedical_spark", "calibrate",
+         "--scored", str(scored), "--curve-out", str(curve),
+         "--curve-points", "4", "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["model"]["s"] > 0  # p increases with score
+    rows = duckdb.connect().execute(
+        f"select threshold, tp, fp, precision, recall from "
+        f"read_parquet('{curve}/*.parquet') order by threshold"
+    ).fetchall()
+    assert len(rows) == 5
+    assert rows[0] == (0.0, 4, 4, 0.5, 1.0)  # everything predicted
+    assert rows[2] == (0.5, 4, 0, 1.0, 1.0)  # perfect split at 0.5
+    assert rows[4][1] == 0 and rows[4][3] == 1.0  # empty prediction set

@@ -256,3 +256,35 @@ def test_jaro_winkler_matches_duckdb_independent_impl():
         d = con.execute("select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
         assert jaro_winkler(a, b) == d
         assert batch[i] == d
+
+
+def test_monge_elkan_hand_and_batch_consistency():
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from entity_linking_in_biomedical_spark.functions.strings import (
+        jaro_winkler,
+        monge_elkan,
+        monge_elkan_batch,
+    )
+
+    def q(x):
+        return Decimal(repr(x)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)
+
+    a, b = ["john", "smith"], ["smith", "jon"]
+    want = float(
+        q(max(jaro_winkler("john", t) for t in b))
+        + q(max(jaro_winkler("smith", t) for t in b))
+    ) / 2
+    assert monge_elkan(a, b) == want
+    # reordering-insensitive on the b side; asymmetric by definition
+    assert monge_elkan(a, list(reversed(b))) == want
+    assert monge_elkan(["smith"], ["smith", "zzz"]) == 1.0
+    # empty conventions
+    assert monge_elkan([], ["x"]) == 0.0
+    assert monge_elkan(["x", "y"], []) == 0.0
+    # batch == scalar over a mixed batch (incl. empties)
+    batch_a = [a, ["smith"], [], ["x", "y"], ["alpha", "beta", "beta"]]
+    batch_b = [b, ["smith", "zzz"], ["x"], [], ["beta", "gamma"]]
+    got = monge_elkan_batch(batch_a, batch_b)
+    for i, (xa, xb) in enumerate(zip(batch_a, batch_b)):
+        assert got[i] == monge_elkan(xa, xb)
