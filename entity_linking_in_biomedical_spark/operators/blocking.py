@@ -196,6 +196,7 @@ def surface_blocking_keys(
     lsh_min_len: int = 5,
     del2_max_len: int = 7,
     word_num_hashes: int = 4,
+    phonetic: bool = False,
 ) -> DataFrame:
     """(norm, bk) for every distinct mention surface — the single most
     expensive projection of the job (12 md5 minhashes over multigrams
@@ -208,7 +209,7 @@ def surface_blocking_keys(
         F.explode(
             blocking_keys(
                 F.col("norm"), ns, num_hashes, bands, del_max_len, lsh_min_len,
-                del2_max_len, word_num_hashes,
+                del2_max_len, word_num_hashes, phonetic,
             )
         ),
     ).localCheckpoint(eager=False, storageLevel=barrier_level())
@@ -220,6 +221,8 @@ def blocking_skew_bound(
     del2_max_len: int = 7,
     word_num_hashes: int = 4,
     max_key_freq: int = 64,
+    phonetic: bool = False,
+    phonetic_max_tokens: int = 8,
 ) -> int:
     """Closed-form upper bound on pre-dedup candidate rows per surface
     — the invariant that makes the explicit ``repartition("norm")`` in
@@ -242,6 +245,10 @@ def blocking_skew_bound(
         + del2_max_len * (del2_max_len - 1)
         + bands
         + (1 + word_num_hashes)
+        # opt-in phonetic channel: one 'p|' key per token, bounded by
+        # the normalizer's token cap (surfaces longer than this are
+        # truncated upstream)
+        + (phonetic_max_tokens if phonetic else 0)
     )
     return n_keys_max * max_key_freq
 
@@ -287,6 +294,7 @@ def block_candidates(
     surface_keys: DataFrame | None = None,
     word_num_hashes: int = 4,
     skew_assert: bool = False,
+    phonetic: bool = False,
 ) -> DataFrame:
     """mentions(.., norm) × names(cui, norm) -> candidates
     (norm, cui, channel, block_key, has_exact).
@@ -310,7 +318,7 @@ def block_candidates(
             F.explode(
                 blocking_keys(
                     F.col("norm"), ns, num_hashes, bands, del_max_len, lsh_min_len,
-                    del2_max_len, word_num_hashes,
+                    del2_max_len, word_num_hashes, phonetic,
                 )
             ),
         ).localCheckpoint(eager=False, storageLevel=barrier_level())
@@ -342,7 +350,8 @@ def block_candidates(
         # below depends on (one extra aggregation job — enable in
         # tests / canary runs, not the hot path)
         bound = blocking_skew_bound(
-            bands, del_max_len, del2_max_len, word_num_hashes, max_key_freq
+            bands, del_max_len, del2_max_len, word_num_hashes, max_key_freq,
+            phonetic=phonetic,
         )
         observed = max_candidates_per_surface(cands)
         if observed > bound:

@@ -45,6 +45,7 @@ class PipelineConfig:
     del2_max_len: int = 7  # delete-2 depth for very short strings
     lsh_min_len: int = 5  # skip LSH for very short strings (deletion covers)
     word_num_hashes: int = 4  # word-token minhash channel (0 disables)
+    phonetic: bool = False  # opt-in 'p|' Soundex channel (spelling variants)
     mm_threshold: float = 0.7  # mention-mention edges need more evidence
     max_key_freq: int = 64  # keys shared by more entities discriminate nothing
     top_k: int = 32  # reference's hardest-negative count (dataset.py:103)
@@ -155,6 +156,7 @@ def run_pipeline(
         lsh_min_len=cfg.lsh_min_len,
         del2_max_len=cfg.del2_max_len,
         word_num_hashes=cfg.word_num_hashes,
+        phonetic=cfg.phonetic,
     )
 
     # ---- stage 2: blocking -------------------------------------------
@@ -175,6 +177,7 @@ def run_pipeline(
             top_k=cfg.top_k,
             surface_keys=surf_keys,
             word_num_hashes=cfg.word_num_hashes,
+            phonetic=cfg.phonetic,
         ),
         bucket_by=["norm"],
     )

@@ -195,3 +195,26 @@ def test_phonetic_channel_blocks_spelling_variants(spark):
     # default-off: no p| keys
     keys_off = df.select(F.explode(blocking_keys(F.col("norm"))).alias("bk"))
     assert keys_off.filter(F.col("bk").startswith("p|")).count() == 0
+
+
+def test_block_candidates_phonetic_channel_end_to_end(spark):
+    """With phonetic=True a spelling variant pairs through the 'p|'
+    channel even when exact/deletion channels miss it (edit distance 3,
+    LSH below min length after n-gram sparsity)."""
+    from entity_linking_in_biomedical_spark.operators.blocking import (
+        block_candidates,
+    )
+
+    mentions = spark.createDataFrame([("robert",)], "norm string")
+    names = spark.createDataFrame([("C1", "rupert")], "cui string, norm string")
+    # robert/rupert ALSO co-block via delete-2 ("rert") and often LSH;
+    # disable the other fuzzy channels so the candidate can only come
+    # from the Soundex key
+    narrow = dict(del_max_len=0, del2_max_len=0, lsh_min_len=99, word_num_hashes=0)
+    off = block_candidates(mentions, names, phonetic=False, **narrow)
+    on = block_candidates(mentions, names, phonetic=True, **narrow)
+    assert off.count() == 0
+    got = on.collect()
+    assert [(r["norm"], r["cui"], r["channel"]) for r in got] == [
+        ("robert", "C1", "phonetic")
+    ]
