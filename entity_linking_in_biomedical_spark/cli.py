@@ -274,6 +274,34 @@ def _cmd_calibrate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_stitch(args: argparse.Namespace) -> int:
+    """Relabel a fresh clustering with the previous snapshot's entity
+    ids by maximal-overlap 1:1 matching (operators/matching.
+    stable_cluster_ids) — run after any re-clustering so downstream
+    keys stay stable. Prints a one-line summary; writes (id, cluster)
+    parquet with inherited ids (fresh clusters namespaced)."""
+    from .operators.matching import stable_cluster_ids
+
+    spark = _session(args.master)
+    old = spark.read.parquet(args.old)
+    new = spark.read.parquet(args.new)
+    out = stable_cluster_ids(
+        old, new, id_col=args.id_col, cluster_col=args.cluster_col
+    ).localCheckpoint()
+    n_fresh = out.filter("is_fresh").count()
+    (
+        out.selectExpr(
+            f"{args.id_col}", f"stable_id as {args.cluster_col}"
+        ).write.mode("overwrite").parquet(args.out)
+    )
+    print(
+        json.dumps(
+            {"out": args.out, "n_items": out.count(), "n_fresh_items": n_fresh}
+        )
+    )
+    return 0
+
+
 def _cmd_apply_reviews(args: argparse.Namespace) -> int:
     """Fold a batch of clerical-review verdicts into the persisted ER
     state — the write-back half of the review loop whose read half is
@@ -505,6 +533,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ca.add_argument("--master", help="Spark master (omit under spark-submit)")
     ca.set_defaults(fn=_cmd_calibrate)
+
+    st = sub.add_parser(
+        "stitch",
+        help="stable entity ids: relabel a re-clustering from the prior snapshot",
+    )
+    st.add_argument("--old", required=True, help="prior assignments parquet")
+    st.add_argument("--new", required=True, help="fresh clustering parquet")
+    st.add_argument("--out", required=True, help="output assignments parquet")
+    st.add_argument("--id-col", default="doc_id")
+    st.add_argument("--cluster-col", default="cluster_id")
+    st.add_argument("--master", help="Spark master (omit under spark-submit)")
+    st.set_defaults(fn=_cmd_stitch)
 
     ar = sub.add_parser(
         "apply-reviews",

@@ -471,3 +471,36 @@ def test_cli_calibrate_model_and_curve(tmp_path):
     assert rows[0] == (0.0, 4, 4, 0.5, 1.0)  # everything predicted
     assert rows[2] == (0.5, 4, 0, 1.0, 1.0)  # perfect split at 0.5
     assert rows[4][1] == 0 and rows[4][3] == 1.0  # empty prediction set
+
+
+def test_cli_stitch_stable_ids(tmp_path):
+    """stitch: a renamed cluster inherits its old id; the brand-new one
+    gets a namespaced fresh id."""
+    import duckdb
+    import json as _json
+
+    env = dict(os.environ, PYTHONPATH=REPO)
+    old = tmp_path / "old.parquet"
+    new = tmp_path / "new.parquet"
+    duckdb.connect().execute(
+        f"""copy (select * from (values ('1','A'),('2','A'),('3','B'))
+              t(doc_id, cluster_id)) to '{old}' (format parquet)"""
+    )
+    duckdb.connect().execute(
+        f"""copy (select * from (values ('1','x'),('2','x'),('3','y'),('4','z'))
+              t(doc_id, cluster_id)) to '{new}' (format parquet)"""
+    )
+    out = tmp_path / "stitched"
+    r = subprocess.run(
+        [sys.executable, "-m", "entity_linking_in_biomedical_spark", "stitch",
+         "--old", str(old), "--new", str(new), "--out", str(out),
+         "--master", "local[4]"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["n_items"] == 4 and summary["n_fresh_items"] == 1
+    rows = dict(duckdb.connect().execute(
+        f"select doc_id, cluster_id from read_parquet('{out}/*.parquet')"
+    ).fetchall())
+    assert rows == {"1": "A", "2": "A", "3": "B", "4": "new:z"}
