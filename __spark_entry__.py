@@ -6001,6 +6001,9 @@ ORACLE_GOLDEN_REFRESH = ORACLE_GOLDEN_RECORDS.replace(
     "c_custkey // 10",
     "(c_custkey // 10 + case when c_custkey % 97 = 0 then 1 else 0 end)",
 )
+# textual derivation: fail loudly at import time if a reformat of
+# ORACLE_GOLDEN_RECORDS ever makes the replace a silent no-op
+assert ORACLE_GOLDEN_REFRESH != ORACLE_GOLDEN_RECORDS
 
 
 def q_jw_pairs(spark, sf_dir):

@@ -266,6 +266,10 @@ def _cmd_calibrate(args: argparse.Namespace) -> int:
     )
     out = {"model": model, "curve_out": args.curve_out}
     if args.curve_out:
+        if args.curve_points < 1:
+            raise SystemExit(
+                f"--curve-points must be >= 1, got {args.curve_points}"
+            )
         ts = [i / args.curve_points for i in range(args.curve_points + 1)]
         threshold_curve(
             scored, ts, args.score_col, args.label_col

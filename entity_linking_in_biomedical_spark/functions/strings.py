@@ -366,14 +366,15 @@ def monge_elkan_batch(
     out = np.zeros(n)
     if flat_a:
         jw = jaro_winkler_batch(flat_a, flat_b)
-        key = np.array(pair_of, dtype=np.int64) * (max(atok_of) + 1) + np.array(
+        width = max(atok_of) + 1
+        key = np.array(pair_of, dtype=np.int64) * width + np.array(
             atok_of, dtype=np.int64
         )
         order = np.argsort(key, kind="stable")
         key_s, jw_s = key[order], jw[order]
         grp_start = np.r_[True, key_s[1:] != key_s[:-1]]
         maxima = np.maximum.reduceat(jw_s, np.flatnonzero(grp_start))
-        max_pair = (key_s[grp_start] // (max(atok_of) + 1)).astype(np.int64)
+        max_pair = (key_s[grp_start] // width).astype(np.int64)
         sums: dict[int, Decimal] = {}
         for p, mx in zip(max_pair.tolist(), maxima.tolist()):
             q = Decimal(repr(mx)).quantize(Decimal("1e-9"), rounding=ROUND_HALF_UP)

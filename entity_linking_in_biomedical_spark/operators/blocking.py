@@ -166,15 +166,24 @@ def blocking_keys(
         from ..functions.phonetic import soundex
 
         # one key per token (multi-word surfaces block on any variant
-        # token); '' codes (no letters) are dropped by the filter
+        # token), capped at PHONETIC_MAX_TOKENS — the cap is what makes
+        # blocking_skew_bound's phonetic term a true bound, since the
+        # normalizer does not limit token counts; '' codes (no letters)
+        # are dropped by the filter
         ph = F.filter(
             F.transform(
-                F.split(col, " "), lambda t: F.concat(F.lit("p|"), soundex(t))
+                F.slice(F.split(col, " "), 1, PHONETIC_MAX_TOKENS),
+                lambda t: F.concat(F.lit("p|"), soundex(t)),
             ),
             lambda k: k != "p|",
         )
         keys = F.concat(keys, ph)
     return F.array_distinct(keys)
+
+
+# per-surface cap on phonetic keys; shared with blocking_skew_bound so
+# the closed-form bound and the key generator cannot drift
+PHONETIC_MAX_TOKENS = 8
 
 
 def channel_of(bk: Column) -> Column:
@@ -222,7 +231,7 @@ def blocking_skew_bound(
     word_num_hashes: int = 4,
     max_key_freq: int = 64,
     phonetic: bool = False,
-    phonetic_max_tokens: int = 8,
+    phonetic_max_tokens: int = PHONETIC_MAX_TOKENS,
 ) -> int:
     """Closed-form upper bound on pre-dedup candidate rows per surface
     — the invariant that makes the explicit ``repartition("norm")`` in
@@ -245,9 +254,8 @@ def blocking_skew_bound(
         + del2_max_len * (del2_max_len - 1)
         + bands
         + (1 + word_num_hashes)
-        # opt-in phonetic channel: one 'p|' key per token, bounded by
-        # the normalizer's token cap (surfaces longer than this are
-        # truncated upstream)
+        # opt-in phonetic channel: one 'p|' key per token, enforced by
+        # the F.slice cap in blocking_keys (PHONETIC_MAX_TOKENS)
         + (phonetic_max_tokens if phonetic else 0)
     )
     return n_keys_max * max_key_freq

@@ -338,14 +338,13 @@ def apply_calibration(
     out_col: str = "p_match",
 ) -> DataFrame:
     """Append the calibrated probability sigmoid(a·score + b), rounded
-    to 6 — a pure codegen'd expression, model as plan literals, no
-    join/UDF (classifier.lr_score's shape over the raw score)."""
-    z = F.lit(model["bias"]) + F.lit(model["s"]) * F.round(
-        F.col(score_col).cast("double"), 9
-    )
-    return df.withColumn(
-        out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    )
+    to 6 — classifier.lr_score over the 9-decimal-rounded score (one
+    scoring expression in the codebase, so the engines' rounding and
+    sigmoid cannot drift between the two fitters)."""
+    from .classifier import lr_score
+
+    scored = df.withColumn("s", F.round(F.col(score_col).cast("double"), 9))
+    return lr_score(scored, model, ("s",), out_col).drop("s")
 
 
 def cluster_impurity_report(

@@ -124,20 +124,32 @@ def stable_cluster_ids(
     by partner id. New clusters that win no old id get a fresh
     namespaced id (``fresh_prefix`` + new cluster id) and
     ``is_fresh = true``; old ids whose entities vanished simply retire.
+    NULL cluster ids on either side become namespaced per-item
+    singletons (never NULL output, never a cross-item merge); an item
+    unassigned in BOTH snapshots therefore keeps a stable singleton id.
 
     Scale shape: one equi-join of the two assignment scans on the item
     id + one map-side-partial groupBy to the cells frame (the only
     corpus-sized shuffles); the matching rounds and the final relabel
     join run on cluster-count-sized frames (broadcastable).
     """
-    old = old_assign.select(
-        F.col(id_col).cast("string").alias("_id"),
-        F.col(cluster_col).cast("string").alias("_old"),
-    )
-    new = new_assign.select(
-        F.col(id_col).cast("string").alias("_id"),
-        F.col(cluster_col).cast("string").alias("_new"),
-    )
+    # NULL cluster ids (e.g. assignments built by an outer join) are
+    # namespaced per-item singletons, the evaluation.py convention: a
+    # NULL must neither match anything across snapshots nor propagate a
+    # NULL stable_id into downstream keys
+    def _sel(df: DataFrame):
+        return df.select(
+            F.col(id_col).cast("string").alias("_id"),
+            F.coalesce(
+                F.col(cluster_col).cast("string"),
+                F.concat(
+                    F.lit("\x00singleton:"), F.col(id_col).cast("string")
+                ),
+            ).alias("_c"),
+        )
+
+    old = _sel(old_assign).withColumnRenamed("_c", "_old")
+    new = _sel(new_assign).withColumnRenamed("_c", "_new")
     cells = (
         new.join(old, "_id")
         .groupBy("_new", "_old")

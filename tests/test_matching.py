@@ -283,3 +283,22 @@ def test_stable_ids_foreach_batch_state_evolves(spark):
     )
     got2 = {r["doc_id"]: r["cluster_id"] for r in state["df"].collect()}
     assert got2["1"] == "A" and got2["3"] == "B" and got2["5"] == "new:c"
+
+
+def test_stable_ids_null_clusters_never_emit_null(spark):
+    """NULL cluster ids become namespaced per-item singletons: no NULL
+    stable_id ever reaches downstream keys, and an item unassigned in
+    both snapshots keeps a stable singleton id."""
+    from entity_linking_in_biomedical_spark.operators.matching import (
+        stable_cluster_ids,
+    )
+
+    old = _assign(spark, [("1", "A"), ("2", None), ("3", None)])
+    new = _assign(spark, [("1", "k"), ("2", None), ("4", None)])
+    got = {r["doc_id"]: r for r in stable_cluster_ids(old, new).collect()}
+    assert all(r["stable_id"] is not None for r in got.values())
+    # unassigned in both snapshots -> inherits its own singleton id
+    assert got["2"]["stable_id"] == "\x00singleton:2" and not got["2"]["is_fresh"]
+    # newly-arrived unassigned item -> fresh namespaced singleton
+    assert got["4"]["stable_id"] == "new:\x00singleton:4" and got["4"]["is_fresh"]
+    assert got["1"]["stable_id"] == "A"
