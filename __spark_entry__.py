@@ -5879,6 +5879,75 @@ order by doc_id
 ORACLE_STABLE_IDS = _oracle_stable_ids()
 
 
+def q_id_churn(spark, sf_dir):
+    """Snapshot churn report (operators/matching.stitch_churn_stats):
+    the per-run monitoring rollup of the stable-ids family — items
+    moved between entities, entities retired/freshly minted. Planted
+    drift over customer: ~1% of items leave (custkey%89/97 splits the
+    populations), custkey%11 members move one cluster over, and old
+    cluster 36 is wholesale-relabeled 'f36' so exactly one entity
+    retires and one is fresh. ONE full-outer join on the item id + a
+    scalar aggregate + two distinct-id anti-joins."""
+    from entity_linking_in_biomedical_spark.operators.matching import (
+        stitch_churn_stats,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    k37 = k % 37
+    old = cust.filter(k % 89 != 0).select(
+        k.cast("string").alias("doc_id"), k37.cast("string").alias("cluster_id")
+    )
+    moved = (k37 + F.when(k % 11 == 0, 1).otherwise(0)) % 37
+    new = cust.filter(k % 97 != 0).select(
+        k.cast("string").alias("doc_id"),
+        F.when(k37 == 36, F.lit("f36"))
+        .otherwise(moved.cast("string"))
+        .alias("cluster_id"),
+    )
+    return stitch_churn_stats(old, new)
+
+
+ORACLE_ID_CHURN = """
+with o as (
+  select cast(c_custkey as varchar) as id,
+         cast(c_custkey % 37 as varchar) as c
+  from customer where c_custkey % 89 <> 0
+),
+n as (
+  select cast(c_custkey as varchar) as id,
+         case when c_custkey % 37 = 36 then 'f36'
+              else cast((c_custkey % 37
+                         + case when c_custkey % 11 = 0 then 1 else 0 end)
+                        % 37 as varchar) end as c
+  from customer where c_custkey % 97 <> 0
+),
+j as (select o.id as oid, o.c as oc, n.id as nid, n.c as nc
+      from o full outer join n on o.id = n.id),
+agg as (
+  select cast(sum(case when oc is not null then 1 else 0 end) as bigint) as n_old,
+         cast(sum(case when nc is not null then 1 else 0 end) as bigint) as n_new,
+         cast(sum(case when oc is not null and nc is not null then 1 else 0 end)
+              as bigint) as n_common,
+         cast(sum(case when oc is not null and nc is not null and oc <> nc
+                       then 1 else 0 end) as bigint) as n_moved,
+         cast(count(distinct oc) as bigint) as n_entities_old,
+         cast(count(distinct nc) as bigint) as n_entities_new
+  from j
+),
+ret as (select cast(count(*) as bigint) as n_retired
+        from (select distinct c from o except select distinct c from n)),
+fre as (select cast(count(*) as bigint) as n_fresh
+        from (select distinct c from n except select distinct c from o))
+select n_old, n_new, n_common, n_moved,
+       round(case when n_common > 0
+                  then cast(n_moved as double) / n_common else 0.0 end, 6)
+         as item_churn,
+       n_entities_old, n_entities_new, ret.n_retired, fre.n_fresh
+from agg cross join ret cross join fre
+"""
+
+
 def q_phonetic_blocking(spark, sf_dir):
     """Phonetic blocking-key profile (functions/phonetic.soundex — the
     Christen ch.4 spelling-variant channel the exact/norm-key blocks
@@ -6160,6 +6229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_curve": q_threshold_curve,
         "calibrated_scores": q_calibrated_scores,
         "stable_ids": q_stable_ids,
+        "id_churn": q_id_churn,
         "phonetic_blocking": q_phonetic_blocking,
         "repair_clusters": q_repair_clusters,
         "one_to_one": q_one_to_one,
@@ -6272,6 +6342,7 @@ def oracle_sql() -> dict[str, str]:
         "threshold_curve": ORACLE_THRESHOLD_CURVE,
         "calibrated_scores": ORACLE_CALIBRATED_SCORES,
         "stable_ids": ORACLE_STABLE_IDS,
+        "id_churn": ORACLE_ID_CHURN,
         "phonetic_blocking": ORACLE_PHONETIC_BLOCKING,
         "repair_clusters": _oracle_repair_clusters(),
         "one_to_one": _oracle_one_to_one(),

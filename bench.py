@@ -379,6 +379,7 @@ def main() -> None:
         "jw_pairs",
         "monge_elkan",
         "stable_ids",
+        "id_churn",
         "threshold_curve",
         "calibrated_scores",
         "phonetic_blocking",

@@ -177,6 +177,72 @@ def stable_cluster_ids(
     )
 
 
+def stitch_churn_stats(
+    old_assign: DataFrame,
+    new_assign: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """One-row churn report between two assignment snapshots sharing an
+    id namespace (i.e. the new side already relabeled by
+    :func:`stable_cluster_ids`) — the per-run monitoring number an ER
+    deployment alerts on (a re-cluster that reassigns 40% of items is a
+    regression, not drift):
+
+      n_old/n_new items, n_common (in both), n_moved (common items
+      whose cluster id changed), item_churn = n_moved / n_common;
+      entity-level: n_entities_old/new, n_retired (old ids gone),
+      n_fresh (new ids not in old).
+
+    Scale shape: ONE full-outer join on the item id (fingerprint-only
+    projections) + one scalar aggregate; entity counts re-aggregate the
+    cluster-id sets from the same joined frame. No pair work.
+    """
+    o = old_assign.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(cluster_col).cast("string").alias("_old"),
+    )
+    nw = new_assign.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(cluster_col).cast("string").alias("_new"),
+    )
+    j = o.join(nw, "_id", "full_outer")
+    common = F.col("_old").isNotNull() & F.col("_new").isNotNull()
+    agg = j.agg(
+        F.sum(F.col("_old").isNotNull().cast("long")).alias("n_old"),
+        F.sum(F.col("_new").isNotNull().cast("long")).alias("n_new"),
+        F.sum(common.cast("long")).alias("n_common"),
+        F.sum((common & (F.col("_old") != F.col("_new"))).cast("long")).alias(
+            "n_moved"
+        ),
+        F.count_distinct(F.col("_old")).alias("n_entities_old"),
+        F.count_distinct(F.col("_new")).alias("n_entities_new"),
+    )
+    # retired = old entity ids no row carries in new; fresh = new ids
+    # never used in old — anti-joins over the DISTINCT id sets
+    # (cluster-count-sized, broadcastable)
+    old_ids = o.select(F.col("_old").alias("_c")).distinct()
+    new_ids = nw.select(F.col("_new").alias("_c")).distinct()
+    n_retired = old_ids.join(new_ids, "_c", "left_anti").count()
+    n_fresh = new_ids.join(old_ids, "_c", "left_anti").count()
+    out = agg.select(
+        "n_old",
+        "n_new",
+        "n_common",
+        "n_moved",
+        F.round(
+            F.when(F.col("n_common") > 0, F.col("n_moved") / F.col("n_common"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("item_churn"),
+        "n_entities_old",
+        "n_entities_new",
+    )
+    return out.withColumn("n_retired", F.lit(n_retired).cast("bigint")).withColumn(
+        "n_fresh", F.lit(n_fresh).cast("bigint")
+    )
+
+
 def stable_ids_foreach_batch(load, save, id_col="doc_id", cluster_col="cluster_id"):
     """Streaming face of :func:`stable_cluster_ids` (the evolving-state
     foreachBatch pattern of clustering.merge_clusters_foreach_batch):

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import itertools
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from entity_linking_in_biomedical_spark.operators.matching import (
@@ -302,3 +304,19 @@ def test_stable_ids_null_clusters_never_emit_null(spark):
     # newly-arrived unassigned item -> fresh namespaced singleton
     assert got["4"]["stable_id"] == "new:\x00singleton:4" and got["4"]["is_fresh"]
     assert got["1"]["stable_id"] == "A"
+
+
+def test_stitch_churn_stats_hand_computed(spark):
+    from entity_linking_in_biomedical_spark.operators.matching import (
+        stitch_churn_stats,
+    )
+
+    # old: 1,2 in A; 3 in B; 5 in Z (Z retires — 5 leaves the corpus)
+    old = _assign(spark, [("1", "A"), ("2", "A"), ("3", "B"), ("5", "Z")])
+    # new: 1 stays in A, 2 moves to B, 3 stays in B, 4 arrives in fresh F
+    new = _assign(spark, [("1", "A"), ("2", "B"), ("3", "B"), ("4", "F")])
+    r = stitch_churn_stats(old, new).collect()[0]
+    assert (r["n_old"], r["n_new"], r["n_common"], r["n_moved"]) == (4, 4, 3, 1)
+    assert r["item_churn"] == pytest.approx(1 / 3, abs=1e-6)
+    assert (r["n_entities_old"], r["n_entities_new"]) == (3, 3)
+    assert (r["n_retired"], r["n_fresh"]) == (1, 1)  # Z retired, F fresh
