@@ -3466,6 +3466,65 @@ order by doc_id
 """
 
 
+def q_interleaved_stats(spark, sf_dir):
+    """Span-shape corpus profile over the input_hint table
+    (operators/multimodal.interleaved_profile): per source — docs,
+    spans, media assets, text chars, mean per-doc media fraction.
+    Spans planted per doc: one text span plus doc_id%3 media spans, so
+    sources differ in media density non-vacuously. Per-doc metrics are
+    one row-local higher-order aggregate (zero shuffles), rollup is one
+    map-side-partial groupBy."""
+    from entity_linking_in_biomedical_spark.operators.multimodal import (
+        interleaved_profile,
+    )
+
+    d = F.col("doc_id")
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    # sequence(1, 0) DESCENDS to [1, 0] in Spark — guard the 0-media case
+    seq = F.when(d % 3 > 0, F.sequence(F.lit(1), d % 3)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    media_spans = F.transform(
+        seq,
+        lambda i: F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.concat(F.lit("img://"), d.cast("string"), F.lit("-"), i).alias(
+                "media_ref"
+            ),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(F.array(text_span), media_spans).alias("spans"),
+    )
+    return interleaved_profile(docs, group_col="source").orderBy("source")
+
+
+ORACLE_INTERLEAVED_STATS = """
+with d as (
+  select source, length(text) as tc, doc_id % 3 as nm from documents
+),
+per as (
+  select source, 1 + nm as n_spans, nm as n_media, tc as text_chars,
+         cast(nm as double) / (1 + nm) as media_frac
+  from d
+)
+select source, cast(count(*) as bigint) as n_docs,
+       cast(sum(n_spans) as bigint) as n_spans,
+       cast(sum(n_media) as bigint) as n_media,
+       cast(sum(text_chars) as bigint) as text_chars,
+       round(avg(media_frac), 6) as avg_media_frac
+from per group by source order by source
+"""
+
+
 def q_media_dedup_incremental(spark, sf_dir):
     """Incremental media-asset dedup (operators/multimodal.
     dedup_media_batch): even-id docs form the persisted corpus whose
@@ -6155,6 +6214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "media_dedup": q_media_dedup,
         "media_dedup_incremental": q_media_dedup_incremental,
+        "interleaved_stats": q_interleaved_stats,
         "curate_interleaved": q_curate_interleaved,
         "ngram_jaccard": q_ngram_jaccard,
         "doc_clusters_cc": q_doc_clusters_cc,
@@ -6265,6 +6325,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _oracle_url_dedup(),
         "media_dedup": ORACLE_MEDIA_DEDUP,
         "media_dedup_incremental": ORACLE_MEDIA_DEDUP_INCREMENTAL,
+        "interleaved_stats": ORACLE_INTERLEAVED_STATS,
         "curate_interleaved": _oracle_curate_interleaved(),
         "ngram_jaccard": _oracle_ngram_jaccard(),
         "doc_clusters_cc": _oracle_doc_clusters(),

@@ -380,6 +380,7 @@ def main() -> None:
         "monge_elkan",
         "stable_ids",
         "id_churn",
+        "interleaved_stats",
         "threshold_curve",
         "calibrated_scores",
         "phonetic_blocking",

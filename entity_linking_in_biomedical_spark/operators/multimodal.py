@@ -304,3 +304,45 @@ def media_dedup_foreach_batch(index: DataFrame, sink):
         sink(dedup_media_batch(batch_df, index), batch_id)
 
     return _apply
+
+
+def interleaved_profile(
+    documents: DataFrame, group_col: str | None = None
+) -> DataFrame:
+    """Span-shape profile of an interleaved corpus (the driver
+    input_hint table: ``spans array<struct<kind,text,media_ref,
+    offset>>``) — the operational numbers a multimodal curation run
+    reads before sizing itself: how many docs, spans, media assets,
+    text characters, and what fraction of spans is media.
+
+    Per-doc metrics are ONE row-local higher-order aggregate over the
+    span array (zero shuffles); with ``group_col`` the corpus rollup
+    adds ONE map-side-partial groupBy. Media fraction is averaged over
+    docs (mean of per-doc fractions, 6 decimals), not pooled — the
+    per-doc form is the one that spots a subpopulation of media-only
+    docs that a pooled ratio hides. Docs with zero spans count 0.0.
+    """
+    n_spans = F.size("spans")
+    n_media = F.size(F.filter("spans", lambda s: s["kind"] == "media"))
+    text_chars = F.aggregate(
+        F.filter("spans", lambda s: s["kind"] != "media"),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.coalesce(F.length(s["text"]), F.lit(0)),
+    )
+    per_doc = documents.select(
+        *([F.col(group_col)] if group_col else []),
+        n_spans.cast("long").alias("n_spans"),
+        n_media.cast("long").alias("n_media"),
+        text_chars.alias("text_chars"),
+        F.when(n_spans > 0, n_media.cast("double") / n_spans)
+        .otherwise(F.lit(0.0))
+        .alias("media_frac"),
+    )
+    keys = [group_col] if group_col else []
+    return per_doc.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+        F.sum("n_media").cast("long").alias("n_media"),
+        F.sum("text_chars").cast("long").alias("text_chars"),
+        F.round(F.avg("media_frac"), 6).alias("avg_media_frac"),
+    )

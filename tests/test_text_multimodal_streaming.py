@@ -763,3 +763,32 @@ def test_curate_interleaved_scrub_keeps_empty_span_docs(spark):
     kept = sorted(r["doc_id"] for r in res["clean"].collect())
     assert kept == ["d1", "d2"]
     assert res["funnel"][-1] == ("decontam_scrub", 2)
+
+
+def test_interleaved_profile_per_doc_and_rollup(spark):
+    from entity_linking_in_biomedical_spark.operators.multimodal import (
+        interleaved_profile,
+    )
+
+    def span(kind, text=None, ref=None, off=0):
+        return (kind, text, ref, off)
+
+    rows = [
+        ("a", "s1", [span("text", text="hello"), span("media", ref="m1", off=1)]),
+        ("b", "s1", [span("text", text="xy")]),
+        ("c", "s2", []),  # zero spans -> media_frac 0.0, not NULL
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, source string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    got = {r["source"]: r for r in interleaved_profile(docs, "source").collect()}
+    s1 = got["s1"]
+    assert (s1["n_docs"], s1["n_spans"], s1["n_media"], s1["text_chars"]) == (2, 3, 1, 7)
+    assert s1["avg_media_frac"] == 0.25  # mean(1/2, 0)
+    s2 = got["s2"]
+    assert (s2["n_spans"], s2["avg_media_frac"]) == (0, 0.0)
+    # ungrouped corpus rollup: one row
+    total = interleaved_profile(docs).collect()
+    assert len(total) == 1 and total[0]["n_docs"] == 3
