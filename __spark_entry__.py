@@ -1314,12 +1314,16 @@ def q_blocking_stats(spark, sf_dir):
         blocking_key_stats,
     )
 
+    from entity_linking_in_biomedical_spark.functions.phonetic import soundex
+
     docs = _t(spark, sf_dir, "documents")
     norm = norm_key(F.substring("text", 1, 40))
+    first_tok = F.split(norm, " ")[0]
     out = (
         blocking_key_stats(docs, norm, "norm40")
         .unionByName(blocking_key_stats(docs, F.substring(norm, 1, 8), "prefix8"))
         .unionByName(blocking_key_stats(docs, fingerprint("text"), "fingerprint"))
+        .unionByName(blocking_key_stats(docs, soundex(first_tok), "phonetic"))
     )
     return out.orderBy("channel")
 
@@ -1328,6 +1332,8 @@ _NORM40_SQL = NORM_KEY_SQL.format(col="substr(text, 1, 40)")
 
 
 def _oracle_blocking_stats() -> str:
+    from entity_linking_in_biomedical_spark.functions.phonetic import soundex_sql
+
     fp_sql = "md5(array_to_string(list_sort(list_distinct({toks})), ' '))".format(
         toks=_TOKS
     )
@@ -1335,6 +1341,7 @@ def _oracle_blocking_stats() -> str:
         ("fingerprint", fp_sql),
         ("norm40", _NORM40_SQL),
         ("prefix8", f"substr({_NORM40_SQL}, 1, 8)"),
+        ("phonetic", soundex_sql(f"string_split({_NORM40_SQL}, ' ')[1]")),
     ]
     parts = []
     for name, expr in chans:
