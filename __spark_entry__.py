@@ -56,8 +56,34 @@ from entity_linking_in_biomedical_spark.operators.similarity import (
 )
 
 
+# One default-config scan split (spark.sql.files.maxPartitionBytes).
+_ONE_SPLIT_BYTES = 128 * 1024 * 1024
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    # Input-skew control (optimization guide §2.5 "one huge unsplittable
+    # file"): the driver tables are single-row-group parquet files, so
+    # without this every query's scan stage — tokenize/md5/shingle
+    # per-row work included — ran as ONE task regardless of cluster
+    # size. Inputs smaller than one scan split are spread round-robin
+    # across the cluster right after the read; anything that splits
+    # naturally (every real-scale table) passes through untouched, so
+    # the 100 TB plan is identical. Row-placement is irrelevant to
+    # results: every operator here is partition-invariant (windows and
+    # aggregations carry total orders / order-free combiners).
+    try:
+        size = (
+            sum(e.stat().st_size for e in os.scandir(path) if e.is_file())
+            if os.path.isdir(path)
+            else os.path.getsize(path)
+        )
+    except OSError:
+        return df
+    if size < _ONE_SPLIT_BYTES:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 # ---------------------------------------------------------------------------

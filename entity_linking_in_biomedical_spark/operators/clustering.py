@@ -96,7 +96,7 @@ def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 25,
-    digest_every: int = 2,
+    digest_every: int = 1,
 ) -> tuple[DataFrame, int]:
     """edges(src string, dst string) -> (assignments(node, cluster_id),
     iterations).
@@ -105,14 +105,16 @@ def connected_components(
     which become singleton clusters (cluster_id = node).
 
     ``digest_every``: convergence is checked every this-many star
-    rounds. Each digest is a driver-blocking job, and the scaling
-    ladder identified the O(iterations) digest barriers as part of the
-    assignments stage's serial floor — at the default 2, consecutive
-    rounds chain lazily into ONE job per digest (the lazy checkpoints
-    only materialize at the digest action), halving the barrier count.
-    The fixpoint is unchanged: star rounds applied to a converged edge
-    set are identity, so the only cost is up to ``digest_every``
-    no-op rounds inside the final digest job.
+    rounds; >1 chains consecutive rounds lazily into one job per
+    digest, trading star rounds for driver barriers. The round-5
+    default of 2 regressed every CC query (its own bench record):
+    checking each round runs exactly true_rounds+1 rounds (the +1 is
+    the unavoidable no-op that proves stability), while cadence k runs
+    up to true_rounds+2k-1 — and a star round (3 exchanges over the
+    edge set) costs far more than a digest's O(1)-row driver action at
+    any scale, so 1 is the right default off-cluster too. The fixpoint
+    is unchanged either way: star rounds applied to a converged edge
+    set are identity.
     """
     if digest_every < 1:
         raise ValueError(f"digest_every must be >= 1, got {digest_every}")
