@@ -52,13 +52,42 @@ def _self_dot(cent: list[float]) -> float:
     return s
 
 
+def _sql_dbl(x: float) -> str:
+    """Shortest round-trip SQL double literal: repr() emits the minimal
+    decimal that parses back to the identical IEEE-754 double."""
+    return f"{float(x)!r}D"
+
+
+def _assign_sql(vcol: str, centroids: list[list[float]]) -> str:
+    """argmin_c ||x - c||^2 over an array<double> column named ``vcol``,
+    as ONE SQL expression string. x.x is constant per row, so the score
+    is c.c - 2 x.c; ties break to the lowest cluster id via
+    lexicographic struct ordering. Same operator tree as the previous
+    Column-builder form (zip_with product, left-fold aggregate from
+    0.0D) — built as text because the per-Column py4j construction cost
+    about 30 ms per call, ~0.7 s of pure driver time per E-step at
+    k=8/dim=64, every iteration."""
+    parts = []
+    for c, cent in enumerate(centroids):
+        arr = ",".join(_sql_dbl(a) for a in cent)
+        dot = (
+            f"aggregate(zip_with({vcol}, array({arr}), (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
+        )
+        parts.append(
+            f"named_struct('s', {_sql_dbl(_self_dot(cent))} - 2.0D * {dot},"
+            f" 'c', {c})"
+        )
+    return f"array_min(array({','.join(parts)})).c"
+
+
 def _assign_expr(v: Column, centroids: list[list[float]]) -> Column:
-    """argmin_c ||x - c||^2 as a codegen'd expression. x.x is constant
-    per row, so the score is c.c - 2 x.c; ties break to the lowest
-    cluster id via lexicographic struct ordering."""
+    """Column form of :func:`_assign_sql` for an arbitrary vector
+    expression (kept for API compatibility; the hot paths stage the
+    doubles column and use the SQL form directly)."""
     scores = []
     for c, cent in enumerate(centroids):
-        lit = F.array(*[F.lit(float(a)) for a in cent])
+        lit = F.lit([float(a) for a in cent])
         score = F.lit(_self_dot(cent)) - F.lit(2.0) * dot_product(v, lit)
         scores.append(F.struct(score.alias("s"), F.lit(c).alias("c")))
     return F.array_min(F.array(*scores)).getField("c")
@@ -85,31 +114,34 @@ def kmeans_fit(
     dim = len(centroids[0])
 
     for _ in range(iters):
-        assigned = base.withColumn("__c", _assign_expr(F.col("__v"), centroids))
-        stats = (
-            assigned.groupBy("__c")
+        assigned = base.withColumn("__c", F.expr(_assign_sql("__v", centroids)))
+        # M-step as posexplode + ONE (cluster, position) aggregate
+        # instead of `dim` separate sum expressions: the wide form's
+        # plan (dim round/element_at/cast/sum trees) cost more to
+        # analyze + compile per iteration than the whole job's data
+        # pass at any k*dim; this shape is also the DuckDB twin's.
+        # Decimal sums are exact and order-free, so the per-(c, pos)
+        # totals — and every downstream centroid — are bit-identical
+        # to the wide form. Still one map-side-partial aggregate of
+        # k*dim groups per round.
+        rows = (
+            assigned.select("__c", F.posexplode("__v").alias("__p", "__x"))
+            .groupBy("__c", "__p")
             .agg(
                 F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.sum(
-                        F.round(F.element_at("__v", i + 1), 9).cast(
-                            "decimal(38,9)"
-                        )
-                    ).alias(f"s{i}")
-                    for i in range(dim)
-                ],
+                F.sum(F.round("__x", 9).cast("decimal(38,9)")).alias("__s"),
             )
             .collect()
         )
-        by_c = {r["__c"]: r for r in stats}
-        for c in range(len(centroids)):
-            r = by_c.get(c)
-            if r is None:
-                continue  # empty cluster keeps its old centroid
-            n = float(r["__n"])
-            centroids[c] = [
-                _round9(float(r[f"s{i}"]) / n) for i in range(dim)
-            ]
+        sums: dict[int, list] = {}
+        ns: dict[int, float] = {}
+        for r in rows:
+            sums.setdefault(r["__c"], [None] * dim)[r["__p"]] = r["__s"]
+            ns[r["__c"]] = float(r["__n"])
+        for c, s in sums.items():
+            # clusters absent from `sums` are empty and keep their
+            # previous centroid
+            centroids[c] = [_round9(float(x) / ns[c]) for x in s]
     return centroids
 
 
@@ -119,11 +151,15 @@ def kmeans_score(
     vec_col: str = "embedding",
     out_col: str = "cluster",
 ) -> DataFrame:
-    """Append the nearest-centroid id — a pure codegen'd projection
+    """Append the nearest-centroid id — a pure row-local projection
     with the model as plan literals (no join/UDF/state), so it composes
-    directly onto streaming frames the way lr_score does."""
-    return df.withColumn(
-        out_col, _assign_expr(_dbl(vec_col), centroids)
+    directly onto streaming frames the way lr_score does. The doubles
+    view of the vector is staged under a scratch column so the E-step
+    parses as one SQL expression (see _assign_sql)."""
+    return (
+        df.withColumn("__kmv", _dbl(vec_col))
+        .withColumn(out_col, F.expr(_assign_sql("__kmv", centroids)))
+        .drop("__kmv")
     )
 
 

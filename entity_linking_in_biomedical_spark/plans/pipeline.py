@@ -203,19 +203,33 @@ def run_pipeline(
     def compute_me() -> DataFrame:
         # mention-surface × entity-synonym pairs within candidate blocks;
         # per (surface, cui) keep the best-scoring synonym (the reference
-        # scores mention vs dictionary description, dataset.py:128,461)
-        pairs = (
-            cands.select("norm", "cui", "block_key")
-            .join(names.select("cui", F.col("norm").alias("e_norm")), "cui")
-            .select(
-                F.col("norm").alias("a_norm"),
-                F.col("e_norm").alias("b_norm"),
-                "cui",
-                "block_key",
+        # scores mention vs dictionary description, dataset.py:128,461).
+        # Embeddings attach BEFORE the cui join — to the candidate frame
+        # (one row per surface×cui) and the synonym frame — instead of
+        # to the exploded pair frame: the pair set is ~4x larger than
+        # the candidate set and the old second with_emb join reshuffled
+        # every pair already carrying its 256-byte a_emb payload (guide
+        # §8: decide placement on small rows, never let a later join
+        # re-shuffle the payload). The join tree re-associated this way
+        # produces the identical tuples.
+        c = cands.select("norm", "cui", "block_key")
+        n = names.select("cui", F.col("norm").alias("e_norm"))
+        c = with_emb(c, "norm", "a_emb")
+        if embeddings is not None:
+            n = n.join(
+                embeddings.select(
+                    F.col("norm").alias("e_norm"), F.col("embedding").alias("b_emb")
+                ),
+                "e_norm",
+                "left",
             )
+        pairs = c.join(n, "cui").select(
+            F.col("norm").alias("a_norm"),
+            F.col("e_norm").alias("b_norm"),
+            "cui",
+            "block_key",
+            *(["a_emb", "b_emb"] if embeddings is not None else []),
         )
-        pairs = with_emb(pairs, "a_norm", "a_emb")
-        pairs = with_emb(pairs, "b_norm", "b_emb")
         scored = score_pairs(
             spark,
             pairs,
