@@ -61,18 +61,32 @@ _ONE_SPLIT_BYTES = 128 * 1024 * 1024
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _ts(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan with input-skew spread (optimization guide §2.5 "one huge
+    unsplittable file"): the driver tables are single-row-group parquet
+    files, so a query's scan stage runs as ONE task regardless of
+    cluster size. For queries whose scan feeds heavy per-row compute
+    (regex/md5/shingle kernels, pandas-UDF scoring, per-pair windows),
+    an input smaller than one scan split is spread round-robin across
+    the cluster behind a lazy barrier (so branching consumers share one
+    materialization); inputs big enough to split naturally — any
+    real-scale table — pass through untouched, keeping the 100 TB plan
+    identical with pruning/pushdown intact.
+
+    Deliberately OPT-IN per query: an interleaved A/B over the whole
+    suite (BENCH/ab_spread_sweep_r6.json, 3 reps per mode in one
+    session) showed the spread wins 2-4x exactly where per-row work
+    dominates and costs ~0.5-2 s where it doesn't (light multi-join
+    queries lose their size-statistics-driven broadcasts behind the
+    barrier), so only the measured winners read through this variant.
+    Row placement cannot change results: every operator is
+    partition-invariant (total-ordered windows, order-free combiners).
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    # Input-skew control (optimization guide §2.5 "one huge unsplittable
-    # file"): the driver tables are single-row-group parquet files, so
-    # without this every query's scan stage — tokenize/md5/shingle
-    # per-row work included — ran as ONE task regardless of cluster
-    # size. Inputs smaller than one scan split are spread round-robin
-    # across the cluster right after the read; anything that splits
-    # naturally (every real-scale table) passes through untouched, so
-    # the 100 TB plan is identical. Row-placement is irrelevant to
-    # results: every operator here is partition-invariant (windows and
-    # aggregations carry total orders / order-free combiners).
     try:
         size = (
             sum(e.stat().st_size for e in os.scandir(path) if e.is_file())
@@ -82,7 +96,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except OSError:
         return df
     if size < _ONE_SPLIT_BYTES:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        from entity_linking_in_biomedical_spark.session import barrier_level
+
+        df = df.repartition(spark.sparkContext.defaultParallelism).localCheckpoint(
+            eager=False, storageLevel=barrier_level()
+        )
     return df
 
 
@@ -1257,12 +1275,12 @@ def q_one_to_one(spark, sf_dir):
         one_to_one_match,
     )
 
-    cust = _t(spark, sf_dir, "customer").select(
+    cust = _ts(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("string").alias("left_id"),
         F.lower(F.col("c_name")).alias("lname"),
         F.col("c_nationkey").alias("nk"),
     )
-    supp = _t(spark, sf_dir, "supplier").select(
+    supp = _ts(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("string").alias("right_id"),
         F.lower(F.col("s_name")).alias("rname"),
         F.col("s_nationkey").alias("nk"),
@@ -1660,7 +1678,7 @@ from lbl group by cluster_id having count(*) > 1 order by cluster_id
 
 
 def q_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return (
         docs.select(lang_id("text").alias("lang_pred"))
         .groupBy("lang_pred")
@@ -1838,7 +1856,7 @@ def q_repetition(spark, sf_dir):
     ratio, top-token frequency ratio, duplicate-2-gram ratio — the
     quality rules that gate a crawl before training. Pure column
     expressions (codegen, no shuffle beyond the scan)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         dup_token_ratio("text").alias("dup_token_ratio"),
@@ -2051,7 +2069,7 @@ def q_filter_funnel(spark, sf_dir):
         token_count,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _ts(spark, sf_dir, "documents")
     f1 = lang_id("text") == "en"
     f2 = quality_score("text") >= 0.5
     f3 = dup_token_ratio("text") <= 0.3
@@ -2404,7 +2422,7 @@ def q_scrub_stream(spark, sf_dir):
         scrub_stream,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     test = docs.filter((F.col("doc_id") % 7) == 0).select(
         F.concat(F.lit("t"), F.col("doc_id")).alias("test_id"),
         F.concat_ws(" ", F.slice(tokens("text"), 4, 20)).alias("text"),
@@ -3083,7 +3101,7 @@ def q_semantic_dedup(spark, sf_dir):
     row's (cluster, kept)."""
     from entity_linking_in_biomedical_spark.operators.dedup import semantic_dedup
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _ts(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     off = emb.agg(F.max("vec_id") + 1).first()[0]
     planted = emb.filter(F.col("vec_id") < 10).select(
         (F.col("vec_id") + F.lit(off)).alias("vec_id"), "embedding"
@@ -3254,7 +3272,7 @@ group by dw.doc_id order by dw.doc_id
 
 
 def q_ann_brute_force(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _ts(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -3916,7 +3934,7 @@ def q_simhash_dedup(spark, sf_dir):
     """SimHash near-dup pairs; DuckDB twin reproduces the md5 token
     hashing, the 60-bit vote fold, the decimal block keys, the bucket
     cap, and the Hamming verify bit-for-bit."""
-    return simhash_near_duplicates(_t(spark, sf_dir, "documents")).orderBy("a_id", "b_id")
+    return simhash_near_duplicates(_ts(spark, sf_dir, "documents")).orderBy("a_id", "b_id")
 
 
 def _oracle_simhash_dedup(
@@ -5031,7 +5049,7 @@ def q_meta_blocking(spark, sf_dir):
         meta_block_prune,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _ts(spark, sf_dir, "documents").select("doc_id", "text")
     sub = F.concat(F.lit("m"), F.floor(F.col("doc_id") / 18).cast("string"))
     tail = F.concat_ws(
         " ",
@@ -5132,7 +5150,7 @@ def q_fs_em_weights(spark, sf_dir):
         fellegi_sunter_weights,
     )
 
-    cust = _t(spark, sf_dir, "customer")
+    cust = _ts(spark, sf_dir, "customer")
     pairs = (
         cust.alias("a")
         .join(
@@ -5249,7 +5267,7 @@ def q_fs_em_levels(spark, sf_dir):
         fellegi_sunter_weights_levels,
     )
 
-    cust = _t(spark, sf_dir, "customer")
+    cust = _ts(spark, sf_dir, "customer")
     diff = F.abs(
         F.col("a.c_acctbal").cast("double") - F.col("b.c_acctbal").cast("double")
     )
@@ -5458,7 +5476,7 @@ def q_review_queue(spark, sf_dir):
         score_pairs,
     )
 
-    cust = _t(spark, sf_dir, "customer")
+    cust = _ts(spark, sf_dir, "customer")
     pairs = (
         cust.alias("a")
         .join(
@@ -5705,7 +5723,7 @@ def q_monge_elkan(spark, sf_dir):
         )
 
     part = (
-        _t(spark, sf_dir, "part")
+        _ts(spark, sf_dir, "part")
         .filter(F.col("p_partkey") % 10 == 0)
         .select(
             F.col("p_partkey").alias("key"),
@@ -6192,12 +6210,12 @@ def q_jw_pairs(spark, sf_dir):
     def jw(a, b):
         return pd.Series(jaro_winkler_batch(a.tolist(), b.tolist()))
 
-    cust = _t(spark, sf_dir, "customer").select(
+    cust = _ts(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("string").alias("left_id"),
         F.lower(F.col("c_name")).alias("lname"),
         F.col("c_nationkey").alias("nk"),
     )
-    supp = _t(spark, sf_dir, "supplier").select(
+    supp = _ts(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").cast("string").alias("right_id"),
         F.lower(F.col("s_name")).alias("rname"),
         F.col("s_nationkey").alias("nk"),

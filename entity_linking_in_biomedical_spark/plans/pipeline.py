@@ -137,7 +137,15 @@ def run_pipeline(
         bucket_by=["norm"],
     )
 
-    names = entity_names(entities)
+    # pin the synonym frame once (lazy): entity_names ends in a
+    # dropDuplicates exchange and is consumed by fit_idf (count + agg),
+    # blocking (keys + top-k representative) and both scoring stages —
+    # without the barrier each consumer re-ran the explode + dedup
+    from ..session import barrier_level
+
+    names = entity_names(entities).localCheckpoint(
+        eager=False, storageLevel=barrier_level()
+    )
 
     # the surface keying frame is shared by blocking (stage 2) and the
     # mention-mention channel (stage 3b) — one keying pass for the job.
