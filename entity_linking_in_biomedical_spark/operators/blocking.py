@@ -131,6 +131,15 @@ def word_keys(col: Column, word_num_hashes: int = 4) -> Column:
     return F.concat(sorted_key, mh)
 
 
+# Memo of built key expressions. Constructing the unified key array is
+# ~0.3 s of pure py4j round-trips (hundreds of Column calls), paid per
+# keying frame per job before this cache. Unresolved Column expressions
+# are immutable and DataFrame-independent, so one built tree serves
+# every caller that passes the same input expression (keyed by its
+# canonical repr) and parameters.
+_KEYS_MEMO: dict = {}
+
+
 def blocking_keys(
     col: Column,
     ns: tuple[int, ...] = (2, 3),
@@ -141,6 +150,31 @@ def blocking_keys(
     del2_max_len: int = 7,
     word_num_hashes: int = 4,
     phonetic: bool = False,
+) -> Column:
+    memo_key = (
+        repr(col), tuple(ns), num_hashes, bands, del_max_len, lsh_min_len,
+        del2_max_len, word_num_hashes, phonetic,
+    )
+    built = _KEYS_MEMO.get(memo_key)
+    if built is None:
+        built = _build_blocking_keys(
+            col, ns, num_hashes, bands, del_max_len, lsh_min_len,
+            del2_max_len, word_num_hashes, phonetic,
+        )
+        _KEYS_MEMO[memo_key] = built
+    return built
+
+
+def _build_blocking_keys(
+    col: Column,
+    ns: tuple[int, ...],
+    num_hashes: int,
+    bands: int,
+    del_max_len: int,
+    lsh_min_len: int,
+    del2_max_len: int,
+    word_num_hashes: int,
+    phonetic: bool,
 ) -> Column:
     """Unified blocking key array: exact + deletion-neighborhood + char
     LSH bands + word-token channel, plus an OPT-IN phonetic channel

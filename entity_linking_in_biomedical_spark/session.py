@@ -73,6 +73,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing floor kept at the 1 MB default deliberately: a
+        # 64 KB floor widens the compute-heavy consumers of small
+        # shuffles (the entity-keying explode coalesces to ONE task,
+        # the pair-scoring Arrow stage to six), but an interleaved A/B
+        # on the full ER pipeline measured the extra small tasks as a
+        # net 1.4-1.6x LOSS on this memory-bandwidth-starved host
+        # (OPTIMIZATION_r06.md); override per-run when profiling via
+        # EL_SPARK_EXTRA_CONF.
         # Arrow on for every pandas UDF / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
