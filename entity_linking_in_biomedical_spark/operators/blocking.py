@@ -246,7 +246,16 @@ def surface_blocking_keys(
     per surface), materialized once (lazy localCheckpoint) and SHARED by
     the mention-entity blocking join and the mention-mention self-join
     (previously each re-derived it — the keying pass paid twice)."""
-    surfaces = mentions.select("norm").distinct()
+    # re-spread the distinct output before the keying explode: the
+    # dedup exchange AQE-coalesces by BYTES (a few MB of norms fits one
+    # partition), while the projection that follows is the job's most
+    # expensive per-row work — measured running as a single task on 32
+    # cores (guide §2.5). One extra round-robin exchange of the
+    # pre-explode surface frame (far smaller than the exploded key
+    # frame the next join shuffles anyway) buys a fully-wide keying
+    # stage at every scale.
+    par = mentions.sparkSession.sparkContext.defaultParallelism
+    surfaces = mentions.select("norm").distinct().repartition(par)
     return surfaces.withColumn(
         "bk",
         F.explode(
@@ -354,7 +363,11 @@ def block_candidates(
     def with_keys(df: DataFrame) -> DataFrame:
         # the key expression (12 md5 minhashes over multigrams) is the
         # most expensive projection in the stage and each keyed frame is
-        # consumed more than once -> materialize once
+        # consumed more than once -> materialize once; re-spread first
+        # for the same single-task-keying reason as
+        # surface_blocking_keys (the synonym frame arrives on the
+        # byte-coalesced tail of entity_names' dedup exchange)
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
         return df.withColumn(
             "bk",
             F.explode(
