@@ -202,11 +202,25 @@ def run_pipeline(
     else:
         idf = fit_idf(names, ngram=cfg.ngram, vocab_cap=cfg.scoring.vocab_cap)
 
+    # Attach-join strategy for the embedding lookup (guide §3.1:
+    # broadcast the side that fits, decided by size, not by hope): the
+    # checkpointed lookup hides its statistics from the planner, so
+    # without the hint every attach was a sort-merge join that shuffled
+    # the pair frame. One cheap count gates the hint; at corpus scale
+    # (per-surface embeddings) the count exceeds the cap and the joins
+    # stay shuffled — identical results either way.
+    emb_bcast = (
+        embeddings is not None and embeddings.count() <= 200_000
+    )
+
+    def _emb_side(key: str, out: str) -> DataFrame:
+        e = embeddings.select(F.col("norm").alias(key), F.col("embedding").alias(out))
+        return F.broadcast(e) if emb_bcast else e
+
     def with_emb(df: DataFrame, key: str, out: str) -> DataFrame:
         if embeddings is None:
             return df
-        e = embeddings.select(F.col("norm").alias(key), F.col("embedding").alias(out))
-        return df.join(e, key, "left")
+        return df.join(_emb_side(key, out), key, "left")
 
     def compute_me() -> DataFrame:
         # mention-surface × entity-synonym pairs within candidate blocks;
@@ -224,13 +238,7 @@ def run_pipeline(
         n = names.select("cui", F.col("norm").alias("e_norm"))
         c = with_emb(c, "norm", "a_emb")
         if embeddings is not None:
-            n = n.join(
-                embeddings.select(
-                    F.col("norm").alias("e_norm"), F.col("embedding").alias("b_emb")
-                ),
-                "e_norm",
-                "left",
-            )
+            n = n.join(_emb_side("e_norm", "b_emb"), "e_norm", "left")
         pairs = c.join(n, "cui").select(
             F.col("norm").alias("a_norm"),
             F.col("e_norm").alias("b_norm"),
